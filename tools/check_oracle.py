@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
+the matching oracle SQL from oracle_sql.json in DuckDB over views of the
+same sf parquet tables, sorts columns by name, sorts rows, and compares
+values exactly. NOT part of the shipped library — dev tooling only.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                # match on bit pattern, but normalize -0.0/NaN
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v + 0.0)
+            vals.append(str(v))
+        out.append("\x01".join(vals))
+    return sorted(out)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_pass = n_fail = n_noop = 0
+    for d in sorted(Path(out_dir).iterdir()):
+        if not d.is_dir():
+            continue
+        name = d.name
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        got_cols = got_rel.columns
+        got = canon(got_rel.fetchall(), got_cols)
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            n_noop += 1
+            continue
+        try:
+            exp_rel = con.sql(oracle[name])
+            exp_cols = exp_rel.columns
+            exp = canon(exp_rel.fetchall(), exp_cols)
+        except Exception as e:
+            print(f"[FAIL-oracle-sql] {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"[FAIL-schema] {name}: spark={sorted(got_cols)} duckdb={sorted(exp_cols)}")
+            n_fail += 1
+        elif got != exp:
+            print(f"[FAIL-values] {name}: {len(got)} vs {len(exp)} rows")
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if g != e:
+                    print(f"  first diff row {i}:\n    spark : {g}\n    duckdb: {e}")
+                    break
+            if len(got) != len(exp):
+                print(f"  row-count mismatch")
+            n_fail += 1
+        else:
+            print(f"[PASS] {name}: {len(got)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noop} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
