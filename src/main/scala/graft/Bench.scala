@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at the given scale factor
+  * and prints ONE JSON line. Each query gets one untimed warmup pass first
+  * (JVM/codegen/session warmup would otherwise be billed to the first
+  * query), and failures are reported per-query instead of being recorded
+  * as plausible timings. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // untimed warmup: one pass per query, exceptions deferred to timed run
+    queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+
+    val qs = results.map { case (k, v, _) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
+      .mkString("{", ",", "}")
+    val failures = results.count(_._3.isDefined)
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failures":$failures,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

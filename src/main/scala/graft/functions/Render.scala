@@ -106,15 +106,20 @@ object Render {
     * most 6 fractional digits appear (the reference's ns tail is truncated
     * upstream by the parquet reader — divergence documented in FIXTURES.md).
     */
-  def rfc3339Nano(c: Column): Column = {
+  def rfc3339Nano(c: Column): Column =
+    when(c === zeroTime, lit(null).cast(StringType)).otherwise(rfc3339NanoRaw(c))
+
+  /** RFC3339Nano without the zero-time→NULL coercion — the form Go's
+    * `json.Marshal(time.Time)` uses (the JSON codec passes values
+    * natively and never consults tostring, `json.go:108-120`). */
+  def rfc3339NanoRaw(c: Column): Column = {
     val base = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
     val frac = regexp_replace(date_format(c, "SSSSSS"), "0+$", "")
     val zone = date_format(c, "XXX") // "Z" at UTC, else ±hh:mm
-    val full = concat(
+    concat(
       base,
       when(frac === lit(""), lit("")).otherwise(concat(lit("."), frac)),
       zone)
-    when(c === zeroTime, lit(null).cast(StringType)).otherwise(full)
   }
 
   /** JSON-rendered complex value with empty/null coercion
@@ -143,9 +148,23 @@ object Render {
 
   /** Render every column of `df` to StringType, preserving names and
     * NULL-ness. The per-column expressions fuse into one whole-stage
-    * codegen projection. */
-  def renderAll(df: DataFrame): DataFrame = {
-    val cols = df.schema.fields.map(f => render(col(f.name), f.dataType).as(f.name))
+    * codegen projection.
+    *
+    * `mappers` is the per-DataType custom-mapper surface
+    * (`/root/reference/codec/csv/csv.go:52-63,199-205`): the first entry
+    * whose DataType matches a column overrides its default rendering. The
+    * mapper returns a string Column whose NULL is the reference's
+    * `tostring.String{IsNULL: true}`. Go dispatches on per-cell runtime
+    * type; Spark's schema makes that per-column static type — a deliberate
+    * semantic tightening (SURVEY.md §7f).
+    */
+  def renderAll(df: DataFrame,
+                mappers: Seq[(DataType, Column => Column)] = Nil): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      mappers.collectFirst { case (dt, fn) if dt == f.dataType => fn(col(f.name)) }
+        .getOrElse(render(col(f.name), f.dataType))
+        .as(f.name)
+    }
     df.select(cols.toIndexedSeq: _*)
   }
 }

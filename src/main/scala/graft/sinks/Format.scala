@@ -1,0 +1,109 @@
+package graft.sinks
+
+/** Pure row→string formatting, shared by the distributed path
+  * (`Dataset.map` over rendered rows) and the driver-stream path (exact
+  * sequential semantics for rowID-dependent hooks). Mirrors the byte-level
+  * behavior of the reference codecs; each function cites its source.
+  */
+object Format {
+
+  /** Go `encoding/csv` quoting decision (writer.go `fieldNeedsQuotes`):
+    * empty fields are never quoted; `\.` always is (postgres dump quirk);
+    * fields containing the delimiter, a quote, CR or LF are quoted; so are
+    * fields whose first rune is a space. */
+  def csvNeedsQuotes(field: String, delimiter: Char): Boolean = {
+    if (field.isEmpty) false
+    else if (field == "\\.") true
+    else if (field.indexOf(delimiter) >= 0) true
+    else if (field.exists(c => c == '"' || c == '\r' || c == '\n')) true
+    else Character.isWhitespace(field.codePointAt(0))
+  }
+
+  /** Encode one CSV field: double inner quotes; in CRLF mode, newlines
+    * inside quoted fields become CRLF and bare CRs are dropped (Go
+    * csv.Writer's quoted-field loop). */
+  def csvField(field: String, delimiter: Char, useCRLF: Boolean): String = {
+    if (!csvNeedsQuotes(field, delimiter)) field
+    else {
+      val doubled = field.replace("\"", "\"\"")
+      val body =
+        if (useCRLF) doubled.replace("\r", "").replace("\n", "\r\n")
+        else doubled
+      "\"" + body + "\""
+    }
+  }
+
+  /** One CSV record, no line terminator. `null` cells must already be
+    * replaced by the configured nullValue (`csv.go:195-198`). */
+  def csvLine(fields: IndexedSeq[String], delimiter: Char, useCRLF: Boolean): String =
+    fields.map(csvField(_, delimiter, useCRLF)).mkString(delimiter.toString)
+
+  /** Go `xml.EscapeText` on a valid-UTF-8 string: the five XML specials
+    * plus tab/LF/CR as character references (`xml.go:118`). */
+  def xmlEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"'  => sb.append("&#34;")
+        case '\'' => sb.append("&#39;")
+        case '&'  => sb.append("&amp;")
+        case '<'  => sb.append("&lt;")
+        case '>'  => sb.append("&gt;")
+        case '\t' => sb.append("&#x9;")
+        case '\n' => sb.append("&#xA;")
+        case '\r' => sb.append("&#xD;")
+        case c    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One `<row>` element: NULL cells omitted entirely, values escaped,
+    * element names taken raw from column names (`xml.go:111-122`). `null`
+    * entries in `cells` mark NULL. */
+  def xmlRow(names: IndexedSeq[String], cells: IndexedSeq[String]): String = {
+    val sb = new java.lang.StringBuilder("<row>")
+    var i = 0
+    while (i < names.length) {
+      if (cells(i) != null) {
+        sb.append('<').append(names(i)).append('>')
+        sb.append(xmlEscape(cells(i)))
+        sb.append("</").append(names(i)).append('>')
+      }
+      i += 1
+    }
+    sb.append("</row>").toString
+  }
+
+  val xmlDeclaration = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+
+  /** One `<tr>`: cells are written RAW (the reference does not HTML-escape
+    * cell contents, `html.go:155-162`); NULL cells must already carry the
+    * configured nullValue markup. */
+  def htmlRow(cells: IndexedSeq[String]): String =
+    cells.mkString("<tr><td>", "</td><td>", "</td></tr>")
+
+  /** The reference's document prefix: CSS collapsed to single spaces via
+    * `strings.Join(strings.Fields(...), " ")` (`html.go:194-227`). */
+  val htmlPrefix: String =
+    """<!DOCTYPE html><html><head><meta charset="utf-8"><title>Go Export</title><style>
+      |body, html { margin: 0; padding: 0; }
+      |* { margin: 0; padding: 0; }
+      |th { border:1px solid #dedede; padding: 15px; border-top: 0px solid red; border-left: 0px solid red; }
+      |td { border: 1px solid #dedede; border-top: 0px solid red; border-left: 0px solid red; padding: 10px 10px 10px 10px; max-width:700px; overflow-x: auto; white-space: nowrap; scrollbar-width: none; -ms-overflow-style: none; }
+      |.td::-webkit-scrollbar { display: none; }
+      |p.typ { margin-top: 5px; color: #333; }
+      |</style> </head><body><table style="width:100%;border-spacing:0px;">""".stripMargin
+      .split("\\s+").mkString(" ")
+
+  val htmlTheadOpen =
+    """<thead style="position:sticky;top:0;z-index:99;background:#f9f9f9;">"""
+
+  def htmlTh(name: String, typeName: String): String =
+    s"<th><p>$name</p><p class=typ>$typeName</p></th>"
+
+  /** Default NULL markup (`html.go:36`). */
+  val htmlNullValue = """<span style="color:#aaaaaa;">[NULL]</span>"""
+}

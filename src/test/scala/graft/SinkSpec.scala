@@ -1,0 +1,190 @@
+package graft
+
+import graft.sinks._
+import graft.sources.Slice
+
+/** Option-matrix parity tests for the CSV/JSON/HTML sinks against the
+  * reference codecs (`codec/csv/csv.go`, `codec/json/json.go`,
+  * `codec/html/html.go`). */
+class SinkSpec extends SparkTestBase {
+
+  private def df3 = Slice.fromData(spark,
+    Seq(Seq(1, "first"), Seq(2, "second"), Seq(3, "third")))
+
+  // ---- CSV (csv.go:124-190) ----
+
+  test("csv: default options — header + rows, LF line endings") {
+    assert(CsvSink.writeString(df3) ==
+      "column_0,column_1\n1,first\n2,second\n3,third\n")
+  }
+
+  test("csv: custom delimiter and CRLF (csv.go:140-144)") {
+    val out = CsvSink.writeString(df3,
+      CsvOptions(delimiter = ';', useCRLF = true))
+    assert(out == "column_0;column_1\r\n1;first\r\n2;second\r\n3;third\r\n")
+  }
+
+  test("csv: header off (csv.go:88-92)") {
+    assert(CsvSink.writeString(df3, CsvOptions(writeHeader = false)) ==
+      "1,first\n2,second\n3,third\n")
+  }
+
+  test("csv: header-when-empty eager vs lazy (csv.go:147-151, 175-179)") {
+    val empty = Slice.fromData(spark, Seq.empty)
+    // eager (default): header even with zero columns is skipped (len==0)
+    assert(CsvSink.writeString(empty) == "")
+    val emptyTyped = df3.limit(0)
+    assert(CsvSink.writeString(emptyTyped) == "column_0,column_1\n")
+    // lazy: header only before the first data row → empty input → nothing
+    assert(CsvSink.writeString(emptyTyped,
+      CsvOptions(writeHeaderWhenNoData = false)) == "")
+    assert(CsvSink.writeString(df3,
+      CsvOptions(writeHeaderWhenNoData = false)) ==
+      "column_0,column_1\n1,first\n2,second\n3,third\n")
+  }
+
+  test("csv: custom header + arity error (csv.go:134-139)") {
+    val out = CsvSink.writeString(df3,
+      CsvOptions(customHeader = Some(Seq("id", "word"))))
+    assert(out == "id,word\n1,first\n2,second\n3,third\n")
+    val err = intercept[IllegalArgumentException] {
+      CsvSink.writeString(df3, CsvOptions(customHeader = Some(Seq("only-one"))))
+    }
+    assert(err.getMessage == "invalid header length")
+  }
+
+  test("csv: custom NULL string (csv.go:109-113, 196-198)") {
+    val df = Slice.fromData(spark, Seq(Seq(1, "a"), Seq(2, null)))
+    assert(CsvSink.writeString(df, CsvOptions(nullValue = "NULL")) ==
+      "column_0,column_1\n1,a\n2,NULL\n")
+    // default NULL renders empty
+    assert(CsvSink.writeString(df) == "column_0,column_1\n1,a\n2,\n")
+  }
+
+  test("csv: limit counts post-filter rows; limit 0 → header only (csv.go:152-154,183-186)") {
+    assert(CsvSink.writeString(df3, CsvOptions(limit = 2)) ==
+      "column_0,column_1\n1,first\n2,second\n")
+    assert(CsvSink.writeString(df3, CsvOptions(limit = 0)) ==
+      "column_0,column_1\n")
+    val pre: SinkTypes.PreProcessor =
+      (_, row) => (row, row(1) != "first")
+    assert(CsvSink.writeString(df3,
+      CsvOptions(limit = 1, preProcessor = Some(pre))) ==
+      "column_0,column_1\n2,second\n",
+      "limit must count KEPT rows")
+  }
+
+  test("csv: quoting — delimiter/quote/newline/leading-space (Go encoding/csv)") {
+    val df = Slice.fromData(spark, Seq(
+      Seq("a,b", "he said \"hi\"", "line1\nline2", " lead", "plain")))
+    val out = CsvSink.writeString(df, CsvOptions(writeHeader = false))
+    assert(out == "\"a,b\",\"he said \"\"hi\"\"\",\"line1\nline2\",\" lead\",plain\n")
+  }
+
+  test("csv: preprocessor rowID increments on kept rows only (csv.go:170-186)") {
+    var seen = List.empty[Int]
+    val pre: SinkTypes.PreProcessor = (rowID, row) => {
+      seen = rowID :: seen
+      (row, row(1) != "second")
+    }
+    CsvSink.writeString(df3, CsvOptions(preProcessor = Some(pre)))
+    // rows: first(keep,id1) second(drop,id2) third(keep,id2)
+    assert(seen.reverse == List(1, 2, 2), seen.reverse.toString)
+  }
+
+  // ---- JSON (json.go:83-156) ----
+
+  test("json: array mode framing; empty input → empty output, not [] (json.go:94-98)") {
+    val out = JsonSink.writeString(df3)
+    assert(out ==
+      "[\n{\"column_0\":1,\"column_1\":\"first\"}," +
+      "\n{\"column_0\":2,\"column_1\":\"second\"}," +
+      "\n{\"column_0\":3,\"column_1\":\"third\"}\n]\n")
+    assert(JsonSink.writeString(df3.limit(0)) == "")
+    assert(JsonSink.writeString(df3, JsonOptions(limit = 0)) == "")
+  }
+
+  test("json: NDJSON mode (json.go:51-55,144-147)") {
+    val out = JsonSink.writeString(df3, JsonOptions(newlineDelimited = true))
+    assert(out ==
+      "{\"column_0\":1,\"column_1\":\"first\"}\n" +
+      "{\"column_0\":2,\"column_1\":\"second\"}\n" +
+      "{\"column_0\":3,\"column_1\":\"third\"}\n")
+  }
+
+  test("json: NULL passes through as native null (json.go:110)") {
+    val df = Slice.fromData(spark, Seq(Seq(1, "a"), Seq(2, null)))
+    val out = JsonSink.writeString(df, JsonOptions(newlineDelimited = true))
+    assert(out.contains("{\"column_0\":2,\"column_1\":null}"), out)
+  }
+
+  test("json: limit (json.go:149-151)") {
+    val out = JsonSink.writeString(df3, JsonOptions(limit = 1))
+    assert(out == "[\n{\"column_0\":1,\"column_1\":\"first\"}\n]\n")
+  }
+
+  test("json: keys sorted alphabetically like Go map marshal") {
+    val df = Slice.fromData(spark, Seq(Seq("v", 1))) // column_0 string, column_1 int
+      .toDF("zeta", "alpha")
+    val out = JsonSink.writeString(df, JsonOptions(newlineDelimited = true))
+    assert(out == "{\"alpha\":1,\"zeta\":\"v\"}\n")
+  }
+
+  // ---- HTML (html.go:96-171) ----
+
+  test("html: typed sticky header + tbody + closers (html.go:102-120)") {
+    val df = Slice.fromData(spark, Seq(Seq(1, "a")))
+    val out = HtmlSink.writeString(df)
+    assert(out.startsWith("<!DOCTYPE html><html><head>"))
+    assert(out.contains(
+      "<th><p>column_0</p><p class=typ>int</p></th>" +
+      "<th><p>column_1</p><p class=typ>string</p></th>"), out)
+    assert(out.contains("<tbody><tr><td>1</td><td>a</td></tr>"))
+    assert(out.endsWith("</tbody></table></body></html>"))
+  }
+
+  test("html: NULL renders as styled span (html.go:36)") {
+    val df = Slice.fromData(spark, Seq(Seq(1, "a"), Seq(2, null)))
+    val out = HtmlSink.writeString(df)
+    assert(out.contains("<td><span style=\"color:#aaaaaa;\">[NULL]</span></td>"))
+    val custom = HtmlSink.writeString(df, HtmlOptions(nullValue = "-"))
+    assert(custom.contains("<td>-</td>"))
+  }
+
+  test("html: header-only when no data (eager); nothing when lazy (html.go:113-120,146-154)") {
+    val empty = Slice.fromData(spark, Seq(Seq(1, "a"))).limit(0)
+    val out = HtmlSink.writeString(empty)
+    assert(out.contains("<thead") && out.endsWith("</table></body></html>"))
+    assert(!out.contains("<tbody>"))
+    assert(HtmlSink.writeString(empty,
+      HtmlOptions(writeHeaderWhenNoData = false)) == "")
+  }
+
+  test("html: limit and limit-0 (html.go:122-124,163-165)") {
+    val df = df3
+    val out = HtmlSink.writeString(df, HtmlOptions(limit = 2))
+    assert("<tr>".r.findAllIn(out).length == 2)
+    val zero = HtmlSink.writeString(df, HtmlOptions(limit = 0))
+    assert(zero.contains("<thead") && !zero.contains("<tr>") &&
+      zero.endsWith("</table></body></html>"))
+  }
+
+  // ---- single-file coordinator (exporter.go:36-48) ----
+
+  test("writeFile: single local file with exact content") {
+    val path = java.nio.file.Files.createTempDirectory("graft").toString + "/out.csv"
+    CsvSink.writeFile(df3, path)
+    val content = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    assert(content == CsvSink.writeString(df3))
+  }
+
+  // ---- distributed paths return the same rows ----
+
+  test("distributed lines() matches driver-stream content modulo order") {
+    val expect = CsvSink.writeString(df3, CsvOptions(writeHeader = false))
+      .split("\n").toSet
+    val got = CsvSink.lines(df3, CsvOptions()).collect().toSet
+    assert(got == expect)
+  }
+}
