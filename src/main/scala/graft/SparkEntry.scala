@@ -13,6 +13,8 @@ object SparkEntry {
   private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (q.Relational.queries, q.Relational.oracleSql),
+      (q.Battery.queries, q.Battery.oracleSql),
+      (q.Export.queries, q.Export.oracleSql),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

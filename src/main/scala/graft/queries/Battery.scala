@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational/analytical operator battery (SURVEY.md §2.5 [EXT]):
+  * joins (broadcast / sort-merge / semi / anti), windows, set ops,
+  * distinct aggregates, top-k, rollup, scalar function library, JSON
+  * extraction. One oracle-checkable entry per operator family.
+  *
+  * Scale notes (100 TB posture):
+  *   - dimension joins (`nation`, `region`) are explicitly `broadcast()` —
+  *     no shuffle of the fact side;
+  *   - the lineitem⋈orders join is hinted sort-merge: at scale neither
+  *     side broadcasts, and the shuffle is on the join key only after
+  *     column pruning;
+  *   - semi/anti joins use left_semi/left_anti (no row multiplication,
+  *     build side reduced to the key column);
+  *   - window queries partition by a high-cardinality key (custkey), so
+  *     state per partition stays small.
+  */
+object Battery {
+
+  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // broadcast dim join: customer ⋈ nation ⋈ region (both dims broadcast)
+    "q3_join_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+        .orderBy($"r_name")
+    }),
+
+    // sort-merge fact join: lineitem ⋈ orders on the shuffle key
+    "q4_join_sortmerge" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).hint("merge"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // left-semi: orders having at least one deep-discount line (EXISTS)
+    "q5_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val deep = Tables.lineitem(s, dir).filter($"l_discount" > 0.06)
+        .select($"l_orderkey")
+      Tables.orders(s, dir)
+        .join(deep, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // left-anti: customers with no big-ticket order (NOT EXISTS)
+    "q6_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val big = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 300000).select($"o_custkey")
+      Tables.customer(s, dir)
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // window: top-3 orders per priority by totalprice (rank-filter top-k)
+    "q7_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rn")
+    }),
+
+    // window: lag + running sum per customer (decimal-stabilized)
+    "q8_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .withColumn("running_total",
+          sum($"o_totalprice".cast(DecimalType(38, 6))).over(w).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          $"prev_price", $"running_total")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // set ops: intersect / except over customer vs supplier nations
+    "q9_setops" -> ((s, dir) => {
+      import s.implicits._
+      val custN = Tables.customer(s, dir).select($"c_nationkey".as("nationkey")).distinct()
+      val suppN = Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")).distinct()
+      val both = custN.intersect(suppN).withColumn("tag", lit("both"))
+      val custOnly = custN.except(suppN).withColumn("tag", lit("cust_only"))
+      val suppOnly = suppN.except(custN).withColumn("tag", lit("supp_only"))
+      both.unionAll(custOnly).unionAll(suppOnly)
+        .select($"tag", $"nationkey")
+        .orderBy($"tag", $"nationkey")
+    }),
+
+    // distinct aggregates
+    "q10_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // HLL sketch: rows-only check (approx values differ per engine)
+    "q11_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // scalar string function library
+    "q12_scalar_string" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .select(
+          $"p_partkey",
+          lower($"p_name").as("lname"),
+          upper($"p_brand").as("ubrand"),
+          substring($"p_type", 1, 6).as("type6"),
+          length($"p_name").as("name_len"),
+          regexp_replace($"p_type", " ", "_").as("type_us"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+          reverse($"p_brand").as("rbrand"))
+        .orderBy($"p_partkey")
+    }),
+
+    // scalar date function library
+    "q13_scalar_date" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dom"),
+          unix_timestamp(date_trunc("month", $"o_orderdate")).as("month_start_epoch"),
+          datediff($"o_orderdate", to_date(lit("2024-01-01"))).as("days_since"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // conditional expressions: CASE / coalesce / nullif
+    "q14_case_coalesce" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select(
+          $"c_custkey",
+          when($"c_acctbal" < 0, lit("neg"))
+            .when($"c_acctbal" < 5000, lit("low"))
+            .otherwise(lit("high")).as("bal_bucket"),
+          coalesce(nullif($"c_mktsegment", lit("AUTOMOBILE")), lit("CAR"))
+            .as("seg"))
+        .orderBy($"c_custkey")
+    }),
+
+    // semi-structured: JSON field extraction from events.props
+    "q15_json" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+        .orderBy($"k_mod")
+    }),
+
+    // grouping sets: rollup with grouping_id
+    "q16_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+             dsum($"l_quantity").as("sum_qty"))
+        .select($"gid", $"l_returnflag", $"l_linestatus", $"n", $"sum_qty")
+        .orderBy($"gid".asc, $"l_returnflag".asc_nulls_first,
+          $"l_linestatus".asc_nulls_first)
+    }),
+
+    // global top-k (TakeOrderedAndProject: no full sort at scale)
+    "q17_topk_global" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    }),
+
+    // union all with provenance tag
+    "q18_union_all" -> ((s, dir) => {
+      import s.implicits._
+      val hi = Tables.lineitem(s, dir).filter($"l_quantity" >= 45)
+        .select($"l_orderkey", $"l_linenumber", lit("hi").as("tag"))
+      val lo = Tables.lineitem(s, dir).filter($"l_quantity" <= 2)
+        .select($"l_orderkey", $"l_linenumber", lit("lo").as("tag"))
+      hi.unionAll(lo).orderBy($"tag", $"l_orderkey", $"l_linenumber")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q3_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q4_join_sortmerge" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_join_semi" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q6_join_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q7_window_topk" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q8_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q9_setops" ->
+      """WITH custN AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     suppN AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM custN INTERSECT SELECT nationkey FROM suppN)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM custN EXCEPT SELECT nationkey FROM suppN)
+        |UNION ALL
+        |SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM suppN EXCEPT SELECT nationkey FROM custN)
+        |ORDER BY tag, nationkey""".stripMargin,
+
+    "q10_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q12_scalar_string" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lname,
+        |  upper(p_brand) AS ubrand,
+        |  substr(p_type, 1, 6) AS type6,
+        |  length(p_name) AS name_len,
+        |  replace(p_type, ' ', '_') AS type_us,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  reverse(p_brand) AS rbrand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q13_scalar_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+        |  date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q14_case_coalesce" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'low'
+        |       ELSE 'high' END AS bal_bucket,
+        |  coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q15_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |FROM events
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q17_topk_global" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q18_union_all" ->
+      """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'lo' AS tag FROM lineitem WHERE l_quantity <= 2
+        |ORDER BY tag, l_orderkey, l_linenumber""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Render
+import graft.sinks.{CsvOptions, CsvSink}
+import graft.sources.Tables
+
+/** End-to-end export queries: the reference's product surface (render →
+  * serialize → file) exercised as oracle-checkable entries. The DuckDB
+  * oracle reproduces the render semantics in SQL (Go-style shortest
+  * floats via `format('{}')` with `.0` trim, RFC3339Nano timestamps via
+  * strftime + trailing-zero trim). */
+object Export {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // render layer as a query: every lineitem column → reference string form
+    "q19_export_render" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables.lineitem(s, dir)
+        .orderBy($"l_orderkey", $"l_linenumber").limit(100)
+      Render.renderAll(src)
+    }),
+
+    // full pipeline: render → distributed CSV write → read back as strings
+    "q20_export_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables.lineitem(s, dir)
+        .orderBy($"l_orderkey", $"l_linenumber").limit(100)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+        .resolve("out").toString
+      CsvSink.writeDir(src, tmp, CsvOptions())
+      s.read.option("header", "true").csv(tmp)
+        .orderBy($"l_orderkey".cast("long"), $"l_linenumber".cast("int"))
+    }),
+  )
+
+  /** Shared render-to-SQL fragment for the lineitem columns. */
+  private val renderedLineitemSql =
+    """SELECT
+      |  CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+      |  CAST(l_partkey AS VARCHAR) AS l_partkey,
+      |  CAST(l_suppkey AS VARCHAR) AS l_suppkey,
+      |  CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+      |  regexp_replace(format('{}', l_quantity), '\.0$', '') AS l_quantity,
+      |  regexp_replace(format('{}', l_extendedprice), '\.0$', '') AS l_extendedprice,
+      |  regexp_replace(format('{}', l_discount), '\.0$', '') AS l_discount,
+      |  regexp_replace(format('{}', l_tax), '\.0$', '') AS l_tax,
+      |  l_returnflag, l_linestatus,
+      |  regexp_replace(strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%f'), '\.?0+$', '') || 'Z' AS l_shipdate
+      |FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100) t
+      |""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q19_export_render" ->
+      (renderedLineitemSql + "ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT)"),
+    "q20_export_csv_roundtrip" ->
+      (renderedLineitemSql + "ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT)"),
+  )
+}

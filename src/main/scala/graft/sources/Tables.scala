@@ -24,7 +24,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `events.ts` is ns-precision parquet, which Spark reads only as a
+    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by every
+    * session here). Normalize to a µs TimestampType column with integral
+    * division — a double roundtrip would lose sub-µs bits. Oracle SQL must
+    * `date_trunc('microseconds', ts)` on the DuckDB side to match. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
