@@ -15,6 +15,8 @@ object SparkEntry {
       (q.Relational.queries, q.Relational.oracleSql),
       (q.Battery.queries, q.Battery.oracleSql),
       (q.Export.queries, q.Export.oracleSql),
+      (q.LlmPipeline.queries, q.LlmPipeline.oracleSql),
+      (q.Streaming.queries, q.Streaming.oracleSql),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

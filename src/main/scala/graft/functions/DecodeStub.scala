@@ -1,0 +1,22 @@
+package graft.functions
+
+/** Multimodal decode STUBS. The container has no image/audio libraries,
+  * so the decode step is a deterministic fake — the Spark-side plumbing
+  * (binary columns, typed metadata, partition-wise batch decode via
+  * `mapPartitions`) is real and tested; swap these bodies for a real
+  * codec (e.g. javax.imageio / ffmpeg bindings) in production. */
+object DecodeStub {
+
+  /** Fake image-dimension probe: derived deterministically from the
+    * payload so the DuckDB oracle can replicate it. */
+  def imageDims(payload: Array[Byte]): (Int, Int) = {
+    val first = if (payload.nonEmpty) payload(0) & 0xff else 0
+    (64 + first % 64, 64 + payload.length % 64)
+  }
+
+  /** Fake frame sampler: deterministic frame offsets for a pretend video
+    * payload (`n` evenly spaced positions). */
+  def frameOffsets(payloadLength: Long, n: Int): Seq[Long] =
+    if (payloadLength <= 0 || n <= 0) Seq.empty
+    else (0 until n).map(i => i * payloadLength / n)
+}

@@ -1,0 +1,430 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (the [EXT] north-star surface): deduplication (exact, n-gram Jaccard,
+  * banded MinHash, SimHash), similarity search (brute-force cosine top-k
+  * + LSH-bucketed scale path), text analysis (stats, quality, language-ID
+  * heuristic, fingerprinting, n-grams) and multimodal binary plumbing.
+  *
+  * Scale design (100 TB posture):
+  *   - near-dup candidates come from an INVERTED-INDEX join on shingles
+  *     (shuffle keyed by shingle) or banded MinHash (shuffle keyed by
+  *     band hash) — never an all-pairs cross join;
+  *   - every hash is plain md5 so the DuckDB oracle replicates the
+  *     pipeline bit-for-bit;
+  *   - dot products are sequential left folds (`aggregate`), so the
+  *     doubles match the oracle's `list_reduce` exactly;
+  *   - the brute-force cosine cross join is the CORRECTNESS baseline;
+  *     the LSH-bucketed variant is the scale path (candidates only meet
+  *     inside a signature bucket).
+  */
+object LlmPipeline {
+
+  /** Lowercased whitespace tokens. */
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Distinct word 3-gram shingles of a token array (docs with <3 tokens
+    * have none). */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"
+
+  /** (doc_id, shingle) inverted index — one row per distinct shingle. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", toks($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(shingleExpr)).as("shingle"))
+  }
+
+  /** Exact-Jaccard pairs (≥ threshold) via the inverted index: join on
+    * shingle, count intersections per pair, join per-doc sizes. */
+  private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), $"d1" === $"s1.doc_id")
+      .join(sizes.as("s2"), $"d2" === $"s2.doc_id")
+      .select($"d1", $"d2",
+        ($"inter".cast("double") / ($"s1.n" + $"s2.n" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: keep min doc_id per identical text
+    "d1_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5($"text").as("fp"))
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select($"doc_id", $"fp", $"n_copies")
+        .orderBy($"doc_id")
+    }),
+
+    // near-dup: exact word-3-gram Jaccard ≥ 0.5 via inverted-index join
+    "d2_dedup_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      jaccardPairs(s, dir, 0.5).orderBy($"d1", $"d2")
+    }),
+
+    // near-dup at scale: banded MinHash (16 hashes, 4 bands) → candidate
+    // pairs meet only inside a band bucket → exact-Jaccard verification
+    "d3_dedup_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val hashIdx = s.range(16).select($"id".cast("int").as("i"))
+      val minhash = sh.crossJoin(broadcast(hashIdx))
+        .groupBy($"doc_id", $"i")
+        .agg(min(md5(concat($"i".cast("string"), lit("|"), $"shingle"))).as("mh"))
+      val bands = minhash
+        .groupBy($"doc_id", expr("i div 4").as("band"))
+        .agg(md5(array_join(
+          expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)"),
+          ",")).as("bkey"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+      // verify candidates with exact Jaccard at the same threshold
+      cand.join(jaccardPairs(s, dir, 0.5), Seq("d1", "d2"))
+        .select($"d1", $"d2", $"jaccard")
+        .orderBy($"d1", $"d2")
+    }),
+
+    // SimHash: 60-bit fingerprint from per-token md5 bit votes
+    "d4_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val tokens = Tables.documents(s, dir)
+        .select($"doc_id", explode(toks($"text")).as("tok"))
+        .withColumn("h", md5($"tok"))
+      val bits = tokens
+        .crossJoin(broadcast(s.range(60).select($"id".cast("int").as("b"))))
+        .select($"doc_id", $"b",
+          expr("shiftright(instr('0123456789abcdef', substr(h, (b div 4)+1, 1))-1, " +
+               "CAST(b % 4 AS INT)) & 1").as("bit"))
+      bits
+        .groupBy($"doc_id", $"b")
+        .agg(sum($"bit" * 2 - 1).as("vote"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"vote" > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+          .otherwise(lit(0L))).as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // similarity search baseline: brute-force cosine top-5 neighbors
+    "d5_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm",
+          sqrt(expr("aggregate(transform(v, x -> x*x), 0D, (acc, x) -> acc + x)")))
+      val pairs = e.as("a").crossJoin(e.as("b"))
+        .filter($"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
+          (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+            / ($"a.norm" * $"b.norm")).as("cos"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr".asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"vec_id", $"rn", $"nbr", $"cos")
+        .orderBy($"vec_id", $"rn")
+    }),
+
+    // similarity search at scale: random-hyperplane LSH buckets, top-1
+    // neighbor within bucket (rows-only: bucketing loses global recall)
+    "d6_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val planes = 8
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // deterministic pseudo-random plane weights from md5(p|j)
+      val sigExpr = (0 until planes).map { p =>
+        s"CASE WHEN aggregate(zip_with(v, transform(sequence(0, size(v)-1), " +
+        s"j -> CAST(instr('0123456789abcdef', substr(md5(concat('$p|', CAST(j AS STRING))), 1, 1)) AS DOUBLE) - 8.0), " +
+        s"(x, w) -> x*w), 0D, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END"
+      }.mkString("concat(", ", ", ")")
+      val sig = e.withColumn("bucket", expr(sigExpr))
+        .withColumn("norm",
+          sqrt(expr("aggregate(transform(v, x -> x*x), 0D, (acc, x) -> acc + x)")))
+      val pairs = sig.as("a")
+        .join(sig.as("b"),
+          $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
+          (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
+            / ($"a.norm" * $"b.norm")).as("cos"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr".asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"nbr", $"cos")
+        .orderBy($"vec_id")
+    }),
+
+    // corpus statistics per language
+    "t1_lang_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang", $"source", $"n_chars", size(toks($"text")).as("ntok"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          (sum($"ntok").cast("double") / count(lit(1))).as("avg_tokens"),
+          countDistinct($"source").as("n_sources"))
+        .orderBy($"lang")
+    }),
+
+    // per-document quality scoring (token count, type-token ratio, length)
+    "t2_doc_quality" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", toks($"text").as("toks"))
+        .select($"doc_id",
+          size($"toks").as("n_tokens"),
+          size(array_distinct($"toks")).as("n_distinct"),
+          expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
+            .as("sum_tok_len"))
+        .select($"doc_id", $"n_tokens", $"n_distinct",
+          ($"n_distinct".cast("double") / $"n_tokens").as("ttr"),
+          ($"sum_tok_len".cast("double") / $"n_tokens").as("mean_tok_len"),
+          (($"n_distinct".cast("double") / $"n_tokens") *
+            when($"n_tokens" > 50, lit(1.0))
+              .otherwise($"n_tokens".cast("double") / 50.0)).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // language-ID heuristic: keyword-set votes (deterministic tie rules)
+    "t3_langid_heuristic" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", toks($"text").as("toks"))
+        .select($"doc_id",
+          expr("size(filter(toks, t -> t IN ('query','table','row','scan')))").as("a_hits"),
+          expr("size(filter(toks, t -> t IN ('stream','batch','window','merge')))").as("b_hits"))
+        .select($"doc_id", $"a_hits", $"b_hits",
+          when($"a_hits" > $"b_hits", lit("analytics"))
+            .when($"b_hits" > $"a_hits", lit("pipeline"))
+            .otherwise(lit("mixed")).as("predicted"))
+        .orderBy($"doc_id")
+    }),
+
+    // document fingerprint: md5 of whitespace-normalized text + cluster size
+    "t4_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val fp = Tables.documents(s, dir)
+        .select($"doc_id",
+          md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"))
+      fp.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"fp")))
+        .orderBy($"doc_id")
+    }),
+
+    // n-gram mining: top-20 bigrams by frequency
+    "t5_bigrams" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(toks($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
+          .as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram".asc)
+        .limit(20)
+    }),
+
+    // multimodal plumbing: opaque binary payload + typed metadata with a
+    // deterministic decode STUB (no image libs in env) over mapPartitions
+    "m1_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      val decoded = payloads
+        .select($"doc_id", $"payload")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val (w, h) = graft.functions.DecodeStub.imageDims(bytes)
+          (id, bytes.length.toLong, w, h)
+        })
+        .toDF("doc_id", "n_bytes", "width", "height")
+      decoded
+        .join(payloads.select($"doc_id", md5($"payload").as("digest")), "doc_id")
+        .select($"doc_id", $"n_bytes", $"digest", $"width", $"height")
+        .orderBy($"doc_id")
+    }),
+  )
+
+  /** Shared oracle fragments. */
+  private val docsCte =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+      |  FROM docs WHERE len(toks) >= 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |jacc AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(count(*) AS DOUBLE) / (any_value(s1.n) + any_value(s2.n) - count(*)) AS jaccard
+      |  FROM sh a
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  JOIN sizes s1 ON a.doc_id = s1.doc_id
+      |  JOIN sizes s2 ON b.doc_id = s2.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "d2_dedup_ngram_jaccard" ->
+      (docsCte +
+      """SELECT d1, d2, jaccard FROM jacc WHERE jaccard >= 0.5 ORDER BY d1, d2"""),
+
+    "d3_dedup_minhash_lsh" ->
+      (docsCte.dropRight(1) + """,
+        |mh AS (
+        |  SELECT doc_id, h.i AS i, min(md5(h.i::VARCHAR || '|' || shingle)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) h
+        |  GROUP BY doc_id, h.i
+        |),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS bkey
+        |  FROM mh GROUP BY doc_id, i // 4
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |)
+        |SELECT c.d1, c.d2, j.jaccard
+        |FROM cand c JOIN jacc j ON c.d1 = j.d1 AND c.d2 = j.d2
+        |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin),
+
+    "d4_simhash" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, md5(unnest(string_split_regex(lower(text), '\s+'))) AS h
+        |  FROM documents
+        |),
+        |bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |    ((strpos('0123456789abcdef', substr(h, (b.b // 4)+1, 1))-1) >> (b.b % 4)) & 1 AS bit
+        |  FROM tokens CROSS JOIN (SELECT unnest(range(60)) AS b) b
+        |),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(bit*2 - 1) AS vote FROM bits GROUP BY doc_id, b
+        |)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d5_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |ranked AS (
+        |  SELECT vec_id, nbr, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |  FROM pairs
+        |)
+        |SELECT vec_id, rn, nbr, cos FROM ranked WHERE rn <= 5
+        |ORDER BY vec_id, rn""".stripMargin,
+
+    // d6_ann_lsh: rows-only (bucketed recall is the point, not parity)
+
+    "t1_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        |  CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t2_doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_distinct,
+        |    list_reduce(list_transform(toks, t -> len(t)), (x, y) -> x + y) AS sum_tok_len
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(n_distinct AS DOUBLE)/n_tokens AS ttr,
+        |  CAST(sum_tok_len AS DOUBLE)/n_tokens AS mean_tok_len,
+        |  (CAST(n_distinct AS DOUBLE)/n_tokens) *
+        |    (CASE WHEN n_tokens > 50 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE)/50.0 END) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t3_langid_heuristic" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('query','table','row','scan'))) AS a_hits,
+        |  len(list_filter(toks, t -> t IN ('stream','batch','window','merge'))) AS b_hits,
+        |  CASE
+        |    WHEN len(list_filter(toks, t -> t IN ('query','table','row','scan'))) >
+        |         len(list_filter(toks, t -> t IN ('stream','batch','window','merge'))) THEN 'analytics'
+        |    WHEN len(list_filter(toks, t -> t IN ('stream','batch','window','merge'))) >
+        |         len(list_filter(toks, t -> t IN ('query','table','row','scan'))) THEN 'pipeline'
+        |    ELSE 'mixed' END AS predicted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "t5_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(len(toks)-1), i -> array_to_string(toks[i+1:i+2], ' '))) AS bigram
+        |  FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest,
+        |  64 + (ascii(substr(text, 1, 1)) % 64) AS width,
+        |  64 + (octet_length(encode(text)) % 64) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

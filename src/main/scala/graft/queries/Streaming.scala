@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Streaming-operator batch equivalents over `events` (SURVEY.md §2.5):
+  * tumbling/sliding windows, session windows, first-event dedup
+  * (`dropDuplicatesWithinWatermark` analog). The DuckDB oracle works in
+  * epoch arithmetic (integer division = floor for the positive epochs
+  * here); `ts` is ns-precision in parquet, truncated to µs on the Spark
+  * side, so the oracle truncates too (`epoch_us // 1`). The same Column
+  * shapes run as genuine Structured Streaming plans in
+  * [[graft.streaming.Streams]] (proven equal in StreamingSpec). */
+object Streaming {
+
+  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // tumbling 1-hour windows
+    "s1_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      Streams.tumblingHourly(Tables.events(s, dir))
+        .orderBy($"w_start", $"event_type")
+    }),
+
+    // sliding windows: 1 hour long, every 30 minutes (each event in 2)
+    "s2_sliding" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_val"))
+        .select(unix_timestamp($"window.start").as("w_start"),
+          $"event_type", $"n", $"sum_val")
+        .orderBy($"w_start", $"event_type")
+    }),
+
+    // session windows: 30-minute inactivity gap per user
+    "s3_session" -> ((s, dir) => {
+      import s.implicits._
+      Streams.sessions(Tables.events(s, dir))
+        .orderBy($"user_id", $"session_start_us")
+    }),
+
+    // first event per (user, type): dropDuplicatesWithinWatermark analog
+    "s4_dedup_first" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_first"),
+             dsum($"value").as("sum_first_val"))
+        .orderBy($"event_type")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_tumbling" ->
+      """SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "s2_sliding" ->
+      """SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 - 1800*k.k AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "s3_session" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(ts) // 1 AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, value, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |),
+        |sessions AS (
+        |  SELECT user_id, value, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "s4_dedup_first" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n_first,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_first_val
+        |FROM ranked WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

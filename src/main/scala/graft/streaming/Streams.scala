@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Structured Streaming surface over the `events` table. The transforms
+  * are plain Column expressions shared verbatim between the batch queries
+  * (oracle-checked in [[graft.queries.Streaming]]) and the streaming
+  * plans here — Spark's batch/stream unification means correctness is
+  * proven in batch and the same plan runs incrementally with watermarked
+  * state. */
+object Streams {
+
+  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** `readStream` source with the batch-derived schema (a streaming scan
+    * cannot infer), including the ns→µs normalization of `Tables.events`. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    // the file-stream source monitors a DIRECTORY; expose the single
+    // parquet fixture through a temp dir (symlink — no copy)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = spark.readStream.schema(batch.schema)
+      .parquet(streamDir.toString)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling 1-hour counts — shared shape of query `s1_tumbling`. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_val"))
+
+  /** Watermarked streaming variant of [[tumblingHourly]]. */
+  def tumblingHourlyStream(events: DataFrame): DataFrame =
+    tumblingHourly(events.withWatermark("ts", "10 minutes"))
+
+  /** Session windows (30-minute gap) per user — shape of `s3_session`. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_val"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_val"))
+
+  /** Run a streaming plan to a memory sink synchronously (one batch of
+    * the parquet source) and return the materialized result. */
+  def runToMemory(spark: SparkSession, plan: DataFrame, name: String,
+                  outputMode: String = "complete"): DataFrame = {
+    val q = plan.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
