@@ -24,10 +24,30 @@ import graft.sources.Tables
   *     the LSH-bucketed variant is the scale path (candidates only meet
   *     inside a signature bucket).
   */
+/** MinHash family `h_i(x) = (a_i·x + b_i) mod p` over a single md5-derived
+  * 32-bit base hash per shingle. One source of truth for the Spark plan
+  * AND the generated DuckDB oracle SQL, so both engines hash identically.
+  * `p` is prime and > 2^32; `a_i < 2^31` keeps `a·x` inside a signed 64-bit
+  * long. */
+object MinHashParams {
+  val p = 4294967311L
+  val ab: Seq[(Long, Long)] = Seq(
+    (1000003L, 12582917L), (1000033L, 23456789L), (1000037L, 34567891L),
+    (1000039L, 45678913L), (1000081L, 56789123L), (1000099L, 67891237L),
+    (1000117L, 78912345L), (1000121L, 89123457L), (1000133L, 91234567L),
+    (1000151L, 13572468L), (1000159L, 24681357L), (1000171L, 35792468L),
+    (1000183L, 46813579L), (1000187L, 57924681L), (1000193L, 68135792L),
+    (1000199L, 79246813L))
+}
+
 object LlmPipeline {
 
   /** Lowercased whitespace tokens. */
   private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Distinct word 3-gram shingles of a token array (docs with <3 tokens
     * have none). */
@@ -80,20 +100,29 @@ object LlmPipeline {
       jaccardPairs(s, dir, 0.5).orderBy($"d1", $"d2")
     }),
 
-    // near-dup at scale: banded MinHash (16 hashes, 4 bands) → candidate
-    // pairs meet only inside a band bucket → exact-Jaccard verification
+    // near-dup at scale: banded MinHash (16 affine hashes over one md5
+    // per shingle, 4 bands) → candidate pairs meet only inside a band
+    // bucket → exact-Jaccard verification. Hashing stays inside
+    // whole-stage codegen (one md5 + integer arithmetic per shingle);
+    // the min-signature folds map-side (hash agg), so the exchange
+    // carries only #docs rows.
     "d3_dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
-      val hashIdx = s.range(16).select($"id".cast("int").as("i"))
-      val minhash = sh.crossJoin(broadcast(hashIdx))
-        .groupBy($"doc_id", $"i")
-        .agg(min(md5(concat($"i".cast("string"), lit("|"), $"shingle"))).as("mh"))
-      val bands = minhash
-        .groupBy($"doc_id", expr("i div 4").as("band"))
-        .agg(md5(array_join(
-          expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)"),
-          ",")).as("bkey"))
+      // base hash: first 8 md5 hex digits → 32-bit int (conv); then
+      // h_i = (a_i*x + b_i) mod p, p prime > 2^32 (no BIGINT overflow)
+      val base = shingles(s, dir)
+        .withColumn("x", expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
+      val minCols = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"($a * x + $b) % ${MinHashParams.p}")).as(s"m$i")
+      }
+      val sig = base.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until 4).map { bnd =>
+        val parts = (0 until 4).map(j => s"CAST(m${bnd * 4 + j} AS STRING)")
+        md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as(s"bk$bnd")
+      }
+      val bands = sig.select($"doc_id" +: bandCols: _*)
+        .select($"doc_id", posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
       val cand = bands.as("a")
         .join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
@@ -126,18 +155,18 @@ object LlmPipeline {
     }),
 
     // similarity search baseline: brute-force cosine top-5 neighbors
+    // (codegen'd VecDot kernel; the LSH variant below is the scale path)
     "d5_cosine_topk" -> ((s, dir) => {
       import s.implicits._
+      import graft.functions.VecDot
       val e = Tables.embeddings(s, dir)
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("norm",
-          sqrt(expr("aggregate(transform(v, x -> x*x), 0D, (acc, x) -> acc + x)")))
-      val pairs = e.as("a").crossJoin(e.as("b"))
+      val n = e.select($"vec_id", $"v", sqrt(VecDot($"v", $"v")).as("norm"))
+      val pairs = n.as("a").crossJoin(n.as("b"))
         .filter($"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
-          (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
-            / ($"a.norm" * $"b.norm")).as("cos"))
+          (VecDot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("cos"))
       val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr".asc)
       pairs.withColumn("rn", row_number().over(w))
         .filter($"rn" <= 5)
@@ -146,28 +175,32 @@ object LlmPipeline {
     }),
 
     // similarity search at scale: random-hyperplane LSH buckets, top-1
-    // neighbor within bucket (rows-only: bucketing loses global recall)
+    // neighbor within bucket (rows-only: bucketing loses global recall).
+    // Plane weights are row-invariant → computed ONCE on the driver
+    // (deterministic, md5-seeded) and embedded as array literals; the
+    // per-row work is 8 codegen'd VecDot calls.
     "d6_ann_lsh" -> ((s, dir) => {
       import s.implicits._
-      val planes = 8
+      import graft.functions.VecDot
+      val dim = 64
+      val planeCols: Seq[Column] = (0 until 8).map { p =>
+        array((0 until dim).map { j =>
+          val digit = Integer.parseInt(md5Hex(s"$p|$j").substring(0, 1), 16)
+          lit(digit - 7.5)
+        }: _*)
+      }
       val e = Tables.embeddings(s, dir)
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // deterministic pseudo-random plane weights from md5(p|j)
-      val sigExpr = (0 until planes).map { p =>
-        s"CASE WHEN aggregate(zip_with(v, transform(sequence(0, size(v)-1), " +
-        s"j -> CAST(instr('0123456789abcdef', substr(md5(concat('$p|', CAST(j AS STRING))), 1, 1)) AS DOUBLE) - 8.0), " +
-        s"(x, w) -> x*w), 0D, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END"
-      }.mkString("concat(", ", ", ")")
-      val sig = e.withColumn("bucket", expr(sigExpr))
-        .withColumn("norm",
-          sqrt(expr("aggregate(transform(v, x -> x*x), 0D, (acc, x) -> acc + x)")))
+      val sig = e
+        .withColumn("bucket", concat(planeCols.map(pl =>
+          when(VecDot($"v", pl) >= 0, lit("1")).otherwise(lit("0"))): _*))
+        .withColumn("norm", sqrt(VecDot($"v", $"v")))
       val pairs = sig.as("a")
         .join(sig.as("b"),
           $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
-          (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), 0D, (acc, x) -> acc + x)")
-            / ($"a.norm" * $"b.norm")).as("cos"))
+          (VecDot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("cos"))
       val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr".asc)
       pairs.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
@@ -299,16 +332,30 @@ object LlmPipeline {
       (docsCte +
       """SELECT d1, d2, jaccard FROM jacc WHERE jaccard >= 0.5 ORDER BY d1, d2"""),
 
-    "d3_dedup_minhash_lsh" ->
-      (docsCte.dropRight(1) + """,
+    "d3_dedup_minhash_lsh" -> {
+      // generated from the SAME MinHashParams as the Spark plan
+      val minExprs = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * x + $b) % ${MinHashParams.p}) AS m$i"
+      }.mkString(",\n|    ")
+      val bandSelects = (0 until 4).map { bnd =>
+        val parts = (bnd * 4 until bnd * 4 + 4).map(i => s"m$i").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $parts)) AS bkey FROM mh"
+      }.mkString("\n|  UNION ALL\n|  ")
+      (docsCte.dropRight(1) + s""",
+        |xs AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef', substr(md5(shingle), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT AS x
+        |  FROM sh
+        |),
         |mh AS (
-        |  SELECT doc_id, h.i AS i, min(md5(h.i::VARCHAR || '|' || shingle)) AS mh
-        |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS i) h
-        |  GROUP BY doc_id, h.i
+        |  SELECT doc_id,
+        |    $minExprs
+        |  FROM xs GROUP BY doc_id
         |),
         |bands AS (
-        |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS bkey
-        |  FROM mh GROUP BY doc_id, i // 4
+        |  $bandSelects
         |),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -317,7 +364,8 @@ object LlmPipeline {
         |)
         |SELECT c.d1, c.d2, j.jaccard
         |FROM cand c JOIN jacc j ON c.d1 = j.d1 AND c.d2 = j.d2
-        |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin),
+        |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin)
+    },
 
     "d4_simhash" ->
       """WITH tokens AS (
