@@ -210,6 +210,38 @@ object Battery {
         .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
     }),
 
+    // pivot: event_type columns from rows (sum(value) per user bucket)
+    "q21_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(($"user_id" % 10).as("user_mod"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(dsum($"value"))
+        .orderBy($"user_mod")
+    }),
+
+    // cube: all grouping combinations over returnflag × linestatus
+    "q22_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select($"gid", $"l_returnflag", $"l_linestatus", $"n")
+        .orderBy($"gid".asc, $"l_returnflag".asc_nulls_first,
+          $"l_linestatus".asc_nulls_first)
+    }),
+
+    // typed Aggregator UDAF: decimal-stabilized weighted average
+    "q23_udaf_wavg" -> ((s, dir) => {
+      import s.implicits._
+      val wavg = udaf(graft.functions.WeightedAvg)
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(wavg($"l_extendedprice", $"l_quantity").as("wavg_price"),
+             count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -330,6 +362,29 @@ object Battery {
     "q17_topk_global" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q21_pivot" ->
+      """SELECT user_id % 10 AS user_mod,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS error
+        |FROM events GROUP BY 1 ORDER BY user_mod""".stripMargin,
+
+    "q22_cube" ->
+      """SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q23_udaf_wavg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS wavg_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q18_union_all" ->
       """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45

@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan audits: the shapes that make these queries survive a
+  * 100× scale-up, asserted so a regression (lost pushdown, lost
+  * broadcast, accidental cartesian) fails CI — not just a slower bench. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect() // materialize so AQE's FINAL plan (incl. codegen spans) prints
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: filter pushed to parquet scan, whole-stage codegen, partial agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // AQE prints whole-stage-codegen spans as *(n) stage markers
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_sum"), "map-side combine must be present: " + p)
+  }
+
+  test("q3_join_broadcast: dimension joins broadcast (no fact shuffle)") {
+    val p = plan("q3_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q4_join_sortmerge: fact-fact join is sort-merge") {
+    assert(plan("q4_join_sortmerge").contains("SortMergeJoin"), plan("q4_join_sortmerge"))
+  }
+
+  test("q5/q6: semi and anti joins keep their no-multiplication shape") {
+    assert(plan("q5_join_semi").contains("LeftSemi"))
+    assert(plan("q6_join_anti").contains("LeftAnti"))
+  }
+
+  test("q17_topk_global: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q17_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q2_filter_agg: predicates reach the scan (display truncates the list)") {
+    val p = plan("q2_filter_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), p)
+  }
+
+  test("scan pruning: q12 reads only the projected columns") {
+    val p = plan("q12_scalar_string")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("p_retailprice"), "unused column must be pruned: " + p)
+  }
+
+  test("LSH paths never degenerate into a cartesian product") {
+    assert(!plan("d3_dedup_minhash_lsh").contains("CartesianProduct"))
+    assert(!plan("d6_ann_lsh").contains("CartesianProduct"))
+    // the brute-force baseline d5 is the only sanctioned cross join
+    assert(plan("d5_cosine_topk").contains("CartesianProduct") ||
+      plan("d5_cosine_topk").contains("BroadcastNestedLoopJoin"))
+  }
+}
