@@ -242,6 +242,35 @@ object Battery {
         .orderBy($"l_returnflag")
     }),
 
+    // as-of join: each event matched to the latest order of the same key
+    // at-or-before the event time. Spark has no native as-of join; the
+    // scalable composition is union → single shuffle on the key → ordered
+    // window carrying the last order forward (no range cross join, state
+    // is one row per key). Oracle: DuckDB's native ASOF JOIN.
+    "q24_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      // one order per (custkey, orderdate): deterministic representative
+      val orders = Tables.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+        .select($"o_custkey".as("k"), $"o_orderdate".cast("timestamp").as("t"),
+          lit(0).as("side"), lit(null).cast(LongType).as("event_id"),
+          $"o_orderkey")
+      val events = Tables.events(s, dir)
+        .select($"user_id".as("k"), $"ts".as("t"),
+          lit(1).as("side"), $"event_id",
+          lit(null).cast(LongType).as("o_orderkey"))
+      val w = Window.partitionBy($"k")
+        .orderBy($"t".asc, $"side".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders.unionAll(events)
+        .withColumn("matched", last($"o_orderkey", ignoreNulls = true).over(w))
+        .filter($"side" === 1 && $"matched".isNotNull)
+        .select($"event_id", $"k".as("user_id"), $"matched".as("o_orderkey"))
+        .orderBy($"event_id")
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -385,6 +414,17 @@ object Battery {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS wavg_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS t,
+        |    MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e
+        |ASOF JOIN o ON e.user_id = o.k AND e.ts >= o.t
+        |ORDER BY e.event_id""".stripMargin,
 
     "q18_union_all" ->
       """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45

@@ -179,6 +179,19 @@ class SinkSpec extends SparkTestBase {
     assert(content == CsvSink.writeString(df3))
   }
 
+  // ---- exporter facade (exporter.go:17-48) ----
+
+  test("Exporter facade: codec binding + writeString/writeFile") {
+    val e = graft.Exporter(df3)
+    assert(e.csv().writeString == CsvSink.writeString(df3))
+    assert(e.xml().writeString == XmlSink.writeString(df3))
+    val path = java.nio.file.Files.createTempDirectory("graft").toString + "/e.json"
+    e.json(JsonOptions(newlineDelimited = true)).writeFile(path)
+    val content = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    assert(content == JsonSink.writeString(df3, JsonOptions(newlineDelimited = true)))
+  }
+
   // ---- distributed paths return the same rows ----
 
   test("distributed lines() matches driver-stream content modulo order") {

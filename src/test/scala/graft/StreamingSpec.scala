@@ -21,6 +21,29 @@ class StreamingSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("stateful streaming: flatMapGroupsWithState running per-user counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = Streams.eventsStream(spark, sf0001)
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+    val counted = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, String)], state: GroupState[Long]) => {
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((user, total))
+        })
+      .toDF("user_id", "n")
+    val got = Streams.runToMemory(spark, counted, "stateful_test", "append")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf0001)
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("streaming dropDuplicates within watermark runs and dedupes") {
     val events = Streams.eventsStream(spark, sf0001)
       .withWatermark("ts", "1 hour")
