@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Salt
+import graft.sources.Tables
+
+/** Scale-technique evidence: salting correctness and bucketed co-located
+  * joins (shuffle elimination). */
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin produces exactly the plain join result") {
+    val li = Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, sf0001).select($"o_orderkey", $"o_orderpriority")
+    val plain = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salt.saltedJoin(li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", salts = 4)
+      .groupBy($"o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedAgg two-stage aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sf0001)
+    val direct = ev.groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Salt.saltedAgg(ev, $"event_type", salts = 8,
+        partials = Seq(count(lit(1)).as("pn"), sum($"value").as("ps")),
+        finals = Seq(sum($"pn").as("n"), sum($"ps").as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = spark.newSession() // warehouse dir set via -D in build.sbt
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    Tables.lineitem(s, sf0001).select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(s, sf0001).select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    val joined = s.table("li_b").join(s.table("o_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "bucketed co-located join must not shuffle: " + plan)
+    assert(joined.count() == Tables.lineitem(s, sf0001).count())
+  }
+}
