@@ -37,6 +37,17 @@ class ScaleSpec extends SparkTestBase {
   test("bucketed tables join without a shuffle exchange") {
     val s = spark.newSession() // warehouse dir set via -D in build.sbt
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    // idempotence across JVMs: the metastore is per-JVM derby, but the
+    // warehouse directories survive — clear both table and location
+    Seq("li_b", "o_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Tables.lineitem(s, sf0001).select(col("l_orderkey"), col("l_quantity"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_b")
