@@ -1,0 +1,115 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
+
+/** Grouped top-k as a first-class operator (SURVEY.md §2.5 "sorts /
+  * top-k" at scale).
+  *
+  * The composable alternative — `row_number() OVER (PARTITION BY key
+  * ORDER BY ord) <= k` — shuffles EVERY row of the input before any
+  * pruning. This operator plans as two physical stages:
+  *
+  *   1. partial: per-partition bounded heaps keep at most k rows per key
+  *      (map-side pruning, exactly like partial aggregation);
+  *   2. final: the same pruning after a clustered exchange on the key —
+  *      which now carries at most k·partitions rows per key instead of
+  *      all of them.
+  *
+  * At 100 TB this is the difference between shuffling the table and
+  * shuffling k rows per key per map task. Registered through
+  * `SparkSessionExtensions` ([[GraftExtensions]]) — the brief's
+  * option (c) extension path: LogicalPlan + Strategy + SparkPlan.
+  */
+case class TopKPerKey(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+case class TopKPerKeyExec(
+    partial: Boolean,
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, schema) = (groupExprs, order, k, child.output)
+    child.execute().mapPartitions({ iter =>
+      val ordering = RowOrdering.create(o, schema)
+      val keyProj = UnsafeProjection.create(g, schema)
+      // PriorityQueue dequeues the MAX w.r.t. the sort order = the worst
+      // kept row; a new row replaces it when it sorts strictly earlier.
+      val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val heap = heaps.getOrElseUpdate(
+          keyProj(row).copy(),
+          mutable.PriorityQueue.empty(ordering))
+        if (heap.size < kk) heap += row.copy()
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap += row.copy()
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(g, o, k, child) =>
+      val partialStage: SparkPlan =
+        TopKPerKeyExec(partial = true, g, o, k, planLater(child))
+      TopKPerKeyExec(partial = false, g, o, k, partialStage) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Register with `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => TopKStrategy)
+}
+
+object TopK {
+  /** Top-k rows per key. `order` takes Columns as `.asc`/`.desc` sort
+    * specifications (bare columns sort ascending); pass resolved columns
+    * (`df("c")`) or names. */
+  def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val child = df.queryExecution.analyzed
+    def resolve(e: Expression): Expression = e transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        child.output.find(a => df.sparkSession.sessionState.conf.resolver(a.name, u.name))
+          .getOrElse(throw new IllegalArgumentException(s"no such column: ${u.name}"))
+    }
+    val g = keys.map(c => resolve(ColumnBridge.catalystExpression(c)))
+    val o = order.map(c => ColumnBridge.catalystExpression(c) match {
+      case s: SortOrder => s.copy(child = resolve(s.child))
+      case e            => SortOrder(resolve(e), Ascending)
+    })
+    DatasetBridge.ofRows(df.sparkSession, TopKPerKey(g, o, k, child))
+  }
+}

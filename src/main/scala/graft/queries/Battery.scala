@@ -271,6 +271,20 @@ object Battery {
         .orderBy($"event_id")
     }),
 
+    // custom operator: grouped top-k via the TopKPerKey LogicalPlan/
+    // Strategy/SparkPlan chain — map-side bounded-heap pruning before the
+    // shuffle (a row_number window would shuffle every row)
+    "q25_topk_custom_op" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      graft.plans.TopK.perKey(o,
+          keys = Seq(o("o_orderpriority")),
+          order = Seq(o("o_totalprice").desc, o("o_orderkey").asc),
+          k = 3)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -425,6 +439,15 @@ object Battery {
         |FROM events e
         |ASOF JOIN o ON e.user_id = o.k AND e.ts >= o.t
         |ORDER BY e.event_id""".stripMargin,
+
+    "q25_topk_custom_op" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q18_union_all" ->
       """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45

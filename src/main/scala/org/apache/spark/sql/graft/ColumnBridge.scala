@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→Catalyst conversion: unlike `expression` (which
+    * wraps lazily and defers to the analyzer), this resolves sort-order
+    * nodes (`col.desc`) into real `SortOrder` expressions immediately —
+    * needed when building logical plans outside the analyzer. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -51,6 +51,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("p_retailprice"), "unused column must be pruned: " + p)
   }
 
+  test("q25 custom operator: partial TopK below the exchange, final above") {
+    val p = plan("q25_topk_custom_op")
+    assert(p.contains("TopKPerKey true"), "partial stage missing: " + p)
+    assert(p.contains("TopKPerKey false"), "final stage missing: " + p)
+    assert(!p.contains("Window"), "must not fall back to a window: " + p)
+    // partial stage must appear BELOW the hash exchange (map-side pruning)
+    val lines = p.split("\n")
+    val exchangeIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning"))
+    val partialIdx = lines.indexWhere(_.contains("TopKPerKey true"))
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "partial TopK must sit below the exchange: " + p)
+  }
+
   test("LSH paths never degenerate into a cartesian product") {
     assert(!plan("d3_dedup_minhash_lsh").contains("CartesianProduct"))
     assert(!plan("d6_ann_lsh").contains("CartesianProduct"))
