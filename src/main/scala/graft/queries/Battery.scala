@@ -285,6 +285,42 @@ object Battery {
         .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
     }),
 
+    // range join: fact values against broadcast interval dimension
+    "q26_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("b1", 1.0, 10.0), ("b2", 11.0, 20.0), ("b3", 21.0, 30.0),
+        ("b4", 31.0, 40.0), ("b5", 41.0, 50.0))
+        .toDF("band", "lo", "hi")
+      Tables.lineitem(s, dir)
+        .join(broadcast(bands),
+          $"l_quantity" >= $"lo" && $"l_quantity" <= $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"band")
+    }),
+
+    // ordered-statistics aggregates: exact interpolated percentiles
+    "q27_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+             expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // statistical aggregates (rounded: engines sum floats in different
+    // orders, so exact-hash parity needs a tolerance surrogate)
+    "q28_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(round(stddev_samp($"o_totalprice"), 4).as("sd"),
+             round(var_samp($"o_totalprice"), 4).as("vr"),
+             round(corr($"o_totalprice", $"o_custkey"), 4).as("c"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -448,6 +484,28 @@ object Battery {
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q26_range_join" ->
+      """SELECT b.band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem l
+        |JOIN (VALUES ('b1', 1.0, 10.0), ('b2', 11.0, 20.0), ('b3', 21.0, 30.0),
+        |             ('b4', 31.0, 40.0), ('b5', 41.0, 50.0)) AS b(band, lo, hi)
+        |  ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+        |GROUP BY b.band ORDER BY b.band""".stripMargin,
+
+    "q27_percentiles" ->
+      """SELECT o_orderpriority,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q28_stats" ->
+      """SELECT o_orderpriority,
+        |  round(stddev_samp(o_totalprice), 4) AS sd,
+        |  round(var_samp(o_totalprice), 4) AS vr,
+        |  round(corr(o_totalprice, o_custkey), 4) AS c
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q18_union_all" ->
       """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45

@@ -208,6 +208,41 @@ object LlmPipeline {
         .orderBy($"vec_id")
     }),
 
+    // similarity search at scale, IVF-shaped: coarse-quantize vectors to
+    // their nearest seed centroid (inverted cell lists), probe the 2
+    // nearest cells per query, search only inside them (rows-only:
+    // recall depends on the quantizer, like any IVF index)
+    "d7_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VecDot
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", sqrt(VecDot($"v", $"v")))
+      val seeds = broadcast(e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm")))
+      val sims = e.crossJoin(seeds)
+        .select($"vec_id", $"cid",
+          (VecDot($"v", $"cv") / ($"norm" * $"cnorm")).as("sim"))
+      val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid".asc)
+      val ranked = sims.withColumn("rn", row_number().over(w))
+      val cells = ranked.filter($"rn" === 1).select($"vec_id", $"cid")
+      val probes = ranked.filter($"rn" <= 2).select($"vec_id", $"cid")
+      val cands = probes.as("p")
+        .join(cells.as("c"), $"p.cid" === $"c.cid" && $"p.vec_id" =!= $"c.vec_id")
+        .select($"p.vec_id".as("vec_id"), $"c.vec_id".as("cand")).distinct()
+      val scored = cands
+        .join(e.select($"vec_id", $"v", $"norm"), "vec_id")
+        .join(e.select($"vec_id".as("cand"), $"v".as("cv"), $"norm".as("cnorm")), "cand")
+        .select($"vec_id", $"cand",
+          (VecDot($"v", $"cv") / ($"norm" * $"cnorm")).as("cos"))
+      val wTop = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cand".asc)
+      scored.withColumn("rn", row_number().over(wTop))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cand".as("nbr"), $"cos")
+        .orderBy($"vec_id")
+    }),
+
     // corpus statistics per language
     "t1_lang_stats" -> ((s, dir) => {
       import s.implicits._
