@@ -128,9 +128,20 @@ object LlmPipeline {
           $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
-      // verify candidates with exact Jaccard at the same threshold
-      cand.join(jaccardPairs(s, dir, 0.5), Seq("d1", "d2"))
-        .select($"d1", $"d2", $"jaccard")
+      // exact-Jaccard verification restricted to the CANDIDATES — the
+      // point of LSH: at scale the full pair set is never materialized
+      val sh = shingles(s, dir).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("a"), $"d1" === $"a.doc_id")
+        .join(sh.as("b"), $"d2" === $"b.doc_id" && $"a.shingle" === $"b.shingle")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("s1"), $"d1" === $"s1.doc_id")
+        .join(sizes.as("s2"), $"d2" === $"s2.doc_id")
+        .select($"d1", $"d2",
+          ($"inter".cast("double") / ($"s1.n" + $"s2.n" - $"inter")).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
         .orderBy($"d1", $"d2")
     }),
 

@@ -44,6 +44,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("streaming export: foreachBatch drives the CSV sink per micro-batch") {
+    import graft.sinks.{CsvOptions, CsvSink}
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sexp").toString
+    val q = Streams.eventsStream(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        CsvSink.writeDir(batch, s"$outDir/batch_$id", CsvOptions())
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val readBack = spark.read.option("header", "true").csv(s"$outDir/batch_*")
+    assert(readBack.count() ==
+      Tables.events(spark, sf0001).count())
+  }
+
   test("streaming dropDuplicates within watermark runs and dedupes") {
     val events = Streams.eventsStream(spark, sf0001)
       .withWatermark("ts", "1 hour")
