@@ -254,6 +254,47 @@ object LlmPipeline {
         .orderBy($"vec_id")
     }),
 
+    // embedding-cosine near-dup: exact all-pairs baseline at θ=0.45 (the
+    // synthetic vectors have no planted dups, so the threshold sits at
+    // the top of the natural similarity range); scale path = d6/d7
+    "d8_dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VecDot
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val n = e.select($"vec_id", $"v", sqrt(VecDot($"v", $"v")).as("norm"))
+      n.as("a").crossJoin(n.as("b"))
+        .filter($"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
+          (VecDot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("cos"))
+        .filter($"cos" >= 0.45)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // token counting: whitespace tokens + a BPE-ish regex segmentation
+    "t6_token_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(toks($"text")).as("ws_tokens"),
+          size(regexp_extract_all(lower($"text"),
+            lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // DSv2 generator source feeding the analysis operators (rows-only:
+    // the generated corpus has no parquet counterpart for DuckDB)
+    "g1_docgen_source" -> ((s, _) => {
+      import s.implicits._
+      s.read.format("graft-docs")
+        .option("rows", "2000").option("partitions", "8").load()
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy($"lang")
+    }),
+
     // corpus statistics per language
     "t1_lang_stats" -> ((s, dir) => {
       import s.implicits._
@@ -454,7 +495,31 @@ object LlmPipeline {
         |SELECT vec_id, rn, nbr, cos FROM ranked WHERE rn <= 5
         |ORDER BY vec_id, rn""".stripMargin,
 
-    // d6_ann_lsh: rows-only (bucketed recall is the point, not parity)
+    // d6_ann_lsh / d7_ann_ivf: rows-only (bucketed recall is the point)
+
+    "d8_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |    / (a.norm * b.norm) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |    / (a.norm * b.norm) >= 0.45
+        |ORDER BY d1, d2""".stripMargin,
+
+    "t6_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t1_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,

@@ -1,0 +1,137 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 showcase: a deterministic synthetic-document generator
+  * (`spark.read.format("graft-docs")`), the source a 100 TB test harness
+  * needs — data is produced IN the executors, partitioned by row range,
+  * with no input bytes to move.
+  *
+  *   - options: `rows` (default 1000), `partitions` (default 8),
+  *     `seed` (default 42)
+  *   - full DSv2 read path: TableProvider → Table → ScanBuilder (with
+  *     `SupportsPushDownRequiredColumns` column pruning — generating only
+  *     what the query projects) → Batch → InputPartition →
+  *     PartitionReader
+  *   - reproducible: cell values derive from splitmix64(seed, doc_id),
+  *     independent of partitioning
+  *
+  * This is the (c)-level extension path for sources, complementing the
+  * slice/JDBC/Hive parity wrappers in [[graft.sources.Slice]].
+  */
+class DocGenSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-docs"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocGen.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new DocGenTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "8").toInt,
+      properties.getOrDefault("seed", "42").toLong)
+}
+
+object DocGen {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
+
+  private val langs = Array("en", "de", "fr", "es", "zh")
+  private val vocab = Array("data", "table", "query", "row", "scan", "join",
+    "merge", "stream", "batch", "window", "filter", "sort", "hash", "value",
+    "part", "key", "agg", "spark", "fast", "slow")
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def lang(seed: Long, id: Long): String =
+    langs(math.floorMod(splitmix64(seed ^ id), langs.length).toInt)
+
+  def nTokens(seed: Long, id: Long): Int =
+    20 + math.floorMod(splitmix64(seed ^ ~id), 80).toInt
+
+  def text(seed: Long, id: Long): String = {
+    val n = nTokens(seed, id)
+    val sb = new java.lang.StringBuilder(n * 6)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(vocab(math.floorMod(splitmix64(seed ^ (id * 131 + i)), vocab.length).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+class DocGenTable(rows: Long, partitions: Int, seed: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-docs($rows)"
+  override def schema(): StructType = DocGen.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocGenScanBuilder(rows, partitions, seed)
+}
+
+class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DocGen.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new DocGenScan(rows, partitions, seed, required)
+}
+
+case class DocGenPartition(start: Long, end: Long) extends InputPartition
+
+class DocGenScan(rows: Long, partitions: Int, seed: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val step = math.max(1L, (rows + partitions - 1) / partitions)
+    (0L until rows by step)
+      .map(s => DocGenPartition(s, math.min(rows, s + step)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(seed, required)
+}
+
+class DocGenReaderFactory(seed: Long, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocGenPartition]
+    new PartitionReader[InternalRow] {
+      private var id = part.start - 1
+      // generate ONLY the projected columns (pruning reaches the reader)
+      private val gens: Array[Long => Any] = required.fields.map { f =>
+        f.name match {
+          case "doc_id"   => (i: Long) => i
+          case "lang"     => (i: Long) => UTF8String.fromString(DocGen.lang(seed, i))
+          case "text"     => (i: Long) => UTF8String.fromString(DocGen.text(seed, i))
+          case "n_tokens" => (i: Long) => DocGen.nTokens(seed, i)
+          case other      => throw new IllegalArgumentException(other)
+        }
+      }
+      override def next(): Boolean = { id += 1; id < part.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(gens.toIndexedSeq.map(_(id)))
+      override def close(): Unit = ()
+    }
+  }
+}
