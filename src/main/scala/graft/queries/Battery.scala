@@ -321,6 +321,28 @@ object Battery {
         .orderBy($"o_orderpriority")
     }),
 
+    // SQL entry path + Catalyst decorrelation: correlated scalar subquery
+    "q29_sql_correlated" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, c_nationkey, c_acctbal
+          |FROM customer_v c
+          |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+          |                   FROM customer_v WHERE c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // SQL entry path: IN-subquery (rewritten to a semi join by Catalyst)
+    "q30_sql_in_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+          |FROM orders_v
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_v WHERE l_quantity >= 48)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -506,6 +528,19 @@ object Battery {
         |  round(var_samp(o_totalprice), 4) AS vr,
         |  round(corr(o_totalprice, o_custkey), 4) AS c
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q29_sql_correlated" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |                   FROM customer WHERE c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q30_sql_in_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q18_union_all" ->
       """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45

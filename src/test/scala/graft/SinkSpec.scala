@@ -179,6 +179,40 @@ class SinkSpec extends SparkTestBase {
     assert(content == CsvSink.writeString(df3))
   }
 
+  test("csv quoting round-trips through Spark's own CSV reader") {
+    val nasty = Slice.fromData(spark, Seq(
+      Seq("plain", "a,b", "say \"hi\""),
+      Seq("line1\nline2", " lead", "tab\there"),
+      Seq("\\.", "trail ", "quote\"comma,mix")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    CsvSink.writeFile(nasty, s"$dir/rt.csv")
+    val back = spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(s"$dir/rt.csv")
+      .collect().map(r => (0 until 3).map(r.getString)).toSet
+    val want = nasty.collect().map(r => (0 until 3).map(r.getString)).toSet
+    assert(back == want)
+  }
+
+  test("json: binary renders as base64, timestamps as RFC3339Nano") {
+    val now = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.12")
+    val df = Slice.fromData(spark, Seq(Seq("bin".getBytes("UTF-8"), now)))
+    val out = JsonSink.writeString(df, JsonOptions(newlineDelimited = true))
+    val b64 = java.util.Base64.getEncoder.encodeToString("bin".getBytes("UTF-8"))
+    assert(out == s"""{"column_0":"$b64","column_1":"2024-03-01T12:30:45.12Z"}\n""", out)
+  }
+
+  test("csv: per-DataType custom mapper applies (csv.go:52-63)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.IntegerType
+    val df = Slice.fromData(spark, Seq(Seq(7, "x")))
+    val out = CsvSink.writeString(df, CsvOptions(writeHeader = false,
+      mappers = Seq(IntegerType -> ((c: org.apache.spark.sql.Column) =>
+        concat(lit("int:"), c.cast("string"))))))
+    assert(out == "int:7,x\n")
+  }
+
   // ---- exporter facade (exporter.go:17-48) ----
 
   test("Exporter facade: codec binding + writeString/writeFile") {
