@@ -23,6 +23,9 @@ import graft.sources.Tables
   *   - window queries partition by a high-cardinality key (custkey), so
   *     state per partition stays small.
   */
+/** Typed row for the Dataset[T] surface (q31). */
+final case class LineSlim(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
 object Battery {
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
@@ -343,6 +346,20 @@ object Battery {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // typed Dataset[T] surface: case-class encoder, typed filter +
+    // groupByKey (schema checked at compile time)
+    "q31_typed_dataset" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        .as[graft.queries.LineSlim]
+        .filter(_.l_quantity >= 25.0)
+        .groupByKey(_.l_returnflag)
+        .count()
+        .toDF("l_returnflag", "n")
+        .orderBy($"l_returnflag")
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -541,6 +558,11 @@ object Battery {
         |FROM orders
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q31_typed_dataset" ->
+      """SELECT l_returnflag, COUNT(*) AS n
+        |FROM lineitem WHERE l_quantity >= 25.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q18_union_all" ->
       """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45
