@@ -35,14 +35,21 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    // two timed runs, keep the faster: single-run numbers on a shared
+    // box can swing 2-3x on GC/JIT noise
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      def timed(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (t1, e1) = timed()
+      val (t2, e2) = timed()
+      (name, math.min(t1, t2), e1.orElse(e2))
     }
 
     val qs = results.map { case (k, v, _) => s""""${esc(k)}":$v""" }
