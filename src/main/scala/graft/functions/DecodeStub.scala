@@ -14,6 +14,13 @@ object DecodeStub {
     (64 + first % 64, 64 + payload.length % 64)
   }
 
+  /** Batch decode: real codecs amortize setup per BATCH of payloads (the
+    * `mapInPandas`/Arrow batch shape); callers feed partition-grouped
+    * chunks. The stub is elementwise, but the signature and call pattern
+    * are what a vectorized decoder needs. */
+  def imageDimsBatch(payloads: Seq[Array[Byte]]): Seq[(Int, Int)] =
+    payloads.map(imageDims)
+
   /** Fake frame sampler: deterministic frame offsets for a pretend video
     * payload (`n` evenly spaced positions). */
   def frameOffsets(payloadLength: Long, n: Int): Seq[Long] =

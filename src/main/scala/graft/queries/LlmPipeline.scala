@@ -376,9 +376,14 @@ object LlmPipeline {
       val decoded = payloads
         .select($"doc_id", $"payload")
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          val (w, h) = graft.functions.DecodeStub.imageDims(bytes)
-          (id, bytes.length.toLong, w, h)
+        .mapPartitions(_.grouped(128).flatMap { batch =>
+          // batch shape: the decoder sees chunks of payloads, not rows —
+          // the same access pattern a vectorized (Arrow/mapInPandas-style)
+          // decode kernel needs
+          val dims = graft.functions.DecodeStub.imageDimsBatch(batch.map(_._2))
+          batch.iterator.zip(dims.iterator).map { case ((id, bytes), (w, h)) =>
+            (id, bytes.length.toLong, w, h)
+          }
         })
         .toDF("doc_id", "n_bytes", "width", "height")
       decoded

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.{DecodeStub, GoFormat}
+import graft.sinks.Format
+
+/** ScalaCheck property suites over the pure kernels (no SparkSession —
+  * these run as native ScalaCheck tests under sbt). */
+object FormatProps extends Properties("graft.format") {
+
+  property("goFloat never scientific and round-trips") =
+    Prop.forAll(Gen.chooseNum(-1e308, 1e308)) { d =>
+      val s = GoFormat.formatDouble(d)
+      !s.contains("E") && !s.contains("e") &&
+        java.lang.Double.parseDouble(s) == d
+    }
+
+  property("goFloat of integral doubles has no fraction") =
+    Prop.forAll(Gen.chooseNum(-1000000L, 1000000L)) { n =>
+      GoFormat.formatDouble(n.toDouble) == n.toString
+    }
+
+  private val fieldGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(',', '"', '\n', '\r', ' ', '\t', ';', '|'))).map(_.mkString)
+
+  /** Minimal RFC-4180 parser (quote-doubling) to invert csvField. */
+  private def parseCsvLine(line: String, d: Char): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { sb += '"'; i += 1 }
+        else if (c == '"') inQ = false
+        else sb += c
+      } else {
+        if (c == '"') inQ = true
+        else if (c == d) { out += sb.toString; sb.clear() }
+        else sb += c
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toIndexedSeq
+  }
+
+  property("csv line encode/parse round-trips (LF mode)") =
+    Prop.forAll(Gen.listOfN(3, fieldGen)) { fields =>
+      val f = fields.toIndexedSeq
+      val line = Format.csvLine(f, ',', useCRLF = false)
+      parseCsvLine(line, ',') == f
+    }
+
+  property("xml escape kills every markup-significant char") =
+    Prop.forAll(fieldGen) { s =>
+      val e = Format.xmlEscape(s)
+      !e.exists(c => c == '<' || c == '>') &&
+        !e.replace("&amp;", "").replace("&#34;", "").replace("&#39;", "")
+          .replace("&lt;", "").replace("&gt;", "")
+          .replace("&#x9;", "").replace("&#xA;", "").replace("&#xD;", "")
+          .contains('&')
+    }
+
+  property("xml escape round-trips through reference entity set") =
+    Prop.forAll(fieldGen) { s =>
+      val unescaped = Format.xmlEscape(s)
+        .replace("&#34;", "\"").replace("&#39;", "'")
+        .replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&#x9;", "\t").replace("&#xA;", "\n").replace("&#xD;", "\r")
+        .replace("&amp;", "&")
+      unescaped == s
+    }
+
+  property("frame offsets are sorted, in range, and n-sized") =
+    Prop.forAll(Gen.chooseNum(1L, 1000000L), Gen.chooseNum(1, 64)) { (len, n) =>
+      val offs = DecodeStub.frameOffsets(len, n)
+      offs.length == n && offs == offs.sorted && offs.forall(o => o >= 0 && o < len)
+    }
+}
