@@ -181,12 +181,14 @@ object Battery {
         .orderBy($"c_custkey")
     }),
 
-    // semi-structured: JSON field extraction from events.props
+    // semi-structured: schema-full from_json over events.props
     "q15_json" -> ((s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
         .select($"event_id",
-          get_json_object($"props", "$.k").cast("int").as("k"))
+          from_json($"props",
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
         .orderBy($"k_mod")
@@ -358,6 +360,22 @@ object Battery {
         .count()
         .toDF("l_returnflag", "n")
         .orderBy($"l_returnflag")
+    }),
+
+    // multiset set ops: INTERSECT ALL / EXCEPT ALL preserve multiplicity
+    "q32_setops_all" -> ((s, dir) => {
+      import s.implicits._
+      val hi = Tables.lineitem(s, dir).filter($"l_quantity" >= 40)
+        .select($"l_suppkey")
+      val lo = Tables.lineitem(s, dir).filter($"l_quantity" <= 10)
+        .select($"l_suppkey")
+      val inter = hi.intersectAll(lo).groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val exc = hi.exceptAll(lo).groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      inter.unionAll(exc)
+        .select($"op", $"l_suppkey", $"n")
+        .orderBy($"op", $"l_suppkey")
     }),
 
     // union all with provenance tag
@@ -563,6 +581,18 @@ object Battery {
       """SELECT l_returnflag, COUNT(*) AS n
         |FROM lineitem WHERE l_quantity >= 25.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q32_setops_all" ->
+      """WITH hi AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 40),
+        |     lo AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 10)
+        |SELECT 'intersect_all' AS op, l_suppkey, COUNT(*) AS n
+        |FROM (SELECT l_suppkey FROM hi INTERSECT ALL SELECT l_suppkey FROM lo)
+        |GROUP BY l_suppkey
+        |UNION ALL
+        |SELECT 'except_all' AS op, l_suppkey, COUNT(*) AS n
+        |FROM (SELECT l_suppkey FROM hi EXCEPT ALL SELECT l_suppkey FROM lo)
+        |GROUP BY l_suppkey
+        |ORDER BY op, l_suppkey""".stripMargin,
 
     "q18_union_all" ->
       """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45
