@@ -137,6 +137,16 @@ object Battery {
         .orderBy($"l_returnflag")
     }),
 
+    // quantile sketch: rows-only (approx algorithm differs per engine)
+    "q33_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("approx_median"))
+        .orderBy($"l_returnflag")
+    }),
+
     // scalar string function library
     "q12_scalar_string" -> ((s, dir) => {
       import s.implicits._

@@ -106,4 +106,64 @@ object Format {
 
   /** Default NULL markup (`html.go:36`). */
   val htmlNullValue = """<span style="color:#aaaaaa;">[NULL]</span>"""
+
+  /** Go-std-compatible JSON value writer for the driver-path JSON hook
+    * (`json.go:108-130` marshals `map[string]any` with a std-compatible
+    * encoder: SORTED keys, HTML escaping of `<>&`, RFC3339Nano times,
+    * base64 `[]byte`). Number formatting matches the distributed
+    * `to_json` path (JVM `toString`) so both paths emit identical bytes
+    * for the same rows. */
+  object GoJson {
+    def write(v: Any): String = v match {
+      case null => "null"
+      case s: String => quote(s)
+      case b: Boolean => b.toString
+      case b: Byte => b.toString
+      case s: Short => s.toString
+      case i: Int => i.toString
+      case l: Long => l.toString
+      case f: Float => f.toString
+      case d: Double => d.toString
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+      case b: Array[Byte] => quote(java.util.Base64.getEncoder.encodeToString(b))
+      case t: java.sql.Timestamp => quote(rfc3339Nano(t))
+      case m: scala.collection.Map[_, _] =>
+        m.toSeq.map { case (k, x) => (k.toString, x) }.sortBy(_._1)
+          .map { case (k, x) => quote(k) + ":" + write(x) }
+          .mkString("{", ",", "}")
+      case s: Iterable[_] => s.map(write).mkString("[", ",", "]")
+      case other => throw new IllegalArgumentException(
+        s"unsupported JSON value: ${other.getClass.getName}")
+    }
+
+    def rfc3339Nano(ts: java.sql.Timestamp): String = {
+      val instant = ts.toInstant
+      val base = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC).format(instant)
+      val nanos = instant.getNano
+      if (nanos == 0) base + "Z"
+      else base + "." + f"$nanos%09d".reverse.dropWhile(_ == '0').reverse + "Z"
+    }
+
+    /** std-JSON string escaping incl. the HTML set (`<>&` → \u00XX). */
+    def quote(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 2)
+      sb.append('"')
+      s.foreach {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '<'  => sb.append("\\u003c")
+        case '>'  => sb.append("\\u003e")
+        case '&'  => sb.append("\\u0026")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+  }
 }

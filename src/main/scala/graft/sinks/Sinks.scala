@@ -173,11 +173,18 @@ object CsvSink {
 // JSON (`/root/reference/codec/json/json.go`)
 // ---------------------------------------------------------------------------
 
-/** Option surface of the reference JSON codec (`json.go:28-80`). */
+/** Option surface of the reference JSON codec (`json.go:28-80`).
+  * `preProcessor` is the map-based hook (`json.go:44-48`): it receives
+  * the 1-based rowID (counting kept rows) and the row as a
+  * name→native-value map, and runs on the driver-stream path.
+  * `escapeHtml` matches the reference's std-compatible encoder, which
+  * escapes `<>&` inside JSON strings. */
 final case class JsonOptions(
     newlineDelimited: Boolean = false,
     limit: Int = -1,
-    mappers: Mappers = Nil)
+    mappers: Mappers = Nil,
+    escapeHtml: Boolean = true,
+    preProcessor: Option[(Int, Map[String, Any]) => (Map[String, Any], Boolean)] = None)
 
 object JsonSink {
 
@@ -187,6 +194,8 @@ object JsonSink {
     * JSON (NULL → `null`); timestamps render as Go `time.Time` marshals
     * (RFC3339Nano); binary → base64, like Go `[]byte`. */
   def objects(df: DataFrame, opts: JsonOptions = JsonOptions()): Dataset[String] = {
+    require(opts.preProcessor.isEmpty,
+      "the map-based preProcessor runs on the driver-stream path (writeString/writeFile)")
     import SinkIO.stringEnc
     val limited = if (opts.limit >= 0) df.limit(opts.limit) else df
     val fields = limited.schema.fields.sortBy(_.name)
@@ -202,10 +211,45 @@ object JsonSink {
       }
       mapped.as(f.name)
     }
-    limited
-      .select(to_json(struct(cols.toIndexedSeq: _*),
-        Map("ignoreNullFields" -> "false")).as("j"))
-      .as[String]
+    val j = to_json(struct(cols.toIndexedSeq: _*), Map("ignoreNullFields" -> "false"))
+    // `<>&` never appear structurally in JSON, so a global replace only
+    // touches string contents — matching the reference encoder exactly
+    val escaped =
+      if (opts.escapeHtml)
+        regexp_replace(regexp_replace(regexp_replace(j,
+          "&", "\\\\u0026"), "<", "\\\\u003c"), ">", "\\\\u003e")
+      else j
+    limited.select(escaped.as("j")).as[String]
+  }
+
+  /** Driver-path objects with the map hook: native-value maps, sorted
+    * keys, kept-row rowIDs, std-compatible serialization (GoJson). */
+  private def hookedObjects(df: DataFrame, opts: JsonOptions): Iterator[String] = {
+    val hook = opts.preProcessor.get
+    // custom mappers apply BEFORE the hook, like `json.go:111-128`
+    val mapped = df.select(df.schema.fields.map { f =>
+      opts.mappers.collectFirst { case (dt, fn) if dt == f.dataType => fn(col(f.name)) }
+        .getOrElse(col(f.name)).as(f.name)
+    }.toIndexedSeq: _*)
+    val schema = mapped.schema
+    val rows = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(mapped.toLocalIterator()).asScala
+    var rowID = 1
+    var emitted = 0
+    val out = rows.flatMap { row =>
+      if (opts.limit >= 0 && emitted >= opts.limit) None
+      else {
+        val m: Map[String, Any] = schema.fields.zipWithIndex.map { case (f, i) =>
+          f.name -> (if (row.isNullAt(i)) null else row.get(i))
+        }.toMap
+        val (rewritten, keep) = hook(rowID, m)
+        if (keep) {
+          rowID += 1; emitted += 1
+          Some(Format.GoJson.write(rewritten))
+        } else None
+      }
+    }
+    out
   }
 
   /** Array-mode / NDJSON framing (`json.go:94-98,135-147`): array mode
@@ -213,8 +257,10 @@ object JsonSink {
     * not `[]`. */
   def contentIterator(df: DataFrame, opts: JsonOptions = JsonOptions()): Iterator[String] = {
     if (opts.limit == 0) return Iterator.empty
-    val rows = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(objects(df, opts).toLocalIterator()).asScala
+    val rows =
+      if (opts.preProcessor.isDefined) hookedObjects(df, opts)
+      else scala.jdk.CollectionConverters
+        .IteratorHasAsScala(objects(df, opts).toLocalIterator()).asScala
     if (opts.newlineDelimited) rows.map(_ + "\n")
     else {
       var first = true

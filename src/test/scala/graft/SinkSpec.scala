@@ -130,6 +130,40 @@ class SinkSpec extends SparkTestBase {
     assert(out == "{\"alpha\":1,\"zeta\":\"v\"}\n")
   }
 
+  test("json: map-based preprocessor filters/rewrites with kept-row rowIDs (json.go:44-48)") {
+    var seen = List.empty[Int]
+    val hook: (Int, Map[String, Any]) => (Map[String, Any], Boolean) =
+      (rowID, row) => {
+        seen = rowID :: seen
+        if (row("column_1") == "second") (row, false)
+        else (row.updated("column_1", row("column_1").toString.toUpperCase), true)
+      }
+    val out = JsonSink.writeString(df3,
+      JsonOptions(newlineDelimited = true, preProcessor = Some(hook)))
+    assert(out ==
+      "{\"column_0\":1,\"column_1\":\"FIRST\"}\n" +
+      "{\"column_0\":3,\"column_1\":\"THIRD\"}\n", out)
+    assert(seen.reverse == List(1, 2, 2), "rowID counts kept rows")
+  }
+
+  test("json: identity hook emits the same bytes as the distributed path") {
+    val now = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.12")
+    val df = Slice.fromData(spark, Seq(
+      Seq(1, "a", 3.14, now), Seq(2, null, 2.0, now)))
+    val plain = JsonSink.writeString(df, JsonOptions(newlineDelimited = true))
+    val hooked = JsonSink.writeString(df, JsonOptions(newlineDelimited = true,
+      preProcessor = Some((_, row) => (row, true))))
+    assert(hooked == plain, s"hooked=$hooked plain=$plain")
+  }
+
+  test("json: <>& escape like the Go std encoder on both paths") {
+    val df = Slice.fromData(spark, Seq(Seq("<b>&x</b>")))
+    val want = "{\"column_0\":\"\\u003cb\\u003e\\u0026x\\u003c/b\\u003e\"}\n"
+    assert(JsonSink.writeString(df, JsonOptions(newlineDelimited = true)) == want)
+    assert(JsonSink.writeString(df, JsonOptions(newlineDelimited = true,
+      preProcessor = Some((_, r) => (r, true)))) == want)
+  }
+
   // ---- HTML (html.go:96-171) ----
 
   test("html: typed sticky header + tbody + closers (html.go:102-120)") {
