@@ -34,6 +34,20 @@ class ScaleSpec extends SparkTestBase {
     assert(salted == direct)
   }
 
+  test("partitioned layout enables partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.lineitem(spark, sf0001)
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter($"l_returnflag" === "A")
+      .select($"l_orderkey")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      "partition filter must prune directories: " + plan)
+    assert(df.count() ==
+      Tables.lineitem(spark, sf0001).filter($"l_returnflag" === "A").count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark.newSession() // warehouse dir set via -D in build.sbt
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
