@@ -388,6 +388,31 @@ object Battery {
         .orderBy($"op", $"l_suppkey")
     }),
 
+    // null-safe equality join (<=>): NULL keys match each other
+    "q34_nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+        .select(nullif($"c_nationkey", lit(5)).as("ck"))
+      val sup = Tables.supplier(s, dir)
+        .select(nullif($"s_nationkey", lit(5)).as("sk"))
+      c.join(sup, $"ck" <=> $"sk")
+        .groupBy($"ck").agg(count(lit(1)).as("n"))
+        .orderBy($"ck".asc_nulls_first)
+    }),
+
+    // array function battery over the embedding column
+    "q35_array_functions" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          element_at($"embedding", 1).cast("double").as("first_val"),
+          element_at($"embedding", -1).cast("double").as("last_val"),
+          expr("CAST(aggregate(transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x) AS DOUBLE)")
+            .as("head8_sum"))
+        .orderBy($"vec_id")
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -603,6 +628,20 @@ object Battery {
         |FROM (SELECT l_suppkey FROM hi EXCEPT ALL SELECT l_suppkey FROM lo)
         |GROUP BY l_suppkey
         |ORDER BY op, l_suppkey""".stripMargin,
+
+    "q34_nullsafe_join" ->
+      """SELECT nullif(c_nationkey, 5) AS ck, COUNT(*) AS n
+        |FROM customer c JOIN supplier s
+        |  ON nullif(c.c_nationkey, 5) IS NOT DISTINCT FROM nullif(s.s_nationkey, 5)
+        |GROUP BY 1 ORDER BY ck ASC NULLS FIRST""".stripMargin,
+
+    "q35_array_functions" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
+        |  list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), (x, y) -> x + y) AS head8_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q18_union_all" ->
       """SELECT l_orderkey, l_linenumber, 'hi' AS tag FROM lineitem WHERE l_quantity >= 45
