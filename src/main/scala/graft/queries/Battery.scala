@@ -518,7 +518,7 @@ object Battery {
     "q15_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
         |  COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         |FROM events
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
 

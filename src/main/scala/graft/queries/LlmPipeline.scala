@@ -473,7 +473,7 @@ object LlmPipeline {
         |  SELECT doc_id, b, SUM(bit*2 - 1) AS vote FROM bits GROUP BY doc_id, b
         |)
         |SELECT doc_id,
-        |  SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |  CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d5_cosine_topk" ->
@@ -527,7 +527,7 @@ object LlmPipeline {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t1_lang_stats" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
