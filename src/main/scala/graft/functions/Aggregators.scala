@@ -40,3 +40,45 @@ object WeightedAvg extends Aggregator[(Double, Double), (JBigDecimal, JBigDecima
 
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** Single-pass SimHash: folds the 60 bit-votes of each md5 token hash
+  * into one vote array per document, so the exchange carries ONE partial
+  * buffer row per doc instead of the 60 vote rows the groupBy-bits
+  * formulation shuffles. Bit b of the fingerprint is set when the
+  * accumulated vote for bit b of the token-hash nibbles is positive —
+  * exactly the arithmetic of the DuckDB oracle
+  * (`(strpos('0123456789abcdef', substr(h, b//4+1, 1))-1 >> b%4) & 1`,
+  * votes summed as `bit*2-1`, fingerprint `Σ 1<<b where vote>0`). */
+object SimHashAgg extends Aggregator[String, Array[Int], Long] {
+  private val Bits = 60
+
+  override def zero: Array[Int] = new Array[Int](Bits)
+
+  override def reduce(votes: Array[Int], h: String): Array[Int] = {
+    var b = 0
+    while (b < Bits) {
+      val digit = Character.digit(h.charAt(b / 4), 16)
+      votes(b) += (((digit >> (b % 4)) & 1) * 2) - 1
+      b += 1
+    }
+    votes
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < Bits) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(votes: Array[Int]): Long = {
+    var acc = 0L
+    var b = 0
+    while (b < Bits) { if (votes(b) > 0) acc |= 1L << b; b += 1 }
+    acc
+  }
+
+  override def bufferEncoder: Encoder[Array[Int]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

@@ -54,32 +54,57 @@ object LlmPipeline {
   private val shingleExpr =
     "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"
 
-  /** (doc_id, shingle) inverted index — one row per distinct shingle. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id", toks($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", explode(expr(shingleExpr)).as("shingle"))
+  /** Hot-key caps (100 TB posture): a key shared by k documents emits
+    * O(k²) candidate pairs through the self-join, so one boilerplate
+    * shingle (a license header) or degenerate band bucket in 10⁶ docs
+    * would put 10¹² pairs in a single reducer. Candidate GENERATION
+    * drops keys above these document-frequency caps; verification still
+    * scores surviving pairs on their FULL shingle sets, so reported
+    * Jaccard stays exact. Identical-text clusters that hot-capping hides
+    * from the near-dup path are exactly what d1 exact dedup catches. */
+  val MaxShingleDf = 100
+  val MaxBucketSize = 100
+
+  /** (doc_id, shingle) inverted index over a `documents`-shaped frame. */
+  def shingleIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleIndex(Tables.documents(s, dir))
+
+  /** Candidate pairs from an inverted index: drop hot keys (document
+    * frequency > maxDf) with a BROADCAST anti-join (the hot set is small
+    * by construction), then self-join inside the surviving key groups.
+    * Never all-pairs; never quadratic in a hot key. */
+  def candidatePairs(index: DataFrame, keys: Seq[String], maxDf: Int): DataFrame = {
+    val kc = keys.map(col)
+    val hot = index.groupBy(kc: _*).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).drop("df")
+    val idx = index.join(broadcast(hot), keys, "left_anti")
+    val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+      col("a.doc_id") < col("b.doc_id")
+    idx.as("a").join(idx.as("b"), joinCond)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
   }
 
-  /** Exact-Jaccard pairs (≥ threshold) via the inverted index: join on
-    * shingle, count intersections per pair, join per-doc sizes. */
-  private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    import s.implicits._
-    val sh = shingles(s, dir).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("inter"))
+  /** Exact Jaccard for candidate pairs, scored on the FULL shingle sets
+    * (capping above affects only which pairs are considered, never the
+    * reported similarity). */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.as("s1"), $"d1" === $"s1.doc_id")
-      .join(sizes.as("s2"), $"d2" === $"s2.doc_id")
-      .select($"d1", $"d2",
-        ($"inter".cast("double") / ($"s1.n" + $"s2.n" - $"inter")).as("jaccard"))
-      .filter($"jaccard" >= threshold)
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -94,10 +119,13 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
-    // near-dup: exact word-3-gram Jaccard ≥ 0.5 via inverted-index join
+    // near-dup: word-3-gram Jaccard ≥ 0.5 — candidates from the
+    // hot-capped inverted index, exact verification on full shingle sets
     "d2_dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      jaccardPairs(s, dir, 0.5).orderBy($"d1", $"d2")
+      val sh = shingles(s, dir).cache()
+      verifyJaccard(candidatePairs(sh, Seq("shingle"), MaxShingleDf), sh, 0.5)
+        .orderBy($"d1", $"d2")
     }),
 
     // near-dup at scale: banded MinHash (16 affine hashes over one md5
@@ -110,7 +138,8 @@ object LlmPipeline {
       import s.implicits._
       // base hash: first 8 md5 hex digits → 32-bit int (conv); then
       // h_i = (a_i*x + b_i) mod p, p prime > 2^32 (no BIGINT overflow)
-      val base = shingles(s, dir)
+      val sh = shingles(s, dir).cache()
+      val base = sh
         .withColumn("x", expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
       val minCols = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
         min(expr(s"($a * x + $b) % ${MinHashParams.p}")).as(s"m$i")
@@ -123,45 +152,24 @@ object LlmPipeline {
       val bands = sig.select($"doc_id" +: bandCols: _*)
         .select($"doc_id", posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-          $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
-      // exact-Jaccard verification restricted to the CANDIDATES — the
-      // point of LSH: at scale the full pair set is never materialized
-      val sh = shingles(s, dir).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("a"), $"d1" === $"a.doc_id")
-        .join(sh.as("b"), $"d2" === $"b.doc_id" && $"a.shingle" === $"b.shingle")
-        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("s1"), $"d1" === $"s1.doc_id")
-        .join(sizes.as("s2"), $"d2" === $"s2.doc_id")
-        .select($"d1", $"d2",
-          ($"inter".cast("double") / ($"s1.n" + $"s2.n" - $"inter")).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-        .orderBy($"d1", $"d2")
+      // candidates meet only inside a (size-capped) band bucket; exact
+      // verification restricted to the CANDIDATES — the point of LSH:
+      // at scale the full pair set is never materialized
+      val cand = candidatePairs(bands, Seq("band", "bkey"), MaxBucketSize)
+      verifyJaccard(cand, sh, 0.5).orderBy($"d1", $"d2")
     }),
 
-    // SimHash: 60-bit fingerprint from per-token md5 bit votes
+    // SimHash: 60-bit fingerprint from per-token md5 bit votes, folded
+    // in a SINGLE typed Aggregator pass — the 60× bit expansion lives
+    // inside the aggregation buffer (map-side), so the exchange carries
+    // one partial vote-array row per doc instead of 60 vote rows
     "d4_simhash" -> ((s, dir) => {
       import s.implicits._
-      val tokens = Tables.documents(s, dir)
-        .select($"doc_id", explode(toks($"text")).as("tok"))
-        .withColumn("h", md5($"tok"))
-      val bits = tokens
-        .crossJoin(broadcast(s.range(60).select($"id".cast("int").as("b"))))
-        .select($"doc_id", $"b",
-          expr("shiftright(instr('0123456789abcdef', substr(h, (b div 4)+1, 1))-1, " +
-               "CAST(b % 4 AS INT)) & 1").as("bit"))
-      bits
-        .groupBy($"doc_id", $"b")
-        .agg(sum($"bit" * 2 - 1).as("vote"))
+      val simhash = udaf(graft.functions.SimHashAgg, org.apache.spark.sql.Encoders.STRING)
+      Tables.documents(s, dir)
+        .select($"doc_id", md5(explode(toks($"text"))).as("h"))
         .groupBy($"doc_id")
-        .agg(sum(when($"vote" > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-          .otherwise(lit(0L))).as("simhash"))
+        .agg(simhash($"h").as("simhash"))
         .orderBy($"doc_id")
     }),
 
@@ -421,8 +429,16 @@ object LlmPipeline {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
     "d2_dedup_ngram_jaccard" ->
-      (docsCte +
-      """SELECT d1, d2, jaccard FROM jacc WHERE jaccard >= 0.5 ORDER BY d1, d2"""),
+      (docsCte.dropRight(1) + s""",
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |)
+        |SELECT c.d1, c.d2, j.jaccard
+        |FROM cand c JOIN jacc j ON c.d1 = j.d1 AND c.d2 = j.d2
+        |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin),
 
     "d3_dedup_minhash_lsh" -> {
       // generated from the SAME MinHashParams as the Spark plan
@@ -449,10 +465,14 @@ object LlmPipeline {
         |bands AS (
         |  $bandSelects
         |),
+        |okb AS (
+        |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= $MaxBucketSize
+        |),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  FROM bands a
+        |  JOIN okb o ON a.band = o.band AND a.bkey = o.bkey
+        |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |)
         |SELECT c.d1, c.d2, j.jaccard
         |FROM cand c JOIN jacc j ON c.d1 = j.d1 AND c.d2 = j.d2
