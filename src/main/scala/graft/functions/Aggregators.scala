@@ -77,8 +77,10 @@ object SimHashAgg extends Aggregator[String, Array[Int], Long] {
     acc
   }
 
-  override def bufferEncoder: Encoder[Array[Int]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+  // public API only: the catalyst ExpressionEncoder is private-ish and
+  // unstable across Spark versions; kryo round-trips Array[Int] fine and
+  // only pays serialization at the exchange boundary
+  override def bufferEncoder: Encoder[Array[Int]] = Encoders.kryo[Array[Int]]
 
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: time one registered query (3 runs) or ad-hoc stages.
+  * Usage: Test/runMain graft.BenchOne <query_name> [sfDir]
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[benchone] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    if (name == "_shingleab") {
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      def hof = graft.queries.LlmPipeline.shingleIndex(docs)
+      def codegen = docs
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 3)).as("i"))
+        .select(col("doc_id"), concat_ws(" ",
+          expr("toks[i]"), expr("toks[i+1]"), expr("toks[i+2]")).as("shingle"))
+        .distinct()
+      (1 to 3).foreach { i => time(s"hof run$i")(hof.count()) }
+      (1 to 3).foreach { i => time(s"codegen run$i")(codegen.count()) }
+    } else if (name == "_d2stages") {
+      import graft.queries.LlmPipeline
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      time("shingleIndex.count")(LlmPipeline.shingleIndex(docs).count())
+      time("shingleIndex.count again")(LlmPipeline.shingleIndex(docs).count())
+      var sh: org.apache.spark.sql.DataFrame = null
+      time("localCheckpoint") { sh = LlmPipeline.shingleIndex(docs).localCheckpoint(); 0L }
+      time("candidatePairs.count")(
+        LlmPipeline.candidatePairs(sh, Seq("shingle"), LlmPipeline.MaxShingleDf).count())
+      time("candidatePairs.count again")(
+        LlmPipeline.candidatePairs(sh, Seq("shingle"), LlmPipeline.MaxShingleDf).count())
+    } else {
+      val fn = SparkEntry.queries(name)
+      (1 to 3).foreach { i =>
+        time(s"$name run$i")(fn(spark, sfDir).count())
+      }
+    }
+    spark.stop()
+  }
+}
