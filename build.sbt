@@ -30,3 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dderby.system.home=/tmp/graft_derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// catalogImplementation is a STATIC conf fixed by the first session in the
+// JVM — set it for the test JVM so HiveSpec exercises the real
+// HiveExternalCatalog (embedded-Derby metastore under derby.system.home).
+// Scoped to Test: the Verify/Bench mains don't touch the catalog and skip
+// the metastore init cost.
+Test / javaOptions += "-Dspark.sql.catalogImplementation=hive"

@@ -146,6 +146,14 @@ object Render {
     case _                 => c.cast(StringType)
   }
 
+  /** Plan-time slice of the reference's per-cell mapper `Metadata`
+    * (`/root/reference/scanner/scanner.go:27-31`, dispatched per cell in
+    * `codec/csv/csv.go:163-167`): the column name and the source driver
+    * tag are row-invariant, so they resolve once at plan time. RowID is
+    * inherently sequential and remains a driver-stream-path concept (the
+    * `PreProcessor` hook carries it there, SURVEY §1). */
+  final case class MapperContext(columnName: String, driver: String)
+
   /** Render every column of `df` to StringType, preserving names and
     * NULL-ness. The per-column expressions fuse into one whole-stage
     * codegen projection.
@@ -157,11 +165,19 @@ object Render {
     * `tostring.String{IsNULL: true}`. Go dispatches on per-cell runtime
     * type; Spark's schema makes that per-column static type — a deliberate
     * semantic tightening (SURVEY.md §7f).
+    *
+    * `ctxMappers` is the context-aware variant: it additionally receives
+    * the [[MapperContext]] (column name + source driver, read from the
+    * [[graft.sources.SourceMeta]] schema metadata that `Slice.fromSql`
+    * attaches). Context mappers win over plain mappers on a type clash.
     */
   def renderAll(df: DataFrame,
-                mappers: Seq[(DataType, Column => Column)] = Nil): DataFrame = {
+                mappers: Seq[(DataType, Column => Column)] = Nil,
+                ctxMappers: Seq[(DataType, (MapperContext, Column) => Column)] = Nil): DataFrame = {
     val cols = df.schema.fields.map { f =>
-      mappers.collectFirst { case (dt, fn) if dt == f.dataType => fn(col(f.name)) }
+      ctxMappers.collectFirst { case (dt, fn) if dt == f.dataType =>
+          fn(MapperContext(f.name, graft.sources.SourceMeta.driverOf(f)), col(f.name)) }
+        .orElse(mappers.collectFirst { case (dt, fn) if dt == f.dataType => fn(col(f.name)) })
         .getOrElse(render(col(f.name), f.dataType))
         .as(f.name)
     }

@@ -22,6 +22,12 @@ object Salt {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // the dim side is REPLICATED once per salt: under right/full outer an
+    // unmatched dim row would surface `salts` times — silently corrupt
+    val jt = joinType.toLowerCase.replaceAll("[_-]", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(jt),
+      s"saltedJoin replicates the dimension side per salt; join type '$joinType' " +
+      "would duplicate unmatched dimension rows — use inner/left/left_semi/left_anti")
     val saltedFact = fact.withColumn("__salt",
       (rand(seed = 42) * salts).cast("int"))
     val saltedDim = dim.withColumn("__salt",

@@ -7,16 +7,29 @@ package graft.sinks
   */
 object Format {
 
+  /** Go `unicode.IsSpace` — the Unicode White_Space property. Differs from
+    * BOTH Java predicates: `Character.isWhitespace` misses U+0085/U+00A0/
+    * U+2007/U+202F but adds the 1C-1F separators (not spaces in Go);
+    * `isSpaceChar` misses the ASCII controls. */
+  def goIsSpace(cp: Int): Boolean = cp match {
+    case 0x09 | 0x0A | 0x0B | 0x0C | 0x0D | 0x20 | 0x85 | 0xA0 => true
+    case 0x1680 => true
+    case c if c >= 0x2000 && c <= 0x200A => true
+    case 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
+    case _ => false
+  }
+
   /** Go `encoding/csv` quoting decision (writer.go `fieldNeedsQuotes`):
     * empty fields are never quoted; `\.` always is (postgres dump quirk);
     * fields containing the delimiter, a quote, CR or LF are quoted; so are
-    * fields whose first rune is a space. */
+    * fields whose first rune is a space (Go `unicode.IsSpace`, which
+    * includes NEL and NBSP). */
   def csvNeedsQuotes(field: String, delimiter: Char): Boolean = {
     if (field.isEmpty) false
     else if (field == "\\.") true
     else if (field.indexOf(delimiter) >= 0) true
     else if (field.exists(c => c == '"' || c == '\r' || c == '\n')) true
-    else Character.isWhitespace(field.codePointAt(0))
+    else goIsSpace(field.codePointAt(0))
   }
 
   /** Encode one CSV field: double inner quotes; in CRLF mode, newlines
@@ -128,6 +141,21 @@ object Format {
       case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
       case b: Array[Byte] => quote(java.util.Base64.getEncoder.encodeToString(b))
       case t: java.sql.Timestamp => quote(rfc3339Nano(t))
+      case i: java.time.Instant => quote(rfc3339NanoInstant(i))
+      // dates marshal as the same "yyyy-MM-dd" string `to_json` emits
+      case d: java.sql.Date => quote(d.toString)
+      case d: java.time.LocalDate => quote(d.toString)
+      // nested structs keep SCHEMA order (matching the distributed
+      // `to_json` path byte-for-byte); only the top-level object is a
+      // sorted map, mirroring the reference's map[string]any marshal
+      case r: org.apache.spark.sql.Row =>
+        val sch = r.schema
+        require(sch != null, "nested Row without schema on the JSON driver path")
+        sch.fields.zipWithIndex
+          .map { case (f, i) =>
+            quote(f.name) + ":" + write(if (r.isNullAt(i)) null else r.get(i))
+          }
+          .mkString("{", ",", "}")
       case m: scala.collection.Map[_, _] =>
         m.toSeq.map { case (k, x) => (k.toString, x) }.sortBy(_._1)
           .map { case (k, x) => quote(k) + ":" + write(x) }
@@ -137,8 +165,9 @@ object Format {
         s"unsupported JSON value: ${other.getClass.getName}")
     }
 
-    def rfc3339Nano(ts: java.sql.Timestamp): String = {
-      val instant = ts.toInstant
+    def rfc3339Nano(ts: java.sql.Timestamp): String = rfc3339NanoInstant(ts.toInstant)
+
+    def rfc3339NanoInstant(instant: java.time.Instant): String = {
       val base = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
         .withZone(java.time.ZoneOffset.UTC).format(instant)

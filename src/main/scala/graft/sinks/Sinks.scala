@@ -17,6 +17,10 @@ import graft.functions.Render
 object SinkTypes {
   type PreProcessor = (Int, IndexedSeq[String]) => (IndexedSeq[String], Boolean)
   type Mappers = Seq[(DataType, Column => Column)]
+  /** Context-aware mappers: additionally receive the plan-time
+    * `Metadata` slice (column name + source driver) — see
+    * [[graft.functions.Render.MapperContext]]. */
+  type CtxMappers = Seq[(DataType, (Render.MapperContext, Column) => Column)]
 }
 import SinkTypes._
 
@@ -24,8 +28,9 @@ private[sinks] object SinkIO {
   implicit val stringEnc: Encoder[String] = Encoders.STRING
 
   /** Rendered rows as string arrays; `null` entries are NULL cells. */
-  def renderedRows(df: DataFrame, mappers: Mappers): Dataset[Array[String]] = {
-    val rendered = Render.renderAll(df, mappers)
+  def renderedRows(df: DataFrame, mappers: Mappers,
+                   ctxMappers: CtxMappers = Nil): Dataset[Array[String]] = {
+    val rendered = Render.renderAll(df, mappers, ctxMappers)
     val n = rendered.schema.length
     val sp = rendered.sparkSession
     import sp.implicits._
@@ -57,7 +62,8 @@ final case class CsvOptions(
     nullValue: String = "",
     limit: Int = -1,
     preProcessor: Option[PreProcessor] = None,
-    mappers: Mappers = Nil) {
+    mappers: Mappers = Nil,
+    ctxMappers: CtxMappers = Nil) {
   def eol: String = if (useCRLF) "\r\n" else "\n"
 }
 
@@ -86,7 +92,7 @@ object CsvSink {
     import SinkIO.stringEnc
     val limited = if (opts.limit >= 0) df.limit(opts.limit) else df
     val (d, crlf, nv) = (opts.delimiter, opts.useCRLF, opts.nullValue)
-    SinkIO.renderedRows(limited, opts.mappers).map { cells =>
+    SinkIO.renderedRows(limited, opts.mappers, opts.ctxMappers).map { cells =>
       Format.csvLine(cells.toIndexedSeq.map(c => if (c == null) nv else c), d, crlf)
     }
   }
@@ -103,8 +109,8 @@ object CsvSink {
 
     val source =
       if (opts.preProcessor.isEmpty && opts.limit > 0)
-        SinkIO.renderedRows(df.limit(opts.limit), opts.mappers).toLocalIterator()
-      else SinkIO.renderedRows(df, opts.mappers).toLocalIterator()
+        SinkIO.renderedRows(df.limit(opts.limit), opts.mappers, opts.ctxMappers).toLocalIterator()
+      else SinkIO.renderedRows(df, opts.mappers, opts.ctxMappers).toLocalIterator()
 
     var rowID = 1
     var done = false
@@ -158,7 +164,7 @@ object CsvSink {
         limited.toDF(h: _*)
       case None => limited
     }
-    Render.renderAll(renamed, opts.mappers).write
+    Render.renderAll(renamed, opts.mappers, opts.ctxMappers).write
       .option("header", opts.writeHeader.toString)
       .option("sep", opts.delimiter.toString)
       .option("lineSep", opts.eol)
@@ -183,6 +189,7 @@ final case class JsonOptions(
     newlineDelimited: Boolean = false,
     limit: Int = -1,
     mappers: Mappers = Nil,
+    ctxMappers: CtxMappers = Nil,
     escapeHtml: Boolean = true,
     preProcessor: Option[(Int, Map[String, Any]) => (Map[String, Any], Boolean)] = None)
 
@@ -201,9 +208,12 @@ object JsonSink {
     val fields = limited.schema.fields.sortBy(_.name)
     val cols = fields.map { f =>
       val base = col(f.name)
-      val mapped = opts.mappers.collectFirst {
+      val mapped = opts.ctxMappers.collectFirst {
+        case (dt, fn) if dt == f.dataType =>
+          fn(Render.MapperContext(f.name, graft.sources.SourceMeta.driverOf(f)), base)
+      }.orElse(opts.mappers.collectFirst {
         case (dt, fn) if dt == f.dataType => fn(base)
-      }.getOrElse {
+      }).getOrElse {
         f.dataType match {
           case TimestampType | TimestampNTZType => Render.rfc3339NanoRaw(base)
           case _ => base
@@ -228,7 +238,10 @@ object JsonSink {
     val hook = opts.preProcessor.get
     // custom mappers apply BEFORE the hook, like `json.go:111-128`
     val mapped = df.select(df.schema.fields.map { f =>
-      opts.mappers.collectFirst { case (dt, fn) if dt == f.dataType => fn(col(f.name)) }
+      opts.ctxMappers.collectFirst { case (dt, fn) if dt == f.dataType =>
+          fn(Render.MapperContext(f.name, graft.sources.SourceMeta.driverOf(f)), col(f.name)) }
+        .orElse(opts.mappers.collectFirst {
+          case (dt, fn) if dt == f.dataType => fn(col(f.name)) })
         .getOrElse(col(f.name)).as(f.name)
     }.toIndexedSeq: _*)
     val schema = mapped.schema
@@ -299,7 +312,8 @@ object JsonSink {
 final case class XmlOptions(
     limit: Int = -1,
     preProcessor: Option[PreProcessor] = None,
-    mappers: Mappers = Nil)
+    mappers: Mappers = Nil,
+    ctxMappers: CtxMappers = Nil)
 
 object XmlSink {
 
@@ -310,7 +324,7 @@ object XmlSink {
     import SinkIO.stringEnc
     val limited = if (opts.limit >= 0) df.limit(opts.limit) else df
     val names = limited.schema.fieldNames.toIndexedSeq
-    SinkIO.renderedRows(limited, opts.mappers)
+    SinkIO.renderedRows(limited, opts.mappers, opts.ctxMappers)
       .map(cells => Format.xmlRow(names, cells.toIndexedSeq))
   }
 
@@ -322,8 +336,8 @@ object XmlSink {
     val names = df.schema.fieldNames.toIndexedSeq
     val source =
       if (opts.preProcessor.isEmpty && opts.limit > 0)
-        SinkIO.renderedRows(df.limit(opts.limit), opts.mappers).toLocalIterator()
-      else SinkIO.renderedRows(df, opts.mappers).toLocalIterator()
+        SinkIO.renderedRows(df.limit(opts.limit), opts.mappers, opts.ctxMappers).toLocalIterator()
+      else SinkIO.renderedRows(df, opts.mappers, opts.ctxMappers).toLocalIterator()
 
     var rowID = 0
     var done = false
@@ -381,16 +395,22 @@ final case class HtmlOptions(
     nullValue: String = Format.htmlNullValue,
     limit: Int = -1,
     preProcessor: Option[PreProcessor] = None,
-    mappers: Mappers = Nil)
+    mappers: Mappers = Nil,
+    ctxMappers: CtxMappers = Nil)
 
 object HtmlSink {
 
   /** `<thead>` block with per-column name + lowercased type
-    * (`html.go:102-110`); the type is the Spark SQL type name, our
-    * analog of `DatabaseTypeName`. */
+    * (`html.go:102-110`). The reference shows the SOURCE database's type
+    * name (`DatabaseTypeName`, `html.go:107`); when the frame came
+    * through `Slice.fromSql` that name rides in the field metadata and is
+    * preferred — the Spark SQL type name is the native-frame fallback. */
   def headerBlock(df: DataFrame): String = {
-    val ths = df.schema.fields.map(f =>
-      Format.htmlTh(f.name, f.dataType.sql.toLowerCase)).mkString
+    val ths = df.schema.fields.map { f =>
+      val typeName = graft.sources.SourceMeta.databaseTypeNameOf(f)
+        .getOrElse(f.dataType.sql).toLowerCase
+      Format.htmlTh(f.name, typeName)
+    }.mkString
     Format.htmlPrefix + Format.htmlTheadOpen + ths + "</thead>"
   }
 
@@ -400,7 +420,7 @@ object HtmlSink {
     import SinkIO.stringEnc
     val limited = if (opts.limit >= 0) df.limit(opts.limit) else df
     val nv = opts.nullValue
-    SinkIO.renderedRows(limited, opts.mappers)
+    SinkIO.renderedRows(limited, opts.mappers, opts.ctxMappers)
       .map(cells => Format.htmlRow(cells.toIndexedSeq.map(c => if (c == null) nv else c)))
   }
 
@@ -417,8 +437,8 @@ object HtmlSink {
 
     val source =
       if (opts.preProcessor.isEmpty && opts.limit > 0)
-        SinkIO.renderedRows(df.limit(opts.limit), opts.mappers).toLocalIterator()
-      else SinkIO.renderedRows(df, opts.mappers).toLocalIterator()
+        SinkIO.renderedRows(df.limit(opts.limit), opts.mappers, opts.ctxMappers).toLocalIterator()
+      else SinkIO.renderedRows(df, opts.mappers, opts.ctxMappers).toLocalIterator()
 
     var rowID = 1
     var done = false

@@ -69,7 +69,14 @@ object Slice {
   /** JDBC source parity (`scanner/sql.go:20-22`): the reference wraps an
     * already-executed `database/sql` query; Spark-natively the query text
     * pushes down to the database through the JDBC reader. Config-gated —
-    * there is no database in the test environment. */
+    * there is no database in the test environment.
+    *
+    * The source's own column type names (`sql.ColumnType.DatabaseTypeName`)
+    * and the driver tag are attached to each `StructField.metadata` under
+    * [[SourceMeta]]'s keys, so downstream consumers (the HTML typed
+    * header, context-aware mappers) can surface source-level context the
+    * Spark type alone loses. Resolution uses `PreparedStatement
+    * .getMetaData` — schema only, the query is never executed twice. */
   def fromSql(spark: SparkSession, url: String, query: String,
               driver: Option[String] = None,
               properties: Map[String, String] = Map.empty): DataFrame = {
@@ -77,7 +84,27 @@ object Slice {
       .option("url", url)
       .option("query", query)
     val withDriver = driver.fold(reader)(d => reader.option("driver", d))
-    properties.foldLeft(withDriver) { case (r, (k, v)) => r.option(k, v) }.load()
+    val df = properties.foldLeft(withDriver) { case (r, (k, v)) => r.option(k, v) }.load()
+    val driverTag = url.split(":").lift(1).getOrElse("jdbc")
+    val typeNames: Seq[Option[String]] =
+      try {
+        driver.foreach(Class.forName)
+        val props = new java.util.Properties()
+        properties.foreach { case (k, v) => props.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val md = conn.prepareStatement(query).getMetaData
+          (1 to md.getColumnCount).map(i => Option(md.getColumnTypeName(i)))
+        } finally conn.close()
+      } catch { case _: Exception => Seq.fill(df.schema.length)(None) }
+    import org.apache.spark.sql.functions.col
+    val enriched = df.schema.fields.zip(typeNames).map { case (f, tn) =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+        .putString(SourceMeta.DriverKey, driverTag)
+      tn.foreach(mb.putString(SourceMeta.DatabaseTypeNameKey, _))
+      col(f.name).as(f.name, mb.build())
+    }
+    df.select(enriched.toIndexedSeq: _*)
   }
 
   /** Hive source parity (`scanner/hive.go:25-27`): Spark's native Hive

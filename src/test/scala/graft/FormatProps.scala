@@ -75,6 +75,26 @@ object FormatProps extends Properties("graft.format") {
       unescaped == s
     }
 
+  /** Go `unicode.IsSpace` = the Unicode White_Space property. */
+  private val goSpaceRunes: Seq[Char] =
+    Seq('\u0009', '\u000A', '\u000B', '\u000C', '\u000D', '\u0020',
+      '\u0085', '\u00A0', '\u1680') ++
+      ('\u2000' to '\u200A') ++
+      Seq('\u2028', '\u2029', '\u202F', '\u205F', '\u3000')
+
+  property("leading Go-space rune forces CSV quoting (incl. NEL, NBSP)") =
+    Prop.forAll(Gen.oneOf(goSpaceRunes), Gen.alphaNumStr) { (sp, rest) =>
+      Format.csvNeedsQuotes(sp.toString + rest, ',')
+    }
+
+  property("Java-only whitespace (1C-1F separators) does NOT quote") =
+    Prop.forAll(Gen.oneOf('\u001C', '\u001D', '\u001E', '\u001F'),
+      Gen.alphaNumStr) { (sep, rest) =>
+      // Character.isWhitespace says yes for these; Go unicode.IsSpace
+      // says no - the reference leaves such fields unquoted
+      !Format.csvNeedsQuotes(sep.toString + rest, ',')
+    }
+
   property("frame offsets are sorted, in range, and n-sized") =
     Prop.forAll(Gen.chooseNum(1L, 1000000L), Gen.chooseNum(1, 64)) { (len, n) =>
       val offs = DecodeStub.frameOffsets(len, n)

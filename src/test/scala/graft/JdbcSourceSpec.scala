@@ -33,4 +33,29 @@ class JdbcSourceSpec extends SparkTestBase {
       "{\"ID\":1,\"SCORE\":9.5,\"USERNAME\":\"alice\"}\n" +
       "{\"ID\":3,\"SCORE\":7.25,\"USERNAME\":\"bob\"}\n", out)
   }
+
+  test("JDBC source carries DatabaseTypeName into the HTML typed header") {
+    val conn = DriverManager.getConnection(url + ";create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE typed_t (id INT, label VARCHAR(16), ratio DOUBLE)")
+      st.execute("INSERT INTO typed_t VALUES (1, 'one', 0.5)")
+    } finally conn.close()
+
+    val df = Slice.fromSql(spark, url, "SELECT id, label, ratio FROM typed_t",
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+
+    // source type names + driver tag ride on the schema metadata
+    import graft.sources.SourceMeta
+    assert(df.schema.fields.map(SourceMeta.databaseTypeNameOf(_).get).toSeq ==
+      Seq("INTEGER", "VARCHAR", "DOUBLE"))
+    assert(df.schema.fields.forall(SourceMeta.driverOf(_) == "derby"))
+
+    // the HTML header shows the SOURCE's lowercased type name
+    // (html.go:107 DatabaseTypeName), not Spark's: "integer", not "int"
+    val head = graft.sinks.HtmlSink.headerBlock(df)
+    assert(head.contains("<p class=typ>integer</p>"), head)
+    assert(head.contains("<p class=typ>varchar</p>"), head)
+    assert(head.contains("<p class=typ>double</p>"), head)
+  }
 }

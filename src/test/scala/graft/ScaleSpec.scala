@@ -23,6 +23,20 @@ class ScaleSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched dim rows") {
+    val li = Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, sf0001)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    // the dim side is replicated per salt: right/full outer would emit
+    // every unmatched dim row `salts` times — must be rejected up front
+    Seq("right_outer", "full", "full_outer", "cross").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        Salt.saltedJoin(li, o, "l_orderkey", salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("duplicate"), s"$jt: ${e.getMessage}")
+    }
+  }
+
   test("saltedAgg two-stage aggregation equals direct aggregation") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"value").as("s"))

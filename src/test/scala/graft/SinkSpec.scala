@@ -156,6 +156,32 @@ class SinkSpec extends SparkTestBase {
     assert(hooked == plain, s"hooked=$hooked plain=$plain")
   }
 
+  test("json: identity hook matches distributed bytes on date + struct columns") {
+    // the round-2/3 gap: the driver-path GoJson writer lacked Date and
+    // nested-Row cases the distributed to_json path handles
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("d", DateType),
+      StructField("s", StructType(Seq(
+        StructField("z_last", IntegerType),   // schema order != sorted order:
+        StructField("a_first", StringType)))) // nested structs keep SCHEMA order
+    ))
+    val rows = Seq(
+      Row(1, java.sql.Date.valueOf("2024-03-01"), Row(7, "x")),
+      Row(2, java.sql.Date.valueOf("1999-12-31"), null),
+      Row(3, null, Row(null, "<y>")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val plain = JsonSink.writeString(df.orderBy("id"), JsonOptions(newlineDelimited = true))
+    val hooked = JsonSink.writeString(df.orderBy("id"), JsonOptions(newlineDelimited = true,
+      preProcessor = Some((_, row) => (row, true))))
+    assert(plain.contains("\"d\":\"2024-03-01\""), plain)
+    assert(plain.contains("{\"z_last\":7,\"a_first\":\"x\"}"), plain)
+    assert(hooked == plain, s"hooked=$hooked plain=$plain")
+  }
+
   test("json: <>& escape like the Go std encoder on both paths") {
     val df = Slice.fromData(spark, Seq(Seq("<b>&x</b>")))
     val want = "{\"column_0\":\"\\u003cb\\u003e\\u0026x\\u003c/b\\u003e\"}\n"

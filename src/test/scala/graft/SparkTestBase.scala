@@ -16,6 +16,7 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .enableHiveSupport() // catalogImplementation=hive set via -D (build.sbt)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

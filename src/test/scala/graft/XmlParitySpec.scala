@@ -86,6 +86,33 @@ class XmlParitySpec extends SparkTestBase {
     assert(out2.contains("42"), out2)
   }
 
+  // scanner.go:27-31 — the mapper Metadata surface: plan-time context
+  // (column name + driver) reaches a context-aware mapper; RowID stays a
+  // driver-path PreProcessor concept (SURVEY §1)
+  test("context mapper receives column name and driver") {
+    import graft.functions.Render.MapperContext
+    val df = Slice.fromData(spark, Seq(Seq(1, 2)))
+    val ctxMapper: (DataType, (MapperContext, Column) => Column) =
+      IntegerType -> ((ctx: MapperContext, c: Column) =>
+        concat(lit(s"${ctx.driver}/${ctx.columnName}="), c.cast(StringType)))
+    val out = XmlSink.writeString(df, XmlOptions(ctxMappers = Seq(ctxMapper)))
+    assert(out.contains("<column_0>spark/column_0=1</column_0>"), out)
+    assert(out.contains("<column_1>spark/column_1=2</column_1>"), out)
+  }
+
+  // context mappers take precedence over plain mappers on a type clash
+  test("context mapper wins over plain mapper for the same type") {
+    import graft.functions.Render.MapperContext
+    val df = Slice.fromData(spark, Seq(Seq(7)))
+    val plain: (DataType, Column => Column) =
+      IntegerType -> ((c: Column) => lit("plain"))
+    val ctx: (DataType, (MapperContext, Column) => Column) =
+      IntegerType -> ((_: MapperContext, _: Column) => lit("ctx"))
+    val out = XmlSink.writeString(df,
+      XmlOptions(mappers = Seq(plain), ctxMappers = Seq(ctx)))
+    assert(out.contains("<column_0>ctx</column_0>"), out)
+  }
+
   // xml_test.go preprocessor + null interplay (xml.go:94-96): a NULL cell
   // stays omitted even if the preprocessor rewrites the row
   test("preprocessor rewrite does not resurrect NULL cells") {
