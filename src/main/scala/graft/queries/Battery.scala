@@ -413,6 +413,19 @@ object Battery {
         .orderBy($"vec_id")
     }),
 
+    // GROUPING SETS beyond rollup/cube: two independent 1-D margins +
+    // grand total in one pass (Spark expands to a single Expand+Agg —
+    // one shuffle for all three groupings)
+    "q36_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -648,5 +661,12 @@ object Battery {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'lo' AS tag FROM lineitem WHERE l_quantity <= 2
         |ORDER BY tag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q36_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -439,6 +439,55 @@ object LlmPipeline {
         .limit(20)
     }),
 
+    // repetition quality (Gopher-style): fraction of duplicate word
+    // bigrams per doc — high rep_ratio marks boilerplate/spam for
+    // filtering before training
+    "t7_repetition" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", toks($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", expr(
+          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))")
+          .as("bigrams"))
+        .select($"doc_id",
+          size($"bigrams").as("n_bigrams"),
+          size(array_distinct($"bigrams")).as("n_distinct"))
+        .select($"doc_id", $"n_bigrams", $"n_distinct",
+          (lit(1.0) - $"n_distinct".cast("double") / $"n_bigrams").as("rep_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    // stopword scrub: token-level removal with removal counts — the
+    // cleaning step of a text pipeline, kept as a pure projection so it
+    // fuses into whole-stage codegen with no shuffle at all
+    "t8_stopword_scrub" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", toks($"text").as("toks"))
+        .select($"doc_id",
+          size($"toks").as("n_tokens"),
+          expr("size(filter(toks, t -> t IN ('the','a','key','row')))").as("n_stop"),
+          expr("array_join(filter(toks, t -> NOT t IN ('the','a','key','row')), ' ')")
+            .as("scrubbed"))
+        .withColumn("scrub_len", length($"scrubbed"))
+        .orderBy($"doc_id")
+    }),
+
+    // deterministic stratified sampling: md5-keyed bucket per (lang,
+    // doc_id) keeps 20% of every language stratum — reproducible across
+    // engines and runs (no RNG), embarrassingly parallel (pure filter,
+    // no shuffle; the md5 is codegen'd)
+    "d9_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("bucket", expr(
+          "CAST(conv(substr(md5(concat(lang, ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+        .filter($"bucket" < 20)
+        .select($"doc_id", $"lang", $"bucket")
+        .orderBy($"doc_id")
+    }),
+
     // multimodal plumbing: opaque binary payload + typed metadata with a
     // deterministic decode STUB (no image libs in env) over mapPartitions
     "m1_multimodal_meta" -> ((s, dir) => {
@@ -666,6 +715,40 @@ object LlmPipeline {
         |)
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "t7_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(len(toks)-1), i -> array_to_string(toks[i+1:i+2], ' ')) AS bigrams
+        |  FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT doc_id, len(bigrams) AS n_bigrams, len(list_distinct(bigrams)) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)/len(bigrams) AS rep_ratio
+        |FROM bg ORDER BY doc_id""".stripMargin,
+
+    "t8_stopword_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_filter(toks, t -> t IN ('the','a','key','row'))) AS n_stop,
+        |  array_to_string(list_filter(toks, t -> t NOT IN ('the','a','key','row')), ' ') AS scrubbed,
+        |  length(array_to_string(list_filter(toks, t -> t NOT IN ('the','a','key','row')), ' ')) AS scrub_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d9_stratified_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef', substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket FROM keyed WHERE bucket < 20
+        |ORDER BY doc_id""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

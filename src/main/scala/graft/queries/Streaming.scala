@@ -60,6 +60,13 @@ object Streaming {
              dsum($"value").as("sum_first_val"))
         .orderBy($"event_type")
     }),
+    // stream-static enrichment: events joined to a broadcast customer
+    // dimension, then aggregated — the stateless-join streaming pattern
+    "s5_stream_static_join" -> ((s, dir) => {
+      import s.implicits._
+      Streams.enrichWithCustomers(Tables.events(s, dir), Tables.customer(s, dir))
+        .orderBy($"event_type", $"c_mktsegment")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -109,5 +116,11 @@ object Streaming {
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_first_val
         |FROM ranked WHERE rn = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s5_stream_static_join" ->
+      """SELECT event_type, c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY event_type, c_mktsegment""".stripMargin,
   )
 }

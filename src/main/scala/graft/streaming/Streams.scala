@@ -54,6 +54,19 @@ object Streams {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"), col("sum_val"))
 
+  /** Stream-static enrichment join + aggregation — shape of
+    * `s5_stream_static_join`. The static side is a broadcast dimension
+    * (customers keyed to `user_id`): stream-static inner joins are
+    * STATELESS in Structured Streaming — each micro-batch probes the
+    * broadcast table, no watermark or join state needed; only the
+    * downstream aggregation keeps state. */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(
+        col("c_custkey").as("user_id"), col("c_mktsegment"))), Seq("user_id"))
+      .groupBy(col("event_type"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+
   /** Run a streaming plan to a memory sink synchronously (one batch of
     * the parquet source) and return the materialized result. */
   def runToMemory(spark: SparkSession, plan: DataFrame, name: String,

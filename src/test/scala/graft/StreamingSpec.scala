@@ -21,6 +21,18 @@ class StreamingSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("stream-static join: streaming result equals batch result") {
+    val customers = Tables.customer(spark, sf0001)
+    val batch = Streams.enrichWithCustomers(Tables.events(spark, sf0001), customers)
+      .collect().toSet
+    val stream = Streams.runToMemory(spark,
+      Streams.enrichWithCustomers(Streams.eventsStream(spark, sf0001), customers),
+      "stream_static_test")
+      .collect().toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stateful streaming: flatMapGroupsWithState running per-user counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
