@@ -64,6 +64,35 @@ class PlanSpec extends SparkTestBase {
       "partial TopK must sit below the exchange: " + p)
   }
 
+  /** AQE's plan string appends an "== Initial Plan ==" section after the
+    * final plan — keep only the final section for count-based asserts. */
+  private def finalPlan(name: String): String =
+    plan(name).split("== Initial Plan ==").head
+
+  test("d9/t8: sampling and scrubbing are shuffle-free pure projections") {
+    // both are per-row transforms — a hash exchange means a lost 100TB
+    // posture (the range exchange is the oracle-harness ORDER BY only)
+    Seq("d9_stratified_sample", "t8_stopword_scrub").foreach { q =>
+      assert(!finalPlan(q).contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle: " + finalPlan(q))
+    }
+  }
+
+  test("q36_grouping_sets: one Expand, one aggregation exchange") {
+    val p = finalPlan("q36_grouping_sets")
+    assert(p.contains("Expand"), p)
+    // all three grouping sets share a single hash-partitioning exchange
+    // (the range exchange is the ORDER BY)
+    val aggExchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges == 1, s"expected 1 agg exchange, got $aggExchanges: $p")
+  }
+
+  test("s5_stream_static_join: static dimension broadcasts") {
+    val p = plan("s5_stream_static_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("LSH paths never degenerate into a cartesian product") {
     assert(!plan("d3_dedup_minhash_lsh").contains("CartesianProduct"))
     assert(!plan("d6_ann_lsh").contains("CartesianProduct"))
