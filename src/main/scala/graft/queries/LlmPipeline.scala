@@ -439,6 +439,28 @@ object LlmPipeline {
         .limit(20)
     }),
 
+    // benchmark decontamination: flag corpus docs sharing any word-8-gram
+    // with the benchmark set (here: source 'src0') — the standard
+    // eval-leakage check before training. Inverted-index join keyed by
+    // the 8-gram: output is bounded by the corpus gram count (each
+    // (doc, gram) row is distinct and matches the distinct benchmark
+    // gram set at most once), so no hot-key quadratic blowup; the
+    // benchmark side is typically small enough for AQE to broadcast
+    "d10_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", $"source", toks($"text").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", $"source", explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          .as("g"))
+      val bench = grams.filter($"source" === "src0").select($"g").distinct()
+      grams.filter($"source" =!= "src0")
+        .join(bench, "g")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy($"doc_id")
+    }),
+
     // repetition quality (Gopher-style): fraction of duplicate word
     // bigrams per doc — high rep_ratio marks boilerplate/spam for
     // filtering before training
@@ -715,6 +737,21 @@ object LlmPipeline {
         |)
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "d10_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(len(toks)-7), i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |  FROM docs WHERE len(toks) >= 8
+        |),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+        |SELECT s.doc_id, COUNT(*) AS n_hits
+        |FROM sh s JOIN bench b ON s.g = b.g
+        |WHERE s.source <> 'src0'
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "t7_repetition" ->
       """WITH t AS (
