@@ -230,7 +230,12 @@ object LlmPipeline {
     }),
 
     // similarity search baseline: brute-force cosine top-5 neighbors
-    // (codegen'd VecDot kernel; the LSH variant below is the scale path)
+    // (codegen'd VecDot kernel; the LSH variant below is the scale path).
+    // The per-vector top-5 runs through the custom TopKPerKey operator:
+    // map-side bounded heaps prune the n² pair stream to 5 rows per
+    // vector BEFORE the exchange — the window that assigns ranks then
+    // sorts 5·n rows, not n². Bit-exact: (cos DESC, nbr ASC) is a total
+    // order, so heap pruning keeps exactly the rows the full sort would
     "d5_cosine_topk" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.VecDot
@@ -242,9 +247,10 @@ object LlmPipeline {
         .filter($"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
           (VecDot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("cos"))
+      val top = graft.plans.TopK.perKey(pairs,
+        keys = Seq($"vec_id"), order = Seq($"cos".desc, $"nbr".asc), k = 5)
       val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr".asc)
-      pairs.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 5)
+      top.withColumn("rn", row_number().over(w))
         .select($"vec_id", $"rn", $"nbr", $"cos")
         .orderBy($"vec_id", $"rn")
     }),
