@@ -426,6 +426,18 @@ object Battery {
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     }),
 
+    // event-time RANGE window frame: 7-day rolling revenue per customer
+    // (peer-inclusive time-range frames, beyond the ROWS frames of q8)
+    "q37_window_range" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_wr")
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+          |FROM orders_wr ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -661,6 +673,13 @@ object Battery {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'lo' AS tag FROM lineitem WHERE l_quantity <= 2
         |ORDER BY tag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q37_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q36_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

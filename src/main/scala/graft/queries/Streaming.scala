@@ -67,6 +67,16 @@ object Streaming {
       Streams.enrichWithCustomers(Tables.events(s, dir), Tables.customer(s, dir))
         .orderBy($"event_type", $"c_mktsegment")
     }),
+    // stream-stream join: click→purchase attribution within 6 hours —
+    // the fully stateful join (both sides buffered, watermark-expired);
+    // batch equivalent below, stream==batch proven in StreamingSpec
+    "s6_stream_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      Streams.clickPurchasePairs(Tables.events(s, dir))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"), dsum($"value").as("sum_val"))
+        .orderBy($"user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -122,5 +132,18 @@ object Streaming {
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY event_type, c_mktsegment""".stripMargin,
+
+    "s6_stream_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 1 AS cus FROM events WHERE event_type = 'click'
+        |),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) // 1 AS pus, value FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 21600000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
   )
 }

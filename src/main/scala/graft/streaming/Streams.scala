@@ -67,6 +67,38 @@ object Streams {
       .groupBy(col("event_type"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
 
+  /** Click→purchase attribution pairs: purchases by the same user within
+    * 6 hours after a click — shape of `s6_stream_stream_join`. */
+  def clickPurchasePairs(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("buy_ts"), col("value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
+  }
+
+  /** Genuine STREAM-STREAM inner join: both sides watermarked, and the
+    * two-sided time-range condition (`click_ts <= buy_ts <= click_ts+6h`)
+    * is what lets Spark expire join state — click state is droppable
+    * once the purchase watermark passes `click_ts+6h`, purchase state
+    * once the click watermark passes `buy_ts`. Inner-join matches emit
+    * immediately (append mode); the watermark only bounds state. */
+  def clickPurchasePairsStream(events: DataFrame): DataFrame = {
+    val c = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("buy_ts"), col("value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
+  }
+
   /** Run a streaming plan to a memory sink synchronously (one batch of
     * the parquet source) and return the materialized result. */
   def runToMemory(spark: SparkSession, plan: DataFrame, name: String,

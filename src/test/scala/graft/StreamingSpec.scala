@@ -33,6 +33,17 @@ class StreamingSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("stream-stream join: streaming pairs equal batch pairs") {
+    val batch = Streams.clickPurchasePairs(Tables.events(spark, sf0001))
+      .collect().toSet
+    val stream = Streams.runToMemory(spark,
+      Streams.clickPurchasePairsStream(Streams.eventsStream(spark, sf0001)),
+      "ss_join_test", "append")
+      .collect().toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stateful streaming: flatMapGroupsWithState running per-user counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
