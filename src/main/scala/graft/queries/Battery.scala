@@ -438,6 +438,20 @@ object Battery {
           |FROM orders_wr ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // NOT EXISTS correlated subquery — Catalyst rewrites it to a left
+    // anti join (the scalable decorrelation), complementing q29 (scalar)
+    // and q30 (IN)
+    "q38_not_exists" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_ne")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_ne")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_ne c
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM orders_ne o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // union all with provenance tag
     "q18_union_all" -> ((s, dir) => {
       import s.implicits._
@@ -673,6 +687,13 @@ object Battery {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'lo' AS tag FROM lineitem WHERE l_quantity <= 2
         |ORDER BY tag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q38_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q37_window_range" ->
       """SELECT o_orderkey, o_custkey,

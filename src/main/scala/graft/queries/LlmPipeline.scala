@@ -516,6 +516,24 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // multimodal frame sampling: deterministic evenly-spaced frame
+    // offsets per (pretend-video) payload — the DecodeStub sampler runs
+    // distributed via a typed flatMap, one output row per sampled frame
+    "m2_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          graft.functions.DecodeStub.frameOffsets(bytes.length.toLong, 4)
+            .zipWithIndex.map { case (off, i) =>
+              (id, i.toLong, off, bytes.length.toLong)
+            }
+        }
+        .toDF("doc_id", "frame_idx", "offset", "n_bytes")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // multimodal plumbing: opaque binary payload + typed metadata with a
     // deterministic decode STUB (no image libs in env) over mapPartitions
     "m1_multimodal_meta" -> ((s, dir) => {
@@ -792,6 +810,14 @@ object LlmPipeline {
         |)
         |SELECT doc_id, lang, bucket FROM keyed WHERE bucket < 20
         |ORDER BY doc_id""".stripMargin,
+
+    "m2_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  (i * octet_length(encode(text))) // 4 AS offset,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i) g
+        |WHERE octet_length(encode(text)) > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

@@ -93,6 +93,11 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q38: NOT EXISTS decorrelates to an anti join") {
+    val p = finalPlan("q38_not_exists")
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("LSH paths never degenerate into a cartesian product") {
     assert(!plan("d3_dedup_minhash_lsh").contains("CartesianProduct"))
     assert(!plan("d6_ann_lsh").contains("CartesianProduct"))
