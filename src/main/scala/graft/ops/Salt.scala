@@ -25,7 +25,8 @@ object Salt {
     // the dim side is REPLICATED once per salt: under right/full outer an
     // unmatched dim row would surface `salts` times — silently corrupt
     val jt = joinType.toLowerCase.replaceAll("[_-]", "")
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(jt),
+    // "semi"/"anti" are Spark's own aliases for leftsemi/leftanti
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")(jt),
       s"saltedJoin replicates the dimension side per salt; join type '$joinType' " +
       "would duplicate unmatched dimension rows — use inner/left/left_semi/left_anti")
     val saltedFact = fact.withColumn("__salt",

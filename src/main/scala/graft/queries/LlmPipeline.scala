@@ -236,6 +236,7 @@ object LlmPipeline {
     // vector BEFORE the exchange — the window that assigns ranks then
     // sorts 5·n rows, not n². Bit-exact: (cos DESC, nbr ASC) is a total
     // order, so heap pruning keeps exactly the rows the full sort would
+    // keep, and the rank window re-derives identical rn values
     "d5_cosine_topk" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.VecDot
@@ -310,12 +311,14 @@ object LlmPipeline {
       // blocks are ContextCleaner-freed, unlike closure-local cache()
       val ranked = sims.withColumn("rn", row_number().over(w)).localCheckpoint()
       val cells = ranked.filter($"rn" === 1).select($"vec_id", $"cid")
-      // hot-cell cap (same posture as d3's MaxBucketSize): a degenerate
-      // centroid whose cell swallows a constant fraction of the corpus
-      // would otherwise make `cid` a quadratic hot join key at 100 TB
-      val bigCells = cells.groupBy($"cid").agg(count(lit(1)).as("n"))
-        .filter($"n" > MaxBucketSize).drop("n")
-      val cappedCells = cells.join(bigCells, Seq("cid"), "left_anti")
+      // bounded inverted lists (real-IVF list truncation): keep at most
+      // MaxBucketSize members per cell, deterministically by vec_id,
+      // via the map-side-pruning TopKPerKey operator. A degenerate cell
+      // would otherwise make `cid` a quadratic hot join key at 100 TB —
+      // and dropping whole over-cap cells (the first attempt) zeroes the
+      // query as soon as the corpus outgrows centroids × cap
+      val cappedCells = graft.plans.TopK.perKey(cells,
+        keys = Seq($"cid"), order = Seq($"vec_id".asc), k = MaxBucketSize)
       val probes = ranked.filter($"rn" <= 2).select($"vec_id", $"cid")
       val cands = probes.as("p")
         .join(cappedCells.as("c"), $"p.cid" === $"c.cid" && $"p.vec_id" =!= $"c.vec_id")
@@ -523,6 +526,9 @@ object LlmPipeline {
       import s.implicits._
       Tables.documents(s, dir)
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        // NULL payloads carry no frames (the oracle's octet_length > 0
+        // guard); filtered here so the typed flatMap never sees null
+        .filter($"payload".isNotNull)
         .as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) =>
           graft.functions.DecodeStub.frameOffsets(bytes.length.toLong, 4)

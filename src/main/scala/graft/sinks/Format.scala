@@ -147,13 +147,23 @@ object Format {
       case d: java.time.LocalDate => quote(d.toString)
       // nested structs keep SCHEMA order (matching the distributed
       // `to_json` path byte-for-byte); only the top-level object is a
-      // sorted map, mirroring the reference's map[string]any marshal
+      // sorted map, mirroring the reference's map[string]any marshal.
+      // Timestamps NESTED in a struct use to_json's DEFAULT rendering
+      // (millis, always 3 digits, Z) — the distributed path can only
+      // re-format top-level timestamp columns, so parity inside structs
+      // means matching what to_json does there, not RFC3339Nano
       case r: org.apache.spark.sql.Row =>
         val sch = r.schema
         require(sch != null, "nested Row without schema on the JSON driver path")
         sch.fields.zipWithIndex
           .map { case (f, i) =>
-            quote(f.name) + ":" + write(if (r.isNullAt(i)) null else r.get(i))
+            val v = if (r.isNullAt(i)) null else r.get(i)
+            val written = v match {
+              case t: java.sql.Timestamp => quote(sparkJsonTs(t.toInstant))
+              case inst: java.time.Instant => quote(sparkJsonTs(inst))
+              case other => write(other)
+            }
+            quote(f.name) + ":" + written
           }
           .mkString("{", ",", "}")
       case m: scala.collection.Map[_, _] =>
@@ -166,6 +176,16 @@ object Format {
     }
 
     def rfc3339Nano(ts: java.sql.Timestamp): String = rfc3339NanoInstant(ts.toInstant)
+
+    /** Spark `to_json`'s default timestamp rendering: exactly 3 fraction
+      * digits (micros truncated to millis) and `Z` at UTC — what nested
+      * struct timestamps get on the distributed path. */
+    def sparkJsonTs(instant: java.time.Instant): String = {
+      val base = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC).format(instant)
+      f"$base.${instant.getNano / 1000000}%03dZ"
+    }
 
     def rfc3339NanoInstant(instant: java.time.Instant): String = {
       val base = java.time.format.DateTimeFormatter

@@ -76,15 +76,19 @@ object Slice {
     * [[SourceMeta]]'s keys, so downstream consumers (the HTML typed
     * header, context-aware mappers) can surface source-level context the
     * Spark type alone loses. Resolution uses `PreparedStatement
-    * .getMetaData` — schema only, the query is never executed twice. */
+    * .getMetaData` — schema only, the query is never executed twice —
+    * but it does open a SECOND connection; pass `sourceMeta = false`
+    * to skip it when no consumer reads the metadata. */
   def fromSql(spark: SparkSession, url: String, query: String,
               driver: Option[String] = None,
-              properties: Map[String, String] = Map.empty): DataFrame = {
+              properties: Map[String, String] = Map.empty,
+              sourceMeta: Boolean = true): DataFrame = {
     val reader = spark.read.format("jdbc")
       .option("url", url)
       .option("query", query)
     val withDriver = driver.fold(reader)(d => reader.option("driver", d))
     val df = properties.foldLeft(withDriver) { case (r, (k, v)) => r.option(k, v) }.load()
+    if (!sourceMeta) return df
     val driverTag = url.split(":").lift(1).getOrElse("jdbc")
     val typeNames: Seq[Option[String]] =
       try {

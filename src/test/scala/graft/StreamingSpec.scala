@@ -10,36 +10,36 @@ import graft.streaming.Streams
   * Column transform (Spark batch/stream unification). */
 class StreamingSpec extends SparkTestBase {
 
+  /** MULTISET of rows (sorted renderings) — a `toSet` compare would mask
+    * duplicate-emission or duplicate-collapse bugs in the stream path. */
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
   test("tumbling window: streaming memory-sink result equals batch result") {
-    val batch = Streams.tumblingHourly(Tables.events(spark, sf0001))
-      .collect().toSet
-    val stream = Streams.runToMemory(spark,
+    val batch = rowsOf(Streams.tumblingHourly(Tables.events(spark, sf0001)))
+    val stream = rowsOf(Streams.runToMemory(spark,
       Streams.tumblingHourlyStream(Streams.eventsStream(spark, sf0001)),
-      "tumbling_test")
-      .collect().toSet
+      "tumbling_test"))
     assert(stream.nonEmpty)
     assert(stream == batch)
   }
 
   test("stream-static join: streaming result equals batch result") {
     val customers = Tables.customer(spark, sf0001)
-    val batch = Streams.enrichWithCustomers(Tables.events(spark, sf0001), customers)
-      .collect().toSet
-    val stream = Streams.runToMemory(spark,
+    val batch = rowsOf(
+      Streams.enrichWithCustomers(Tables.events(spark, sf0001), customers))
+    val stream = rowsOf(Streams.runToMemory(spark,
       Streams.enrichWithCustomers(Streams.eventsStream(spark, sf0001), customers),
-      "stream_static_test")
-      .collect().toSet
+      "stream_static_test"))
     assert(stream.nonEmpty)
     assert(stream == batch)
   }
 
   test("stream-stream join: streaming pairs equal batch pairs") {
-    val batch = Streams.clickPurchasePairs(Tables.events(spark, sf0001))
-      .collect().toSet
-    val stream = Streams.runToMemory(spark,
+    val batch = rowsOf(Streams.clickPurchasePairs(Tables.events(spark, sf0001)))
+    val stream = rowsOf(Streams.runToMemory(spark,
       Streams.clickPurchasePairsStream(Streams.eventsStream(spark, sf0001)),
-      "ss_join_test", "append")
-      .collect().toSet
+      "ss_join_test", "append"))
     assert(stream.nonEmpty)
     assert(stream == batch)
   }
