@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.LlmPipeline
+import graft.sources.Slice
+
+/** Defends the d2 near-dup algebra end to end against an independent
+  * brute-force implementation: capped-candidate generation (pairs sharing
+  * at least one shingle with document frequency ≤ maxDf) + EXACT
+  * full-set Jaccard. In particular this proves the upper-bound pruning
+  * (`inter ≤ ri + min(h1,h2)`) never drops a qualifying pair — the
+  * trickiest part of the fused plan. */
+class NearDupSpec extends SparkTestBase {
+
+  private def shingleSet(text: String): Set[String] = {
+    val t = text.toLowerCase.split("\\s+").toIndexedSeq
+    if (t.length < 3) Set.empty
+    else t.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  /** Independent brute-force: capped candidates, exact Jaccard. */
+  private def bruteForce(docs: Seq[(Long, String)], maxDf: Int, threshold: Double)
+      : Set[(Long, Long, Double)] = {
+    val sh = docs.map { case (id, txt) => id -> shingleSet(txt) }.toMap
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rare = df.collect { case (g, n) if n <= maxDf => g }.toSet
+    val ids = docs.map(_._1).sorted
+    (for {
+      i <- ids; j <- ids if i < j
+      si = sh(i); sj = sh(j)
+      if (si & sj & rare).nonEmpty // capped candidate generation
+      inter = (si & sj).size       // exact verification on FULL sets
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= threshold
+    } yield (i, j, jac)).toSet
+  }
+
+  private def runPipeline(docs: Seq[(Long, String)], maxDf: Int, threshold: Double)
+      : Set[(Long, Long, Double)] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (id, t) => Row(id, t) }),
+      schema)
+    LlmPipeline.nearDupJaccard(LlmPipeline.shingleIndex(df), maxDf, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  private def corpus(seed: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    // boilerplate prefix shared by MANY docs -> its shingles go hot
+    val boiler = "common header line for every document"
+    val bases = (0 until 20).map { i =>
+      (if (i % 2 == 0) boiler + " " else "") +
+        Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    bases.zipWithIndex.flatMap { case (b, i) =>
+      val id = i.toLong * 10
+      val toks = b.split(" ")
+      // near-dup sibling: one token swapped
+      val edited = toks.updated(rnd.nextInt(toks.length), "omega").mkString(" ")
+      Seq(id -> b, (id + 1) -> edited)
+    }
+  }
+
+  test("nearDupJaccard equals brute-force capped-candidate exact Jaccard") {
+    for (seed <- Seq(1, 7, 42)) {
+      val docs = corpus(seed)
+      for (maxDf <- Seq(3, 100); threshold <- Seq(0.3, 0.5)) {
+        val want = bruteForce(docs, maxDf, threshold)
+        val got = runPipeline(docs, maxDf, threshold)
+        assert(got.map(p => (p._1, p._2)) == want.map(p => (p._1, p._2)),
+          s"seed=$seed maxDf=$maxDf t=$threshold: pair sets differ\n" +
+            s"only-spark=${got.map(p => (p._1, p._2)) -- want.map(p => (p._1, p._2))}\n" +
+            s"only-brute=${want.map(p => (p._1, p._2)) -- got.map(p => (p._1, p._2))}")
+        // jaccard values bit-equal (same double arithmetic both sides)
+        val wantMap = want.map(p => (p._1, p._2) -> p._3).toMap
+        got.foreach { case (d1, d2, j) =>
+          assert(j == wantMap((d1, d2)), s"jaccard mismatch for ($d1,$d2)")
+        }
+      }
+    }
+  }
+}
