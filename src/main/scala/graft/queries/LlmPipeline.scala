@@ -448,6 +448,25 @@ object LlmPipeline {
         .limit(20)
     }),
 
+    // sequence packing: chunk the doc stream into ~2048-token context
+    // bins per language stratum (bin = floor(running-total/2048), the
+    // distributed contiguous-fill packing; bins may slightly overflow —
+    // the price of a partitionable definition vs an inherently
+    // sequential exact first-fit). Partitioned by lang so no global
+    // single-reducer window exists at scale
+    "t9_sequence_pack" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", size(toks($"text")).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .withColumn("bin", ($"cum_before" / 2048).cast("long"))
+        .groupBy($"lang", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+        .orderBy($"lang", $"bin")
+    }),
+
     // benchmark decontamination: flag corpus docs sharing any word-8-gram
     // with the benchmark set (here: source 'src0') — the standard
     // eval-leakage check before training. Inverted-index join keyed by
@@ -767,6 +786,21 @@ object LlmPipeline {
         |)
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "t9_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split_regex(lower(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t
+        |)
+        |SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "d10_decontaminate" ->
       """WITH docs AS (
