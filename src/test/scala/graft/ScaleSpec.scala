@@ -48,6 +48,15 @@ class ScaleSpec extends SparkTestBase {
     assert(salted == direct)
   }
 
+  test("d7 IVF returns results when every cell exceeds the size cap") {
+    // regression guard: at sf0.1 (2000 vectors, 16 centroids) every cell
+    // holds >100 members; the round-4 whole-cell-drop cap zeroed the
+    // query here. List truncation must keep the search alive.
+    val n = SparkEntry.queries("d7_ann_ivf")(spark, "/root/testdata/sf0.1").count()
+    assert(n > 0, "d7 must not collapse to zero rows when cells outgrow the cap")
+    assert(n <= 2000, s"at most one neighbor row per query vector, got $n")
+  }
+
   test("partitioned layout enables partition pruning at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.lineitem(spark, sf0001)
