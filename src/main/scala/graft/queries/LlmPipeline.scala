@@ -96,7 +96,10 @@ object LlmPipeline {
     val kc = keys.map(col)
     val hot = index.groupBy(kc: _*).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).drop("df")
-    val idx = index.join(hot, keys, "left_anti")
+    // both sides of the self-join consume idx: materialize once instead
+    // of recomputing the upstream chain (for d3 that chain is the whole
+    // minhash signature pipeline) per side
+    val idx = index.join(hot, keys, "left_anti").localCheckpoint()
     val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
       col("a.doc_id") < col("b.doc_id")
     idx.as("a").join(idx.as("b"), joinCond)
@@ -117,7 +120,8 @@ object LlmPipeline {
   def nearDupJaccard(sh: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).drop("df")
-    val idx = sh.join(hot, Seq("shingle"), "left_anti")
+    // consumed three times (self-join a/b + rare counts) — materialize
+    val idx = sh.join(hot, Seq("shingle"), "left_anti").localCheckpoint()
     val full = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("rn"))
     val st = full.join(rare, Seq("doc_id"), "left")
