@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
 
@@ -51,6 +51,11 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
+
+  // pruning is per-partition (preservesPartitioning below): advertise the
+  // child's partitioning so a downstream window/join clustered on the same
+  // keys reuses the exchange instead of shuffling the survivors again
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, o, kk, schema) = (groupExprs, order, k, child.output)

@@ -456,8 +456,11 @@ object LlmPipeline {
     // bins per language stratum (bin = floor(running-total/2048), the
     // distributed contiguous-fill packing; bins may slightly overflow —
     // the price of a partitionable definition vs an inherently
-    // sequential exact first-fit). Partitioned by lang so no global
-    // single-reducer window exists at scale
+    // sequential exact first-fit). The window partitions by lang, which
+    // bounds parallelism by language cardinality — a real deployment
+    // sub-shards the stratum key (e.g. (lang, doc_id div N)) to spread
+    // a dominant language over reducers; kept single-key here so the
+    // oracle stays a plain window
     "t9_sequence_pack" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"lang").orderBy($"doc_id")
@@ -465,7 +468,9 @@ object LlmPipeline {
       Tables.documents(s, dir)
         .select($"doc_id", $"lang", size(toks($"text")).cast("long").as("n_tokens"))
         .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
-        .withColumn("bin", ($"cum_before" / 2048).cast("long"))
+        // integral div, not double `/` + cast: exact for any bin size
+        // (the cross-engine rounding trap in the project gotchas)
+        .withColumn("bin", expr("cum_before div 2048"))
         .groupBy($"lang", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
         .orderBy($"lang", $"bin")

@@ -127,6 +127,29 @@ object Format {
     * `to_json` path (JVM `toString`) so both paths emit identical bytes
     * for the same rows. */
   object GoJson {
+    /** One row (the hook's `Map[String, Any]`): sorted keys like the
+      * reference's map[string]any marshal; DIRECT values are top-level
+      * columns, where the distributed path re-formats timestamps to
+      * RFC3339Nano — everything deeper is `write` (nested) territory. */
+    def writeRow(m: scala.collection.Map[String, Any]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, x) => quote(k) + ":" + writeTop(x) }
+        .mkString("{", ",", "}")
+
+    /** A top-level column value: timestamps render RFC3339Nano (matching
+      * `JsonSink.objects`' rfc3339NanoRaw reformatting of top-level
+      * TimestampType columns); all other values share nested semantics. */
+    def writeTop(v: Any): String = v match {
+      case t: java.sql.Timestamp => quote(rfc3339Nano(t))
+      case i: java.time.Instant => quote(rfc3339NanoInstant(i))
+      case other => write(other)
+    }
+
+    /** A NESTED value (inside a struct, array, or map). Timestamps at
+      * any nesting depth use `to_json`'s DEFAULT rendering (millis,
+      * always 3 digits, Z) — the distributed path can only re-format
+      * top-level timestamp COLUMNS, so byte parity below the top level
+      * means matching what `to_json` does there, not RFC3339Nano. */
     def write(v: Any): String = v match {
       case null => "null"
       case s: String => quote(s)
@@ -140,30 +163,18 @@ object Format {
       case d: java.math.BigDecimal => d.toPlainString
       case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
       case b: Array[Byte] => quote(java.util.Base64.getEncoder.encodeToString(b))
-      case t: java.sql.Timestamp => quote(rfc3339Nano(t))
-      case i: java.time.Instant => quote(rfc3339NanoInstant(i))
+      case t: java.sql.Timestamp => quote(sparkJsonTs(t.toInstant))
+      case i: java.time.Instant => quote(sparkJsonTs(i))
       // dates marshal as the same "yyyy-MM-dd" string `to_json` emits
       case d: java.sql.Date => quote(d.toString)
       case d: java.time.LocalDate => quote(d.toString)
-      // nested structs keep SCHEMA order (matching the distributed
-      // `to_json` path byte-for-byte); only the top-level object is a
-      // sorted map, mirroring the reference's map[string]any marshal.
-      // Timestamps NESTED in a struct use to_json's DEFAULT rendering
-      // (millis, always 3 digits, Z) — the distributed path can only
-      // re-format top-level timestamp columns, so parity inside structs
-      // means matching what to_json does there, not RFC3339Nano
+      // nested structs keep SCHEMA order (matching `to_json`)
       case r: org.apache.spark.sql.Row =>
         val sch = r.schema
         require(sch != null, "nested Row without schema on the JSON driver path")
         sch.fields.zipWithIndex
           .map { case (f, i) =>
-            val v = if (r.isNullAt(i)) null else r.get(i)
-            val written = v match {
-              case t: java.sql.Timestamp => quote(sparkJsonTs(t.toInstant))
-              case inst: java.time.Instant => quote(sparkJsonTs(inst))
-              case other => write(other)
-            }
-            quote(f.name) + ":" + written
+            quote(f.name) + ":" + write(if (r.isNullAt(i)) null else r.get(i))
           }
           .mkString("{", ",", "}")
       case m: scala.collection.Map[_, _] =>
@@ -177,20 +188,18 @@ object Format {
 
     def rfc3339Nano(ts: java.sql.Timestamp): String = rfc3339NanoInstant(ts.toInstant)
 
+    private val secondsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+
     /** Spark `to_json`'s default timestamp rendering: exactly 3 fraction
       * digits (micros truncated to millis) and `Z` at UTC — what nested
-      * struct timestamps get on the distributed path. */
-    def sparkJsonTs(instant: java.time.Instant): String = {
-      val base = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-        .withZone(java.time.ZoneOffset.UTC).format(instant)
-      f"$base.${instant.getNano / 1000000}%03dZ"
-    }
+      * timestamps get on the distributed path. */
+    def sparkJsonTs(instant: java.time.Instant): String =
+      f"${secondsFmt.format(instant)}.${instant.getNano / 1000000}%03dZ"
 
     def rfc3339NanoInstant(instant: java.time.Instant): String = {
-      val base = java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-        .withZone(java.time.ZoneOffset.UTC).format(instant)
+      val base = secondsFmt.format(instant)
       val nanos = instant.getNano
       if (nanos == 0) base + "Z"
       else base + "." + f"$nanos%09d".reverse.dropWhile(_ == '0').reverse + "Z"

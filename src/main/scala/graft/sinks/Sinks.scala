@@ -258,7 +258,7 @@ object JsonSink {
         val (rewritten, keep) = hook(rowID, m)
         if (keep) {
           rowID += 1; emitted += 1
-          Some(Format.GoJson.write(rewritten))
+          Some(Format.GoJson.writeRow(rewritten))
         } else None
       }
     }

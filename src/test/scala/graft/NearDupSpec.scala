@@ -1,7 +1,6 @@
 package graft
 
 import graft.queries.LlmPipeline
-import graft.sources.Slice
 
 /** Defends the d2 near-dup algebra end to end against an independent
   * brute-force implementation: capped-candidate generation (pairs sharing

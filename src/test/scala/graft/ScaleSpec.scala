@@ -52,7 +52,7 @@ class ScaleSpec extends SparkTestBase {
     // regression guard: at sf0.1 (2000 vectors, 16 centroids) every cell
     // holds >100 members; the round-4 whole-cell-drop cap zeroed the
     // query here. List truncation must keep the search alive.
-    val n = SparkEntry.queries("d7_ann_ivf")(spark, "/root/testdata/sf0.1").count()
+    val n = SparkEntry.queries("d7_ann_ivf")(spark, sf01).count()
     assert(n > 0, "d7 must not collapse to zero rows when cells outgrow the cap")
     assert(n <= 2000, s"at most one neighbor row per query vector, got $n")
   }

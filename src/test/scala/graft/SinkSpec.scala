@@ -167,23 +167,26 @@ class SinkSpec extends SparkTestBase {
       StructField("s", StructType(Seq(
         StructField("z_last", IntegerType),   // schema order != sorted order:
         StructField("a_first", StringType),   // nested structs keep SCHEMA order
-        StructField("t", TimestampType))))    // nested ts: to_json's default form
+        StructField("t", TimestampType)))),   // nested ts: to_json's default form
+      StructField("arr", ArrayType(TimestampType)) // array-nested ts: same form
     ))
     val rows = Seq(
       Row(1, java.sql.Date.valueOf("2024-03-01"),
-        Row(7, "x", java.sql.Timestamp.valueOf("2024-03-01 10:00:00.123456"))),
-      Row(2, java.sql.Date.valueOf("1999-12-31"), null),
-      Row(3, null, Row(null, "<y>", null)))
+        Row(7, "x", java.sql.Timestamp.valueOf("2024-03-01 10:00:00.123456")),
+        Seq(java.sql.Timestamp.valueOf("2024-03-01 11:00:00.5"))),
+      Row(2, java.sql.Date.valueOf("1999-12-31"), null, Seq.empty),
+      Row(3, null, Row(null, "<y>", null), null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows), schema)
     val plain = JsonSink.writeString(df.orderBy("id"), JsonOptions(newlineDelimited = true))
     val hooked = JsonSink.writeString(df.orderBy("id"), JsonOptions(newlineDelimited = true,
       preProcessor = Some((_, row) => (row, true))))
     assert(plain.contains("\"d\":\"2024-03-01\""), plain)
-    // nested timestamp renders in to_json's default form (millis, Z) on
-    // BOTH paths — micros truncate to 3 digits
+    // nested timestamps (struct fields AND array elements) render in
+    // to_json's default form (millis, Z) on BOTH paths — micros truncate
     assert(plain.contains(
       "{\"z_last\":7,\"a_first\":\"x\",\"t\":\"2024-03-01T10:00:00.123Z\"}"), plain)
+    assert(plain.contains("[\"2024-03-01T11:00:00.500Z\"]"), plain)
     assert(hooked == plain, s"hooked=$hooked plain=$plain")
   }
 

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf0001 = "/root/testdata/sf0.001"
+  def sf01 = "/root/testdata/sf0.1"
 }
 
 object SparkTestBase {
