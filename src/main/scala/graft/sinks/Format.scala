@@ -142,6 +142,12 @@ object Format {
     def writeTop(v: Any): String = v match {
       case t: java.sql.Timestamp => quote(rfc3339Nano(t))
       case i: java.time.Instant => quote(rfc3339NanoInstant(i))
+      // TimestampNTZ surfaces as LocalDateTime; the distributed path
+      // (`rfc3339NanoRaw`) formats NTZ like a UTC instant (probe-pinned:
+      // "…T10:00:00Z", fraction trimmed) under the UTC session zone the
+      // graft sessions run with
+      case ldt: java.time.LocalDateTime =>
+        quote(rfc3339NanoInstant(ldt.toInstant(java.time.ZoneOffset.UTC)))
       case other => write(other)
     }
 
@@ -165,6 +171,9 @@ object Format {
       case b: Array[Byte] => quote(java.util.Base64.getEncoder.encodeToString(b))
       case t: java.sql.Timestamp => quote(sparkJsonTs(t.toInstant))
       case i: java.time.Instant => quote(sparkJsonTs(i))
+      // nested TimestampNTZ: `to_json` default = millis, NO zone suffix
+      // (probe-pinned: "2024-03-01T10:00:00.000")
+      case ldt: java.time.LocalDateTime => quote(sparkJsonTsNtz(ldt))
       // dates marshal as the same "yyyy-MM-dd" string `to_json` emits
       case d: java.sql.Date => quote(d.toString)
       case d: java.time.LocalDate => quote(d.toString)
@@ -197,6 +206,11 @@ object Format {
       * timestamps get on the distributed path. */
     def sparkJsonTs(instant: java.time.Instant): String =
       f"${secondsFmt.format(instant)}.${instant.getNano / 1000000}%03dZ"
+
+    /** `to_json`'s default TimestampNTZ rendering: exactly 3 fraction
+      * digits and no zone suffix (a naive wall-clock value). */
+    def sparkJsonTsNtz(ldt: java.time.LocalDateTime): String =
+      f"${ldt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))}.${ldt.getNano / 1000000}%03d"
 
     def rfc3339NanoInstant(instant: java.time.Instant): String = {
       val base = secondsFmt.format(instant)

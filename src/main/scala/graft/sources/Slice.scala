@@ -100,7 +100,15 @@ object Slice {
           val md = conn.prepareStatement(query).getMetaData
           (1 to md.getColumnCount).map(i => Option(md.getColumnTypeName(i)))
         } finally conn.close()
-      } catch { case _: Exception => Seq.fill(df.schema.length)(None) }
+      } catch {
+        case e: Exception =>
+          // degrade to Spark type names only — but observably, so a
+          // misconfigured driver/auth isn't mistaken for success
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"source-metadata probe failed for $url — " +
+              s"DatabaseTypeName unavailable, falling back to Spark type names: $e")
+          Seq.fill(df.schema.length)(None)
+      }
     import org.apache.spark.sql.functions.col
     val enriched = df.schema.fields.zip(typeNames).map { case (f, tn) =>
       val mb = new MetadataBuilder().withMetadata(f.metadata)

@@ -190,6 +190,38 @@ class SinkSpec extends SparkTestBase {
     assert(hooked == plain, s"hooked=$hooked plain=$plain")
   }
 
+  test("json: identity hook matches distributed bytes on NTZ + fraction edges") {
+    // pins the '.000Z' whole-second and '.001Z' nested-timestamp bytes
+    // (sparkJsonTs's exactly-3-digit assumption) and the TimestampNTZ
+    // path: top-level NTZ renders RFC3339Nano with Z, nested NTZ renders
+    // to_json's default (3 digits, NO zone suffix)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("ntz", TimestampNTZType),
+      StructField("s", StructType(Seq(
+        StructField("t", TimestampType),
+        StructField("n", TimestampNTZType))))))
+    val rows = Seq(
+      Row(1, java.time.LocalDateTime.parse("2024-03-01T10:00:00"),
+        Row(java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+          java.time.LocalDateTime.parse("2024-03-01T10:00:00"))),
+      Row(2, java.time.LocalDateTime.parse("2024-03-01T10:00:00.001"),
+        Row(java.sql.Timestamp.valueOf("2024-03-01 10:00:00.001"),
+          java.time.LocalDateTime.parse("2024-03-01T10:00:00.001"))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema).orderBy("id")
+    val plain = JsonSink.writeString(df, JsonOptions(newlineDelimited = true))
+    val hooked = JsonSink.writeString(df, JsonOptions(newlineDelimited = true,
+      preProcessor = Some((_, row) => (row, true))))
+    assert(plain.contains("\"ntz\":\"2024-03-01T10:00:00Z\""), plain)
+    assert(plain.contains("\"ntz\":\"2024-03-01T10:00:00.001Z\""), plain)
+    assert(plain.contains("{\"t\":\"2024-03-01T10:00:00.000Z\",\"n\":\"2024-03-01T10:00:00.000\"}"), plain)
+    assert(plain.contains("{\"t\":\"2024-03-01T10:00:00.001Z\",\"n\":\"2024-03-01T10:00:00.001\"}"), plain)
+    assert(hooked == plain, s"hooked=$hooked plain=$plain")
+  }
+
   test("json: <>& escape like the Go std encoder on both paths") {
     val df = Slice.fromData(spark, Seq(Seq("<b>&x</b>")))
     val want = "{\"column_0\":\"\\u003cb\\u003e\\u0026x\\u003c/b\\u003e\"}\n"
