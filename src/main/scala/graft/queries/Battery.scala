@@ -461,6 +461,56 @@ object Battery {
         .select($"l_orderkey", $"l_linenumber", lit("lo").as("tag"))
       hi.unionAll(lo).orderBy($"tag", $"l_orderkey", $"l_linenumber")
     }),
+
+    // distribution windows: ntile / percent_rank / cume_dist — the
+    // remaining ranking family (q7 covers row_number/rank). Partition by
+    // market segment; the ORDER BY carries c_custkey so ties are
+    // deterministic across engines
+    "q39_ntile_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment",
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"c_custkey")
+    }),
+
+    // columnar-format interchange: write ORC, read it back, aggregate —
+    // the [EXT] file-scan surface beyond parquet (ORC is Spark-native;
+    // the oracle computes the same aggregate from the parquet source,
+    // so the roundtrip must be lossless)
+    "q40_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+        .resolve("out").toString
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy($"l_returnflag")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // partitioned layout: write documents hive-partitioned by lang, read
+    // ONE partition back — at 100 TB the lang='en' predicate prunes to
+    // the en/ directory (no full scan; `PartitionFilters` in the plan),
+    // the layout a real corpus store uses for per-language passes
+    "q41_partitioned_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+        .resolve("out").toString
+      Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"))
+        .orderBy($"source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -708,5 +758,26 @@ object Battery {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q39_ntile_window" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q40_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q41_partitioned_pruned" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -75,15 +75,30 @@ object LlmPipeline {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
 
-  /** Materialized (doc_id, shingle) index: `localCheckpoint` instead of
-    * `cache()` — the plan reuses the index several times per query, but a
-    * cached plan registered inside a query closure can never be
-    * unpersisted by the caller (Bench invokes each closure 3×, and the
-    * CacheManager holds cached plans forever — the round-3 bench-wide
-    * leak). Checkpoint blocks are dropped by the ContextCleaner as soon
-    * as the returned plan is unreferenced. */
+  /** Materialize an intermediate that the rest of the plan consumes
+    * several times. `localCheckpoint` instead of `cache()` — a cached
+    * plan registered inside a query closure can never be unpersisted by
+    * the caller (Bench invokes each closure 3×, and the CacheManager
+    * holds cached plans forever — the round-3 bench-wide leak);
+    * checkpoint blocks are dropped by the ContextCleaner as soon as the
+    * returned plan is unreferenced.
+    *
+    * Reliability tradeoff at scale: localCheckpoint truncates lineage
+    * into NON-reliable executor block storage, so on a real cluster an
+    * executor loss makes the blocks unrecoverable and fails the query
+    * (a cache miss would just recompute). Set
+    * `graft.checkpoint.reliable=true` (plus
+    * `sparkContext.setCheckpointDir` to a DFS path) to trade executor
+    * memory/replay risk for a reliable distributed-FS checkpoint on the
+    * 100 TB path. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.checkpoint.reliable").exists(_.toBoolean))
+      df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Materialized (doc_id, shingle) index (see [[materialize]]). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleIndex(Tables.documents(s, dir)).localCheckpoint()
+    materialize(shingleIndex(Tables.documents(s, dir)))
 
   /** Candidate pairs from an inverted index: drop hot keys (document
     * frequency > maxDf) with an anti-join, then self-join inside the
@@ -99,7 +114,7 @@ object LlmPipeline {
     // both sides of the self-join consume idx: materialize once instead
     // of recomputing the upstream chain (for d3 that chain is the whole
     // minhash signature pipeline) per side
-    val idx = index.join(hot, keys, "left_anti").localCheckpoint()
+    val idx = materialize(index.join(hot, keys, "left_anti"))
     val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
       col("a.doc_id") < col("b.doc_id")
     idx.as("a").join(idx.as("b"), joinCond)
@@ -121,7 +136,7 @@ object LlmPipeline {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).drop("df")
     // consumed three times (self-join a/b + rare counts) — materialize
-    val idx = sh.join(hot, Seq("shingle"), "left_anti").localCheckpoint()
+    val idx = materialize(sh.join(hot, Seq("shingle"), "left_anti"))
     val full = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("rn"))
     val st = full.join(rare, Seq("doc_id"), "left")
@@ -313,7 +328,7 @@ object LlmPipeline {
       val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid".asc)
       // materialized once (consumed by both cells and probes); checkpoint
       // blocks are ContextCleaner-freed, unlike closure-local cache()
-      val ranked = sims.withColumn("rn", row_number().over(w)).localCheckpoint()
+      val ranked = materialize(sims.withColumn("rn", row_number().over(w)))
       val cells = ranked.filter($"rn" === 1).select($"vec_id", $"cid")
       // bounded inverted lists (real-IVF list truncation): keep at most
       // MaxBucketSize members per cell, deterministically by vec_id,
@@ -591,6 +606,68 @@ object LlmPipeline {
         .join(payloads.select($"doc_id", md5($"payload").as("digest")), "doc_id")
         .select($"doc_id", $"n_bytes", $"digest", $"width", $"height")
         .orderBy($"doc_id")
+    }),
+
+    // PII scrub: mask digit runs (IDs, account numbers — the PII-shaped
+    // tokens the customer fixture actually contains) and count the
+    // redactions per row. Pure projection — fuses into whole-stage
+    // codegen, no shuffle: the shape of a redaction pass over 100 TB
+    "t10_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          regexp_replace($"c_name", "[0-9]{3,}", "<ID>").as("scrubbed"),
+          expr("size(regexp_extract_all(c_name, '[0-9]{3,}', 0))")
+            .cast("long").as("n_redacted"),
+          (length($"c_name") -
+            length(regexp_replace($"c_name", "[0-9]", "")))
+            .cast("long").as("n_digit_chars"))
+        .orderBy($"c_custkey")
+    }),
+
+    // deterministic train/val/test split: the first hex char of
+    // md5(doc_id) buckets every doc 12/2/2 (75% / 12.5% / 12.5%) —
+    // reproducible across engines, runs and reshards (no RNG, no
+    // ordering dependence), and a pure projection before the stats agg
+    "d11_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.documents(s, dir)
+        .select(
+          when(h < "c", "train").when(h < "e", "val").otherwise("test")
+            .as("split"),
+          $"n_chars")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"split")
+    }),
+
+    // composite cleaning pipeline — the end-to-end shape a pretraining
+    // corpus pass takes: token-count floor → repetition ceiling (Gopher
+    // bigram rule, t7's metric as a FILTER) → exact dedup (d1) → per-lang
+    // corpus stats (t1). Everything before the final agg is projections
+    // + one hash-groupBy: no window, no self-join
+    "p1_clean_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"text", toks($"text").as("toks"))
+        .select($"doc_id", $"lang", $"text",
+          size($"toks").cast("long").as("n_tokens"), $"toks")
+        // token floor FIRST: bigram slice needs >=2 tokens to be defined
+        .filter($"n_tokens" >= 10)
+        .withColumn("bigrams", expr(
+          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
+        .withColumn("rep_ratio",
+          lit(1.0) - size(array_distinct($"bigrams")).cast("double") /
+            size($"bigrams"))
+      val kept = scored.filter($"rep_ratio" <= 0.8)
+      val dedup = kept
+        .groupBy(md5($"text").as("fp"))
+        .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"),
+          min($"n_tokens").as("n_tokens"))
+      dedup.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+        .orderBy($"lang")
     }),
   )
 
@@ -875,5 +952,42 @@ object LlmPipeline {
         |  64 + (ascii(substr(text, 1, 1)) % 64) AS width,
         |  64 + (octet_length(encode(text)) % 64) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_pii_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]{3,}')) AS BIGINT) AS n_redacted,
+        |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_digit_chars
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "d11_hash_split" ->
+      """SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT CASE
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+        |    ELSE 'test' END AS split, n_chars
+        |  FROM documents) t
+        |GROUP BY split ORDER BY split""".stripMargin,
+
+    "p1_clean_corpus" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    list_transform(range(len(string_split_regex(lower(text), '\s+')) - 1),
+        |      i -> array_to_string((string_split_regex(lower(text), '\s+'))[i+1:i+2], ' ')) AS bigrams
+        |  FROM documents
+        |),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tokens >= 10
+        |    AND 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) <= 0.8
+        |),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_tokens) AS n_tokens
+        |  FROM kept GROUP BY md5(text)
+        |)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
