@@ -98,6 +98,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("t10_pii_scrub: redaction is a shuffle-free codegen projection") {
+    assert(!finalPlan("t10_pii_scrub").contains("Exchange hashpartitioning"),
+      "PII scrub must not shuffle: " + finalPlan("t10_pii_scrub"))
+  }
+
+  test("q41_partitioned_pruned: lang predicate prunes to one partition dir") {
+    val p = plan("q41_partitioned_pruned")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert(p.contains("= en)"), p)
+    // the predicate is pure partition pruning — nothing left to push
+    // into the row groups, and lang itself is not read as data
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"), p)
+  }
+
+  test("p1_clean_corpus: composite clean is projections + two aggs, no join") {
+    val p = finalPlan("p1_clean_corpus")
+    assert(!p.contains("Join"), "cleaning pass must not join: " + p)
+    assert(!p.contains("Window"), "cleaning pass must not window: " + p)
+    val aggExchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges == 2, s"expected dedup+stats exchanges, got $aggExchanges: $p")
+  }
+
   test("LSH paths never degenerate into a cartesian product") {
     assert(!plan("d3_dedup_minhash_lsh").contains("CartesianProduct"))
     assert(!plan("d6_ann_lsh").contains("CartesianProduct"))
