@@ -52,13 +52,17 @@ object Bench {
       (name, math.min(t1, t2), e1.orElse(e2))
     }
 
-    val qs = results.map { case (k, v, _) => s""""${esc(k)}":$v""" }
+    // ms precision keeps the line short, and the headline total goes LAST:
+    // the round artifact stores only the tail of this process's output, so
+    // a long queries map must not push the total out of the window.
+    def r(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s""""${esc(k)}":${r(v)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failures":$failures,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"queries":$qs,"errors":$errs,"failures":$failures,"sf":"${esc(sfDir)}","metric":"total","unit":"sec","value":${r(total)}}""")
     spark.stop()
   }
 }

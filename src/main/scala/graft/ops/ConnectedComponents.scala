@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation
+  * with pointer jumping — the step a dedup pipeline runs AFTER near-dup
+  * pair generation, to collapse pairwise matches (A~B, B~C) into
+  * clusters (A,B,C share one representative) so exactly one document
+  * per duplicate cluster survives.
+  *
+  * Algorithm (public star-contraction family — Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14):
+  * every node starts labeled with its own id; each round a node takes
+  * the minimum label among itself and its neighbors, then "pointer
+  * jumps" (adopts its label-node's label). Neighbor-min alone needs
+  * O(diameter) rounds; the jump step contracts label chains
+  * logarithmically, so convergence is O(log d) shuffle rounds — at
+  * 100 TB a duplicate-cluster graph has small components and this
+  * terminates in a handful of rounds regardless of total edge count.
+  * The fixpoint is unique (min node id per component), so the result
+  * does not depend on the round count — safe to compare bit-for-bit
+  * against a transitive-closure oracle.
+  *
+  * Each round is two shuffle joins + an aggregation, all on node-id
+  * keys; the per-round result is materialized (see [[Materialize]]) to
+  * truncate the otherwise exponentially growing lineage.
+  */
+object ConnectedComponents {
+
+  /** Label every node of `edges` (cols `src`, `dst`) with the minimum
+    * node id reachable from it. Returns (`node`, `label`). Nodes not
+    * appearing in any edge are absent — callers union singletons back
+    * if needed. */
+  def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b")).filter(col("a") =!= col("b"))
+    // symmetrize once; every round joins against it
+    val sym = Materialize(e.union(e.select(col("b"), col("a"))))
+    var labels = Materialize(
+      sym.select(col("a").as("node")).distinct().withColumn("label", col("node")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("cand"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("node").as("l"), col("label").as("ll")).as("y"),
+          col("x.label") === col("y.l"), "left")
+        .select(col("x.node").as("node"), coalesce(col("y.ll"), col("x.label")).as("label"))
+      val next = Materialize(jumped)
+      changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+}

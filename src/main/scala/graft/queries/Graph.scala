@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ConnectedComponents, Materialize}
+import graft.sources.Tables
+
+/** Graph-shaped corpus operators: duplicate-CLUSTER resolution on top of
+  * the pairwise near-dup output (d2/d3 emit pairs; a real pipeline must
+  * then pick one representative per transitive cluster — A~B and B~C
+  * put A,B,C in one cluster even when A,C were never compared).
+  *
+  * Edge generation reuses the inverted-index + hot-key-cap shape of the
+  * near-dup family (shuffle keyed by shingle, never all-pairs); the
+  * component resolution is [[graft.ops.ConnectedComponents]] — O(log d)
+  * shuffle rounds, no driver-side graph. The oracle replays the same
+  * edges through a DuckDB recursive CTE (transitive closure is fine at
+  * oracle scale; the Spark side never materializes it).
+  */
+object Graph {
+
+  /** Doc pairs sharing >= `minShared` distinct 3-gram shingles, hot
+    * shingles (df > maxDf) excluded from candidate generation — same
+    * posture as d2/d3: one boilerplate shingle must not emit O(k²)
+    * pairs. */
+  private def sharedShingleEdges(docs: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"))
+        .as("shingle"))
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).drop("df")
+    val idx = Materialize(sh.join(hot, Seq("shingle"), "left_anti"))
+    idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("d1"), col("d2"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // transitive duplicate clusters: every doc in a near-dup component
+    // labeled with the component's minimum doc_id
+    "cc1_dup_clusters" -> ((s, dir) => {
+      val edges = sharedShingleEdges(Tables.documents(s, dir), minShared = 5, maxDf = 100)
+      ConnectedComponents.run(edges, "d1", "d2")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cc1_dup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |)
+        |SELECT node AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -90,11 +90,8 @@ object LlmPipeline {
     * `graft.checkpoint.reliable=true` (plus
     * `sparkContext.setCheckpointDir` to a DFS path) to trade executor
     * memory/replay risk for a reliable distributed-FS checkpoint on the
-    * 100 TB path. */
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption("graft.checkpoint.reliable").exists(_.toBoolean))
-      df.checkpoint()
-    else df.localCheckpoint()
+    * 100 TB path. (Shared logic: [[graft.ops.Materialize]].) */
+  private def materialize(df: DataFrame): DataFrame = graft.ops.Materialize(df)
 
   /** Materialized (doc_id, shingle) index (see [[materialize]]). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
@@ -642,6 +639,63 @@ object LlmPipeline {
         .orderBy($"split")
     }),
 
+    // Bloom-prefiltered decontamination — the SCALE path of d10: the
+    // benchmark 8-gram set is folded into a Bloom filter on the
+    // executors (distributed aggregation; only the ~1 MB bitset reaches
+    // the driver), broadcast back, and the corpus side is prefiltered
+    // by a cheap membership probe BEFORE the shuffle join. Only the
+    // surviving sliver (true hits + Bloom false positives) pays the
+    // exact verification join, so the result is still EXACT — the
+    // oracle is a plain anti-join. At 100 TB this turns a
+    // corpus-sized shuffle into a corpus-sized map-side scan plus a
+    // tiny join.
+    "d12_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val grams = docs
+        .select($"doc_id", $"source", toks($"text").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", $"source", explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          .as("g"))
+      val bench = grams.filter($"source" === "src0").select($"g").distinct()
+      // size generously; a production run would seed expectedNumItems
+      // from an approx_count_distinct pre-pass
+      val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightHit = udf((g: String) => bc.value.mightContainString(g))
+      val hits = grams.filter($"source" =!= "src0")
+        .filter(mightHit($"g"))
+        .join(bench, "g")
+        .select($"doc_id").distinct()
+      docs.filter($"source" =!= "src0")
+        .join(hits, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // distinctive terms per document — the tf·idf family ranking with an
+    // integer-scaled tf/df weight (parts-per-million, integer division)
+    // so the ranking is bit-deterministic across engines (no libm log in
+    // the sort key). Two hash aggregations + one term-keyed join + one
+    // doc-keyed window: every stage shuffles on a bounded key space
+    "t11_distinctive_terms" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.documents(s, dir)
+        .select($"doc_id", explode(toks($"text")).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      // tf is already distinct per (doc, term): df is a count over it
+      val dfc = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfc, "term")
+        .withColumn("score_ppm", expr("(tf * 1000000) div df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score_ppm".desc, $"term".asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"rn", $"term", $"tf", $"df", $"score_ppm")
+        .orderBy($"doc_id", $"rn")
+    }),
+
     // composite cleaning pipeline — the end-to-end shape a pretraining
     // corpus pass takes: token-count floor → repetition ceiling (Gopher
     // bigram rule, t7's metric as a FILTER) → exact dedup (d1) → per-lang
@@ -969,6 +1023,36 @@ object LlmPipeline {
         |    ELSE 'test' END AS split, n_chars
         |  FROM documents) t
         |GROUP BY split ORDER BY split""".stripMargin,
+
+    "d12_bloom_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(len(toks)-7), i -> array_to_string(toks[i+1:i+8], ' ')))) AS g
+        |  FROM (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) >= 8
+        |),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |hits AS (SELECT DISTINCT a.doc_id FROM g a JOIN bench b USING (g) WHERE a.source <> 'src0')
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "t11_distinctive_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df, (t.tf * 1000000) // d.df AS score_ppm
+        |  FROM tf t JOIN df d USING (term)
+        |),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, rn, term, tf, df, score_ppm
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "p1_clean_corpus" ->
       """WITH scored AS (

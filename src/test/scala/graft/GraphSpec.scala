@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.ConnectedComponents
+
+/** Unit coverage for the connected-components operator backing
+  * cc1_dup_clusters (transitive duplicate-cluster resolution). */
+class GraphSpec extends SparkTestBase {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    ConnectedComponents.run(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain collapses to its minimum id across multiple hops") {
+    // 1-2-3-4-5 is a 4-hop chain: only transitive closure finds 5 -> 1
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep distinct representatives") {
+    assert(cc(Seq((2L, 1L), (10L, 11L), (11L, 12L), (7L, 7L))) ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("edge direction does not matter") {
+    assert(cc(Seq((5L, 4L), (3L, 4L), (3L, 2L))) ===
+      Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("self-loops are ignored, not components") {
+    // (7,7) above contributed no node; an all-self-loop input is empty
+    assert(cc(Seq((7L, 7L))) === Map.empty[Long, Long])
+  }
+
+  test("cc1_dup_clusters: every cluster id is the minimum doc_id of its cluster") {
+    val out = SparkEntry.queries("cc1_dup_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    byCluster.foreach { case (cid, minDoc) => assert(cid === minDoc) }
+    // labels reference real members: each cluster contains its own id
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).contains(cid))
+    }
+  }
+}
