@@ -36,24 +36,30 @@ object ConnectedComponents {
     val e = edges.select(col(src).as("a"), col(dst).as("b")).filter(col("a") =!= col("b"))
     // symmetrize once; every round joins against it
     val sym = Materialize(e.union(e.select(col("b"), col("a"))))
+    // fused round 0: label = min(self, direct neighbors) — one groupBy
+    // instead of a full join round, and it usually saves an iteration
     var labels = Materialize(
-      sym.select(col("a").as("node")).distinct().withColumn("label", col("node")))
+      sym.groupBy(col("a").as("node")).agg(min(col("b")).as("mb"))
+        .select(col("node"), least(col("node"), col("mb")).as("label")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min(col("nl")).as("cand"))
+      // carry the previous label so convergence detection is a filter
+      // over the materialized round result, not another join
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
       val jumped = stepped.as("x")
         .join(stepped.select(col("node").as("l"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.l"), "left")
-        .select(col("x.node").as("node"), coalesce(col("y.ll"), col("x.label")).as("label"))
+        .select(col("x.node").as("node"), col("x.old").as("old"),
+          coalesce(col("y.ll"), col("x.label")).as("label"))
       val next = Materialize(jumped)
-      changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
       rounds += 1
     }
     if (changed > 0)

@@ -97,6 +97,21 @@ object LlmPipeline {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     materialize(shingleIndex(Tables.documents(s, dir)))
 
+  /** 60-bit SimHash fingerprint per document — one vote-array buffer per
+    * doc via [[graft.functions.SimHashAgg]] (single aggregation pass, no
+    * per-bit shuffle rows). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val simhash = udaf(graft.functions.SimHashAgg, org.apache.spark.sql.Encoders.STRING)
+    Tables.documents(s, dir)
+      // generators must sit at the top level of a projection: explode
+      // first, hash in the next select
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .select($"doc_id", md5($"tok").as("h"))
+      .groupBy($"doc_id")
+      .agg(simhash($"h").as("simhash"))
+  }
+
   /** Candidate pairs from an inverted index: drop hot keys (document
     * frequency > maxDf) with an anti-join, then self-join inside the
     * surviving key groups. Never all-pairs; never quadratic in a hot
@@ -104,7 +119,14 @@ object LlmPipeline {
     * distinct keys over the cap) is unbounded at 100 TB — common
     * trigrams alone could blow a forced broadcast. AQE broadcasts it at
     * runtime when it is actually small. */
-  def candidatePairs(index: DataFrame, keys: Seq[String], maxDf: Int): DataFrame = {
+  def candidatePairs(index: DataFrame, keys: Seq[String], maxDf: Int): DataFrame =
+    candidatePairsWith(index, keys, maxDf, Nil)
+
+  /** [[candidatePairs]] carrying extra per-doc columns through the
+    * self-join as `d1_<c>` / `d2_<c>` — saves the two doc-keyed re-join
+    * shuffles a verify step would otherwise pay to recover them. */
+  def candidatePairsWith(index: DataFrame, keys: Seq[String], maxDf: Int,
+                         carry: Seq[String]): DataFrame = {
     val kc = keys.map(col)
     val hot = index.groupBy(kc: _*).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).drop("df")
@@ -114,8 +136,9 @@ object LlmPipeline {
     val idx = materialize(index.join(hot, keys, "left_anti"))
     val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
       col("a.doc_id") < col("b.doc_id")
-    idx.as("a").join(idx.as("b"), joinCond)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val sel = Seq(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")) ++
+      carry.flatMap(c => Seq(col(s"a.$c").as(s"d1_$c"), col(s"b.$c").as(s"d2_$c")))
+    idx.as("a").join(idx.as("b"), joinCond).select(sel: _*).distinct()
   }
 
   /** Near-dup pairs by exact word-shingle Jaccard ≥ threshold, candidates
@@ -234,15 +257,34 @@ object LlmPipeline {
     // one partial vote-array row per doc instead of 60 vote rows
     "d4_simhash" -> ((s, dir) => {
       import s.implicits._
-      val simhash = udaf(graft.functions.SimHashAgg, org.apache.spark.sql.Encoders.STRING)
-      Tables.documents(s, dir)
-        // generators must sit at the top level of a projection: explode
-        // first, hash in the next select
-        .select($"doc_id", explode(toks($"text")).as("tok"))
-        .select($"doc_id", md5($"tok").as("h"))
-        .groupBy($"doc_id")
-        .agg(simhash($"h").as("simhash"))
-        .orderBy($"doc_id")
+      simhashes(s, dir).orderBy($"doc_id")
+    }),
+
+    // SimHash NEAR-DUP pairs at Hamming distance <= 3 — the retrieval
+    // step d4's fingerprints exist for. Multi-index pigeonhole blocking
+    // (Manku et al., WWW'07 shape): the 60-bit fingerprint splits into
+    // 4 bands of 15 bits; any pair within distance 3 differs in at most
+    // 3 bands and therefore MATCHES exactly in at least one — so a
+    // band-equality self-join finds every qualifying pair (exact, not
+    // approximate), and only candidates sharing a band pay the popcount
+    // verify. Candidates shuffle on (band, value) — never all-pairs —
+    // with the same hot-bucket cap as d3 (a mass-duplicated fingerprint
+    // would otherwise emit O(k²) pairs in one reducer; the oracle
+    // applies the identical cap).
+    "d13_simhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val sh = materialize(simhashes(s, dir))
+      val bands = sh.select($"doc_id", $"simhash",
+          posexplode(array((0 until 4).map(i =>
+            $"simhash".cast("long").bitwiseAND(lit(32767L) * lit(1L << (15 * i)))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      val cand = candidatePairsWith(bands, Seq("band", "bval"), MaxBucketSize,
+        Seq("simhash"))
+      cand
+        .withColumn("hamming", bit_count($"d1_simhash".bitwiseXOR($"d2_simhash")))
+        .filter($"hamming" <= 3)
+        .select($"d1", $"d2", $"hamming")
+        .orderBy($"d1", $"d2")
     }),
 
     // similarity search baseline: brute-force cosine top-5 neighbors
@@ -819,6 +861,41 @@ object LlmPipeline {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d13_simhash_neardup" ->
+      s"""WITH tokens AS (
+        |  SELECT doc_id, md5(unnest(string_split_regex(lower(text), '\\s+'))) AS h
+        |  FROM documents
+        |),
+        |bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |    ((strpos('0123456789abcdef', substr(h, (b.b // 4)+1, 1))-1) >> (b.b % 4)) & 1 AS bit
+        |  FROM tokens CROSS JOIN (SELECT unnest(range(60)) AS b) b
+        |),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(bit*2 - 1) AS vote FROM bits GROUP BY doc_id, b
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id
+        |),
+        |bands AS (
+        |  SELECT doc_id, simhash, bb.b AS band,
+        |    simhash & (32767::BIGINT << (15*bb.b)) AS bval
+        |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+        |),
+        |okb AS (
+        |  SELECT band, bval FROM bands GROUP BY band, bval HAVING count(*) <= $MaxBucketSize
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+        |  FROM bands a
+        |  JOIN okb o ON a.band = o.band AND a.bval = o.bval
+        |  JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2""".stripMargin,
 
     "d5_cosine_topk" ->
       """WITH e AS (
