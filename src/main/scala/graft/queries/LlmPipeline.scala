@@ -560,12 +560,10 @@ object LlmPipeline {
       Tables.documents(s, dir)
         .select($"doc_id", toks($"text").as("toks"))
         .filter(size($"toks") >= 2)
-        .select($"doc_id", expr(
-          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))")
-          .as("bigrams"))
+        // one-pass codegen'd kernel; n_bigrams = n_tokens-1 for >=2 toks
         .select($"doc_id",
-          size($"bigrams").as("n_bigrams"),
-          size(array_distinct($"bigrams")).as("n_distinct"))
+          (size($"toks") - 1).as("n_bigrams"),
+          graft.functions.DistinctBigrams($"toks").cast("int").as("n_distinct"))
         .select($"doc_id", $"n_bigrams", $"n_distinct",
           (lit(1.0) - $"n_distinct".cast("double") / $"n_bigrams").as("rep_ratio"))
         .orderBy($"doc_id")
@@ -751,11 +749,13 @@ object LlmPipeline {
           size($"toks").cast("long").as("n_tokens"), $"toks")
         // token floor FIRST: bigram slice needs >=2 tokens to be defined
         .filter($"n_tokens" >= 10)
-        .withColumn("bigrams", expr(
-          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
+        // one-pass codegen'd distinct count (graft.functions.DistinctBigrams):
+        // the transform(...)+array_distinct formulation was re-inlined
+        // into every consumer and evaluated interpreted, twice per row.
+        // n_bigrams for >=2 tokens is just n_tokens-1
         .withColumn("rep_ratio",
-          lit(1.0) - size(array_distinct($"bigrams")).cast("double") /
-            size($"bigrams"))
+          lit(1.0) - graft.functions.DistinctBigrams($"toks").cast("double") /
+            (size($"toks") - 1))
       val kept = scored.filter($"rep_ratio" <= 0.8)
       val dedup = kept
         .groupBy(md5($"text").as("fp"))

@@ -127,4 +127,21 @@ class PlanSpec extends SparkTestBase {
     assert(plan("d5_cosine_topk").contains("CartesianProduct") ||
       plan("d5_cosine_topk").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("d13 simhash blocking joins on band keys, never all-pairs") {
+    val p = finalPlan("d13_simhash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p1/t7 repetition uses the one-pass kernel, not re-inlined HOFs") {
+    // the transform(sequence(...)) formulation was evaluated interpreted
+    // and inlined into every consumer — the codegen'd kernel replaces it
+    assert(!finalPlan("p1_clean_corpus").contains("transform("),
+      finalPlan("p1_clean_corpus"))
+    assert(finalPlan("p1_clean_corpus").toLowerCase.contains("distinctbigrams"),
+      finalPlan("p1_clean_corpus"))
+    assert(!finalPlan("t7_repetition").contains("transform("),
+      finalPlan("t7_repetition"))
+  }
 }
