@@ -83,6 +83,40 @@ class StreamingSpec extends SparkTestBase {
       Tables.events(spark, sf0001).count())
   }
 
+  test("late data beyond the watermark is dropped from closed windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ckpt").toString
+    def write(ts: String*): Unit =
+      ts.map(t => Tuple1(java.sql.Timestamp.valueOf(t))).toDF("ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: max event time 11:00 → watermark 10:50 for the next batch,
+    // closing the earliest 30-minute window
+    write("2024-01-01 10:05:00", "2024-01-01 10:10:00", "2024-01-01 11:00:00")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "30 minutes")).agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: 10:07 is behind the 10:50 watermark (its window is
+      // closed) → must be DROPPED; 11:30 is on time
+      write("2024-01-01 10:07:00", "2024-01-01 11:30:00")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_test").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    // the earliest window holds only batch 1's two events — a batch run
+    // over the union would count 3; the stream dropped the late row
+    assert(rows(rows.keys.min) === 2L, rows.toString)
+  }
+
   test("streaming dropDuplicates within watermark runs and dedupes") {
     val events = Streams.eventsStream(spark, sf0001)
       .withWatermark("ts", "1 hour")
