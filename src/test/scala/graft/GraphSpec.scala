@@ -37,6 +37,14 @@ class GraphSpec extends SparkTestBase {
     assert(cc(Seq((7L, 7L))) === Map.empty[Long, Long])
   }
 
+  test("maxIter guard throws instead of returning unconverged labels") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(df, "src", "dst", maxIter = 0)
+    }
+  }
+
   test("cc1_dup_clusters: every cluster id is the minimum doc_id of its cluster") {
     val out = SparkEntry.queries("cc1_dup_clusters")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
