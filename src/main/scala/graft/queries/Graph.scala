@@ -31,12 +31,10 @@ object Graph {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"))
         .as("shingle"))
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).drop("df")
-    val idx = Materialize(sh.join(hot, Seq("shingle"), "left_anti"))
-    idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // one-shuffle posting-list buckets + codegen'd pair expansion (see
+    // LlmPipeline.buckets/bucketPairs) instead of an index self-join
+    LlmPipeline.bucketPairs(LlmPipeline.buckets(sh, Seq("shingle"), maxDf))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("d1"), col("d2"))

@@ -119,8 +119,26 @@ object LlmPipeline {
     * distinct keys over the cap) is unbounded at 100 TB — common
     * trigrams alone could blow a forced broadcast. AQE broadcasts it at
     * runtime when it is actually small. */
+  /** Under-cap posting-list buckets of an inverted index: ONE shuffle
+    * computes each key's sorted doc list and (via its size) the document
+    * frequency, so the hot-key cap is a filter on the same aggregate —
+    * the self-join formulation needed a df aggregation, an anti-join,
+    * and a second shuffle of the index. */
+  def buckets(index: DataFrame, keys: Seq[String], maxDf: Int): DataFrame =
+    index.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+
+  /** Candidate pairs (d1 < d2) expanded per bucket by the codegen'd
+    * [[graft.functions.PairCombos]] generator (bounded by the cap:
+    * at most maxDf·(maxDf-1)/2 pairs per bucket). */
+  def bucketPairs(b: DataFrame): DataFrame =
+    b.filter(size(col("ids")) >= 2)
+      .select(explode(graft.functions.PairCombos(col("ids"))).as("p"))
+      .select(col("p.d1"), col("p.d2"))
+
   def candidatePairs(index: DataFrame, keys: Seq[String], maxDf: Int): DataFrame =
-    candidatePairsWith(index, keys, maxDf, Nil)
+    bucketPairs(buckets(index, keys, maxDf)).distinct()
 
   /** [[candidatePairs]] carrying extra per-doc columns through the
     * self-join as `d1_<c>` / `d2_<c>` — saves the two doc-keyed re-join
@@ -153,19 +171,16 @@ object LlmPipeline {
     * and it is what makes the exact verify affordable: of ~1.1M raw
     * candidates at sf0.1, a few thousand survive to the verify joins. */
   def nearDupJaccard(sh: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).drop("df")
-    // consumed three times (self-join a/b + rare counts) — materialize
-    val idx = materialize(sh.join(hot, Seq("shingle"), "left_anti"))
+    // consumed twice (pair expansion + rare counts) — materialize
+    val bk = materialize(buckets(sh, Seq("shingle"), maxDf))
     val full = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("rn"))
+    val rare = bk.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("rn"))
     val st = full.join(rare, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n"),
         (col("n") - coalesce(col("rn"), lit(0L))).as("h"))
-    val ri = idx.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val ri = bucketPairs(bk)
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("ri"))
     val pruned = ri
       .join(st.as("s1"), col("d1") === col("s1.doc_id"))
