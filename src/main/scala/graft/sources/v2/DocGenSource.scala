@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `seed` (default 42)
   *   - full DSv2 read path: TableProvider → Table → ScanBuilder (with
   *     `SupportsPushDownRequiredColumns` column pruning — generating only
-  *     what the query projects) → Batch → InputPartition →
-  *     PartitionReader
+  *     what the query projects — and `SupportsPushDownFilters` doc_id
+  *     range pushdown: predicates on the consecutive id range narrow
+  *     [lo, hi) exactly, so pruned ids are never generated) → Batch →
+  *     InputPartition → PartitionReader
   *   - reproducible: cell values derive from splitmix64(seed, doc_id),
   *     independent of partitioning
   *
@@ -89,23 +91,66 @@ class DocGenTable(rows: Long, partitions: Int, seed: Long)
 }
 
 class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = DocGen.schema
+  // doc_id is the consecutive range [0, rows): range predicates on it
+  // are handled EXACTLY by narrowing [lo, hi) — generation never even
+  // runs for pruned ids, the DSv2 analogue of partition pruning. A
+  // filter accepted here needs no post-scan re-evaluation.
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+
+  private def bound(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case EqualTo("doc_id", v) => bound(v).isDefined
+      case GreaterThan("doc_id", v) => bound(v).isDefined
+      case GreaterThanOrEqual("doc_id", v) => bound(v).isDefined
+      case LessThan("doc_id", v) => bound(v).isDefined
+      case LessThanOrEqual("doc_id", v) => bound(v).isDefined
+      case _ => false
+    }
+    ok.foreach {
+      case EqualTo(_, v) =>
+        lo = math.max(lo, bound(v).get); hi = math.min(hi, bound(v).get + 1)
+      case GreaterThan(_, v) => lo = math.max(lo, bound(v).get + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, bound(v).get)
+      case LessThan(_, v) => hi = math.min(hi, bound(v).get)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, bound(v).get + 1)
+      case _ => ()
+    }
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DocGenScan(rows, partitions, seed, required)
+  override def build(): Scan =
+    new DocGenScan(lo, math.max(lo, hi), partitions, seed, required)
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
-class DocGenScan(rows: Long, partitions: Int, seed: Long, required: StructType)
+class DocGenScan(start: Long, end: Long, partitions: Int, seed: Long,
+                 required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val step = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by step)
-      .map(s => DocGenPartition(s, math.min(rows, s + step)): InputPartition)
+    val span = end - start
+    if (span <= 0) return Array.empty
+    val step = math.max(1L, (span + partitions - 1) / partitions)
+    (start until end by step)
+      .map(s => DocGenPartition(s, math.min(end, s + step)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
