@@ -31,9 +31,11 @@ object Graph {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"))
         .as("shingle"))
-    // one-shuffle posting-list buckets + codegen'd pair expansion (see
-    // LlmPipeline.buckets/bucketPairs) instead of an index self-join
-    LlmPipeline.bucketPairs(LlmPipeline.buckets(sh, Seq("shingle"), maxDf))
+    // posting-list buckets + codegen'd pair expansion (see
+    // LlmPipeline.buckets/bucketPairs) instead of an index self-join;
+    // buckets() reads the index twice, so materialize the explode chain
+    LlmPipeline.bucketPairs(
+        LlmPipeline.buckets(Materialize(sh), Seq("shingle"), maxDf))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -119,15 +119,26 @@ object LlmPipeline {
     * distinct keys over the cap) is unbounded at 100 TB — common
     * trigrams alone could blow a forced broadcast. AQE broadcasts it at
     * runtime when it is actually small. */
-  /** Under-cap posting-list buckets of an inverted index: ONE shuffle
-    * computes each key's sorted doc list and (via its size) the document
-    * frequency, so the hot-key cap is a filter on the same aggregate —
-    * the self-join formulation needed a df aggregation, an anti-join,
-    * and a second shuffle of the index. */
-  def buckets(index: DataFrame, keys: Seq[String], maxDf: Int): DataFrame =
-    index.groupBy(keys.map(col): _*)
+  /** Under-cap posting-list buckets of an inverted index. Hot keys
+    * (df > maxDf) are dropped BEFORE the list aggregation by a cheap
+    * count pass — partial counts map-side-combine to one row per
+    * distinct key per task, so that shuffle is tiny — because a
+    * `collect_list` buffer on a degenerate key ("all rights reserved"
+    * at corpus scale) would otherwise grow unbounded on its reducer
+    * before any size filter could drop it. The surviving buffers are
+    * bounded by the cap. The final size filter is the same predicate
+    * (kept as the single source of truth for the cap semantics).
+    * NOTE: `index` is consumed twice (count pass + list pass) —
+    * materialize expensive upstream chains at the call site. */
+  def buckets(index: DataFrame, keys: Seq[String], maxDf: Int): DataFrame = {
+    val kc = keys.map(col)
+    val hot = index.groupBy(kc: _*).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).drop("df")
+    index.join(hot, keys, "left_anti")
+      .groupBy(kc: _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= maxDf)
+  }
 
   /** Candidate pairs (d1 < d2) expanded per bucket by the codegen'd
     * [[graft.functions.PairCombos]] generator (bounded by the cap:
@@ -262,7 +273,9 @@ object LlmPipeline {
       // candidates meet only inside a (size-capped) band bucket; exact
       // verification restricted to the CANDIDATES — the point of LSH:
       // at scale the full pair set is never materialized
-      val cand = candidatePairs(bands, Seq("band", "bkey"), MaxBucketSize)
+      // buckets() consumes the index twice (df pass + list pass):
+      // materialize so the whole minhash pipeline isn't replayed
+      val cand = candidatePairs(materialize(bands), Seq("band", "bkey"), MaxBucketSize)
       verifyJaccard(cand, sh, 0.5).orderBy($"d1", $"d2")
     }),
 
