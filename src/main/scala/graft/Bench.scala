@@ -30,13 +30,26 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    // untimed warmup: one pass per query, exceptions deferred to timed run
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Session-level warmup on one cheap query so JVM/session/codegen
+    // startup isn't billed to the first query's own warmup pass.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    // Blocks pinned by localCheckpoint (Materialize) and broadcasts are
+    // only reclaimed when the ContextCleaner notices dead references
+    // after a GC. Across 76 queries x 3 invocations in one JVM they
+    // accumulate in BlockManager storage and inflate every query that
+    // runs after a checkpoint-heavy one (the r5 artifact showed 5-9x
+    // inflation on untouched queries). Dropping persistent RDDs and
+    // forcing a GC after each query keeps measurements independent.
+    def dropQueryState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sqlContext.clearCache()
+      System.gc()
     }
 
-    // two timed runs, keep the faster: single-run numbers on a shared
-    // box can swing 2-3x on GC/JIT noise
+    // Per query: one untimed warmup, then two timed runs keeping the
+    // faster (single-run numbers on a shared box swing 2-3x on GC/JIT
+    // noise), then drop all blocks the query pinned.
     val results = queries.map { case (name, fn) =>
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -47,15 +60,19 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val (t1, e1) = timed()
       val (t2, e2) = timed()
+      dropQueryState()
       (name, math.min(t1, t2), e1.orElse(e2))
     }
 
     // ms precision keeps the line short, and the headline total goes LAST:
     // the round artifact stores only the tail of this process's output, so
     // a long queries map must not push the total out of the window.
-    def r(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator renders "1,234" on
+    // comma-decimal locales, which is invalid JSON.
+    def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s""""${esc(k)}":${r(v)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointBridge
 
 /** Distributed connected components by iterative min-label propagation
   * with pointer jumping — the step a dedup pipeline runs AFTER near-dup
@@ -29,10 +30,20 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Label every node of `edges` (cols `src`, `dst`) with the minimum
-    * node id reachable from it. Returns (`node`, `label`). Nodes not
-    * appearing in any edge are absent — callers union singletons back
-    * if needed. */
-  def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 50): DataFrame = {
+    * node id reachable from it. Returns (`node`, `label`).
+    *
+    * Nodes appearing in NO edge (self-loops count as no edge) are
+    * absent from the result unless `nodes` is given: pass the full
+    * node universe (first column is the id) and isolated nodes come
+    * back labeled with themselves — the posture a dedup pipeline wants,
+    * where a never-matched document is its own singleton cluster.
+    *
+    * Each superseded round's checkpoint blocks are freed eagerly
+    * (see [[org.apache.spark.sql.graft.CheckpointBridge]]) so long
+    * component chains hold at most two rounds of blocks at a time
+    * instead of accumulating one set per round until a GC. */
+  def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 50,
+          nodes: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col(src).as("a"), col(dst).as("b")).filter(col("a") =!= col("b"))
     // symmetrize once; every round joins against it
     val sym = Materialize(e.union(e.select(col("b"), col("a"))))
@@ -59,12 +70,21 @@ object ConnectedComponents {
           coalesce(col("y.ll"), col("x.label")).as("label"))
       val next = Materialize(jumped)
       changed = next.filter(col("label") =!= col("old")).count()
+      CheckpointBridge.free(labels) // superseded round, safe: next is materialized
       labels = next.select(col("node"), col("label"))
       rounds += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
-    labels
+    CheckpointBridge.free(sym) // labels is checkpointed; sym is no longer needed
+    nodes match {
+      case Some(n) =>
+        val universe = n.select(col(n.columns.head).as("node"))
+        val singletons = universe.join(labels, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("label"))
+        labels.union(singletons)
+      case None => labels
+    }
   }
 }

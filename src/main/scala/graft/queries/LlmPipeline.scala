@@ -727,13 +727,27 @@ object LlmPipeline {
           "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
           .as("g"))
       val bench = grams.filter($"source" === "src0").select($"g").distinct()
-      // size generously; a production run would seed expectedNumItems
-      // from an approx_count_distinct pre-pass
-      val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      val mightHit = udf((g: String) => bc.value.mightContainString(g))
+      // Build the filter with the native BloomFilterAggregate (the same
+      // machinery Spark's runtime row-group filtering uses) and probe
+      // with the codegen'd BloomFilterMightContain over the identical
+      // xxhash64 key — no Scala UDF, and the ~1 MB bitset travels as an
+      // expression literal (task-broadcast, freed with the plan) instead
+      // of a hand-rolled never-destroyed broadcast. Sized generously; a
+      // production run would seed expectedNumItems from an
+      // approx_count_distinct pre-pass.
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnBridge
+      def xxh(c: Column) = new XxHash64(Seq(ColumnBridge.catalystExpression(c)))
+      val bloomBin = bench
+        .select(ColumnBridge.column(
+          new BloomFilterAggregate(xxh($"g"), 1L << 20).toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val mightHit = ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          Literal(bloomBin, org.apache.spark.sql.types.BinaryType), xxh($"g")))
       val hits = grams.filter($"source" =!= "src0")
-        .filter(mightHit($"g"))
+        .filter(mightHit)
         .join(bench, "g")
         .select($"doc_id").distinct()
       docs.filter($"source" =!= "src0")

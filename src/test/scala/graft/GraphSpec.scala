@@ -37,6 +37,30 @@ class GraphSpec extends SparkTestBase {
     assert(cc(Seq((7L, 7L))) === Map.empty[Long, Long])
   }
 
+  test("nodes universe unions isolated nodes back as singleton clusters") {
+    import spark.implicits._
+    // 9 appears in no edge; 7 only in a self-loop — both are singletons
+    val edges = Seq((1L, 2L), (7L, 7L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 7L, 9L).toDF("id")
+    val out = ConnectedComponents.run(edges, "src", "dst", nodes = Some(nodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 9L -> 9L))
+  }
+
+  test("superseded round checkpoints are freed eagerly") {
+    import spark.implicits._
+    // 64-node chain: pointer jumping needs several rounds; without the
+    // per-round free every round's checkpoint blocks would still be
+    // registered when the run returns
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = ConnectedComponents.run(edges, "src", "dst")
+    assert(out.count() === 64)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // at most the final labels checkpoint outlives the run
+    assert(after <= before + 1, s"persistent RDDs grew $before -> $after")
+  }
+
   test("maxIter guard throws instead of returning unconverged labels") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("src", "dst")
