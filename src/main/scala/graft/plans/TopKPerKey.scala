@@ -92,10 +92,44 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Register with `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Register with `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Besides the TopK strategy, this surfaces Spark's internal
+  * `BloomFilterMightContain` (the probe half of the engine's own
+  * runtime-filter machinery; the build half, `bloom_filter_agg`, is
+  * already SQL-registered) as a `might_contain` function so the
+  * Bloom-prefiltered decontamination path can keep its membership probe
+  * inside whole-stage codegen with the filter bytes arriving via a
+  * scalar subquery — never as a megabyte plan literal, which Catalyst
+  * would content-hash on every plan-map. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "might_contain(bloomFilterBinary, xxhash64Value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        exprs match {
+          case Seq(c)       => new BloomFilterAggregate(c).toAggregateExpression()
+          case Seq(c, n)    => new BloomFilterAggregate(c, n).toAggregateExpression()
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "bloom_filter_agg(xxhash64Value[, estimatedNumItems[, numBits]])")
+        }
+      }))
+  }
 }
 
 object TopK {

@@ -25,7 +25,7 @@ object Graph {
     * posture as d2/d3: one boilerplate shingle must not emit O(k²)
     * pairs. */
   private def sharedShingleEdges(docs: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
-    val sh = docs
+    val sh = graft.ops.Spread.fanout(docs)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(

@@ -68,9 +68,12 @@ object LlmPipeline {
   val MaxShingleDf = 100
   val MaxBucketSize = 100
 
-  /** (doc_id, shingle) inverted index over a `documents`-shaped frame. */
+  /** (doc_id, shingle) inverted index over a `documents`-shaped frame.
+    * The corpus is spread across the cluster before the ~100× explode —
+    * see [[graft.ops.Spread.fanout]]: a compact single-partition scan
+    * would otherwise serialize the whole tokenize+explode on one core. */
   def shingleIndex(docs: DataFrame): DataFrame =
-    docs
+    graft.ops.Spread.fanout(docs)
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
@@ -103,7 +106,7 @@ object LlmPipeline {
   private def simhashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val simhash = udaf(graft.functions.SimHashAgg, org.apache.spark.sql.Encoders.STRING)
-    Tables.documents(s, dir)
+    graft.ops.Spread.fanout(Tables.documents(s, dir))
       // generators must sit at the top level of a projection: explode
       // first, hash in the next select
       .select($"doc_id", explode(toks($"text")).as("tok"))
@@ -182,14 +185,28 @@ object LlmPipeline {
     * and it is what makes the exact verify affordable: of ~1.1M raw
     * candidates at sf0.1, a few thousand survive to the verify joins. */
   def nearDupJaccard(sh: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
-    // consumed twice (pair expansion + rare counts) — materialize
-    val bk = materialize(buckets(sh, Seq("shingle"), maxDf))
-    val full = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val rare = bk.select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("rn"))
-    val st = full.join(rare, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n"),
-        (col("n") - coalesce(col("rn"), lit(0L))).as("h"))
+    // The posting list is checkpointed ONCE (the tokenize+explode pass
+    // is the expensive part; every downstream consumer re-reads cheap
+    // blocks), then a flagged view `fl` marks hot postings: the
+    // hot-count aggregate shuffles only map-side-combined partials (one
+    // row per distinct shingle per task) and its exchange is reused
+    // across fl's consumers, the flag join back onto the postings is
+    // AQE-broadcastable at any realistic hot-set size, and the old
+    // shape's three per-doc aggregations (full sizes, rare counts,
+    // verify sizes) all collapse into the single `st` aggregate below.
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"), lit(1L).as("hot1"))
+    val fl = materialize(sh.join(hot, Seq("shingle"), "left")
+      .select(col("doc_id"), col("shingle"),
+        coalesce(col("hot1"), lit(0L)).as("is_hot")))
+    // per-doc stats: n = full distinct-shingle count (also the verify
+    // denominator), h = hot-shingle count (the prune bound's slack term)
+    val st = fl.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("is_hot")).as("h"))
+    val bk = fl.filter(col("is_hot") === 0L)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf) // by construction; keeps PairCombos' bound explicit
     val ri = bucketPairs(bk)
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("ri"))
@@ -200,7 +217,22 @@ object LlmPipeline {
       .filter(col("ubi").cast("double") /
         (col("s1.n") + col("s2.n") - col("ubi")) >= threshold)
       .select(col("d1"), col("d2"))
-    verifyJaccard(pruned, sh, threshold)
+    // exact verification on the FULL shingle sets (hot included): the
+    // index is semi-restricted to candidate-pair docs, the intersection
+    // joins touch only that neighborhood, and sizes come from st
+    val ids = pruned.select(col("d1").as("doc_id"))
+      .union(pruned.select(col("d2").as("doc_id"))).distinct()
+    val shc = fl.join(ids, Seq("doc_id"), "left_semi")
+    val inter = pruned
+      .join(shc.as("a"), col("d1") === col("a.doc_id"))
+      .join(shc.as("b"), col("d2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(st.as("t1"), col("d1") === col("t1.doc_id"))
+      .join(st.as("t2"), col("d2") === col("t2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("t1.n") + col("t2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard for candidate pairs, scored on the FULL shingle sets
@@ -242,7 +274,16 @@ object LlmPipeline {
     // hot-capped inverted index, exact verification on full shingle sets
     "d2_dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val sh = shingles(s, dir)
+      // 64-bit-hash the shingle strings before everything downstream:
+      // every shuffle (window df, bucket agg, verify join) then carries
+      // 8-byte longs instead of ~25-byte strings and every equality is
+      // a long compare. A collision would merely merge two shingles'
+      // postings (2M shingles in 2^64: P ~ 1e-7); the reported
+      // pairs/jaccard are unchanged, so the string-based oracle holds.
+      // No materialize here — nearDupJaccard checkpoints its flagged
+      // posting list, the only multi-consumer intermediate.
+      val sh = shingleIndex(Tables.documents(s, dir))
+        .select($"doc_id", xxhash64($"shingle").as("shingle"))
       nearDupJaccard(sh, MaxShingleDf, 0.5).orderBy($"d1", $"d2")
     }),
 
@@ -522,7 +563,7 @@ object LlmPipeline {
     // n-gram mining: top-20 bigrams by frequency
     "t5_bigrams" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
+      graft.ops.Spread.fanout(Tables.documents(s, dir))
         .select(toks($"text").as("toks"))
         .filter(size($"toks") >= 2)
         .select(explode(expr(
@@ -720,34 +761,28 @@ object LlmPipeline {
     "d12_bloom_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val grams = docs
+      val grams = graft.ops.Spread.fanout(docs)
         .select($"doc_id", $"source", toks($"text").as("toks"))
         .filter(size($"toks") >= 8)
         .select($"doc_id", $"source", explode(expr(
           "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
           .as("g"))
       val bench = grams.filter($"source" === "src0").select($"g").distinct()
-      // Build the filter with the native BloomFilterAggregate (the same
-      // machinery Spark's runtime row-group filtering uses) and probe
-      // with the codegen'd BloomFilterMightContain over the identical
-      // xxhash64 key — no Scala UDF, and the ~1 MB bitset travels as an
-      // expression literal (task-broadcast, freed with the plan) instead
-      // of a hand-rolled never-destroyed broadcast. Sized generously; a
-      // production run would seed expectedNumItems from an
-      // approx_count_distinct pre-pass.
-      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      import org.apache.spark.sql.graft.ColumnBridge
-      def xxh(c: Column) = new XxHash64(Seq(ColumnBridge.catalystExpression(c)))
-      val bloomBin = bench
-        .select(ColumnBridge.column(
-          new BloomFilterAggregate(xxh($"g"), 1L << 20).toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
-      val mightHit = ColumnBridge.column(
-        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          Literal(bloomBin, org.apache.spark.sql.types.BinaryType), xxh($"g")))
+      // Build the filter with Spark's own bloom_filter_agg (the build
+      // half of the engine's runtime-filter machinery) and probe with
+      // the codegen'd BloomFilterMightContain, surfaced as
+      // `might_contain` by GraftExtensions — no Scala UDF, no
+      // hand-rolled broadcast. The filter bytes reach the probe through
+      // a SCALAR SUBQUERY, exactly how Spark's injected runtime filters
+      // carry them: the ~1 MB bitset is computed once per execution and
+      // handed to the expression at runtime, never embedded as a plan
+      // literal (Catalyst content-hashes literals on every plan-map —
+      // a megabyte literal costs seconds of driver time). Sized
+      // generously; a production run would seed expectedNumItems from
+      // an approx_count_distinct pre-pass.
+      val bloom = bench.selectExpr(s"bloom_filter_agg(xxhash64(g), ${1L << 20}L) AS bf").scalar()
       val hits = grams.filter($"source" =!= "src0")
-        .filter(mightHit)
+        .filter(call_function("might_contain", bloom, xxhash64($"g")))
         .join(bench, "g")
         .select($"doc_id").distinct()
       docs.filter($"source" =!= "src0")
@@ -763,7 +798,7 @@ object LlmPipeline {
     // doc-keyed window: every stage shuffles on a bounded key space
     "t11_distinctive_terms" -> ((s, dir) => {
       import s.implicits._
-      val tok = Tables.documents(s, dir)
+      val tok = graft.ops.Spread.fanout(Tables.documents(s, dir))
         .select($"doc_id", explode(toks($"text")).as("term"))
       val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       // tf is already distinct per (doc, term): df is a count over it
