@@ -383,35 +383,50 @@ object LlmPipeline {
         .orderBy($"vec_id", $"rn")
     }),
 
-    // similarity search at scale: random-hyperplane LSH buckets, top-1
-    // neighbor within bucket (rows-only: bucketing loses global recall).
-    // Plane weights are row-invariant → computed ONCE on the driver
-    // (deterministic, md5-seeded) and embedded as array literals; the
-    // per-row work is 8 codegen'd VecDot calls.
+    // similarity search at scale: MULTI-TABLE random-hyperplane LSH
+    // (Indyk–Motwani/Charikar): L independent tables of k hyperplane
+    // bits each; a candidate pair needs to collide in only ONE table, so
+    // recall is 1-(1-p^k)^L per neighbor instead of the hopeless p^k of
+    // a single wide table (one 8-bit table measured recall@1 = 0.02 on
+    // this corpus; this formulation measures ~0.8 — see AnnRecallSpec).
+    // Candidates meet via an equi-join on (table, bucket) — never
+    // all-pairs — are deduped on ids BEFORE vectors are gathered, then
+    // exact-ranked. Plane weights are row-invariant → computed ONCE on
+    // the driver (deterministic, md5-seeded) and embedded as literals;
+    // signatures are L·k codegen'd VecDot sign bits per vector.
+    // (rows-only in the oracle gate: recall-dependent by nature; the
+    // quality floor is asserted by AnnRecallSpec instead.)
     "d6_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.VecDot
-      val dim = 64
-      val planeCols: Seq[Column] = (0 until 8).map { p =>
-        array((0 until dim).map { j =>
-          val digit = Integer.parseInt(md5Hex(s"$p|$j").substring(0, 1), 16)
-          lit(digit - 7.5)
-        }: _*)
+      val dim = 64; val nTables = 16; val bitsPerTable = 5
+      def plane(t: Int, p: Int): Column = array((0 until dim).map { j =>
+        val digit = Integer.parseInt(md5Hex(s"$t|$p|$j").substring(0, 1), 16)
+        lit(digit - 7.5)
+      }: _*)
+      val tableBuckets: Seq[Column] = (0 until nTables).map { t =>
+        concat((0 until bitsPerTable).map(p =>
+          when(VecDot($"v", plane(t, p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
       }
       val e = Tables.embeddings(s, dir)
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val sig = e
-        .withColumn("bucket", concat(planeCols.map(pl =>
-          when(VecDot($"v", pl) >= 0, lit("1")).otherwise(lit("0"))): _*))
-        .withColumn("norm", sqrt(VecDot($"v", $"v")))
-      val pairs = sig.as("a")
+      val sig = e.select($"vec_id", posexplode(array(tableBuckets: _*)))
+        .select($"vec_id", $"pos".as("t"), $"col".as("bucket"))
+      val cand = sig.as("a")
         .join(sig.as("b"),
-          $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
-        .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
-          (VecDot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("cos"))
+          $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
+            $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"))
+        .distinct()
+      val n = e.select($"vec_id", $"v", sqrt(VecDot($"v", $"v")).as("norm"))
+      val scored = cand
+        .join(n, "vec_id")
+        .join(n.select($"vec_id".as("nbr"), $"v".as("nv"), $"norm".as("nnorm")), "nbr")
+        .select($"vec_id", $"nbr",
+          (VecDot($"v", $"nv") / ($"norm" * $"nnorm")).as("cos"))
       val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr".asc)
-      pairs.withColumn("rn", row_number().over(w))
+      scored.withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vec_id", $"nbr", $"cos")
         .orderBy($"vec_id")
@@ -446,7 +461,12 @@ object LlmPipeline {
       // query as soon as the corpus outgrows centroids × cap
       val cappedCells = graft.plans.TopK.perKey(cells,
         keys = Seq($"cid"), order = Seq($"vec_id".asc), k = MaxBucketSize)
-      val probes = ranked.filter($"rn" <= 2).select($"vec_id", $"cid")
+      // nprobe = 6 of 16 cells: 2 probes measured recall@1 = 0.33 on
+      // this corpus, 4 -> 0.53, 6 -> the AnnRecallSpec-recorded value —
+      // the standard IVF quality/cost knob (at production scale the
+      // centroid count grows ~sqrt(n) and nprobe stays a small constant
+      // fraction of it)
+      val probes = ranked.filter($"rn" <= 6).select($"vec_id", $"cid")
       val cands = probes.as("p")
         .join(cappedCells.as("c"), $"p.cid" === $"c.cid" && $"p.vec_id" =!= $"c.vec_id")
         .select($"p.vec_id".as("vec_id"), $"c.vec_id".as("cand")).distinct()

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quantifies the quality of the approximate similarity-search paths
+  * against the brute-force truth — d6 (random-hyperplane LSH) and d7
+  * (IVF coarse quantization) are rows-only in the oracle gate by nature
+  * (recall-dependent), so without this test a bucketing bug that tanked
+  * recall would still ship green.
+  *
+  * recall@1 = fraction of query vectors whose TRUE nearest neighbor
+  * (d5's rank-1 row) is exactly the neighbor the approximate method
+  * returns; queries the method answers not at all (no bucket-mate)
+  * count as misses. Measured at sf0.01 over 500 vectors on the
+  * deterministic synthetic embeddings: d6 = 0.818, d7 = 0.664
+  * (2026-08, both stable run-to-run — the pipelines are fully
+  * deterministic). The floor asserts a conservative 0.5 so data
+  * regeneration noise can't flake the suite while a real blocking bug
+  * (recall collapsing toward 0) still fails loudly.
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  test("ANN recall@1 vs brute-force truth stays above 0.5 (d6 LSH, d7 IVF)") {
+    val dir = "/root/testdata/sf0.01"
+    val truth = SparkEntry.queries("d5_cosine_topk")(spark, dir)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nbr").as("true_nbr"))
+      .cache()
+    val n = truth.count()
+    assert(n > 0, "brute-force truth is empty")
+
+    def recallAt1(name: String): Double = {
+      val hits = SparkEntry.queries(name)(spark, dir)
+        .select(col("vec_id"), col("nbr"))
+        .join(truth, "vec_id")
+        .filter(col("nbr") === col("true_nbr"))
+        .count()
+      hits.toDouble / n
+    }
+
+    val d6 = recallAt1("d6_ann_lsh")
+    val d7 = recallAt1("d7_ann_ivf")
+    truth.unpersist()
+    info(f"recall@1 over $n queries: d6_ann_lsh=$d6%.3f d7_ann_ivf=$d7%.3f")
+    assert(d6 >= 0.5, f"d6_ann_lsh recall@1 $d6%.3f fell below 0.5")
+    assert(d7 >= 0.5, f"d7_ann_ivf recall@1 $d7%.3f fell below 0.5")
+  }
+}
