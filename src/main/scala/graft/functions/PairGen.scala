@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -42,6 +43,15 @@ object PairGen {
 
 /** `pair_combos(ARRAY<BIGINT>) -> ARRAY<STRUCT<d1,d2>>`, codegen'd. */
 case class PairCombos(child: Expression) extends UnaryExpression {
+  // PairGen.pairs reads elements via getLong and allocates n(n-1)/2
+  // slots up front — reject anything but ARRAY<BIGINT> at analysis time
+  // so a mistyped caller fails with a diagnostic, not a ClassCastException
+  // (or an int-overflow allocation) at runtime.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pair_combos requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
   override def dataType: DataType =
     ArrayType(StructType(Seq(StructField("d1", LongType), StructField("d2", LongType))))
   override protected def nullSafeEval(a: Any): Any =

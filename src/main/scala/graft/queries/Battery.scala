@@ -30,6 +30,16 @@ object Battery {
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
 
+  // Fixed, per-(query, source-dir) scratch path, overwritten on each
+  // invocation — a fresh createTempDirectory per closure call would leak
+  // a corpus copy every bench/verify run (warmup + timed passes) and
+  // accumulate across rounds.
+  private def scratchDir(tag: String, sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"${System.getProperty("java.io.tmpdir")}/${tag}_$key/out"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // broadcast dim join: customer ⋈ nation ⋈ region (both dims broadcast)
@@ -483,8 +493,7 @@ object Battery {
     // so the roundtrip must be lossless)
     "q40_orc_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
-        .resolve("out").toString
+      val tmp = scratchDir("graft_orc", dir)
       Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_quantity", $"l_returnflag")
         .write.mode("overwrite").orc(tmp)
@@ -500,8 +509,7 @@ object Battery {
     // the layout a real corpus store uses for per-language passes
     "q41_partitioned_pruned" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part")
-        .resolve("out").toString
+      val tmp = scratchDir("graft_part", dir)
       Tables.documents(s, dir)
         .write.mode("overwrite").partitionBy("lang").parquet(tmp)
       s.read.parquet(tmp)

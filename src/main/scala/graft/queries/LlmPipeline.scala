@@ -600,10 +600,9 @@ object LlmPipeline {
     // distributed contiguous-fill packing; bins may slightly overflow —
     // the price of a partitionable definition vs an inherently
     // sequential exact first-fit). The window partitions by lang, which
-    // bounds parallelism by language cardinality — a real deployment
-    // sub-shards the stratum key (e.g. (lang, doc_id div N)) to spread
-    // a dominant language over reducers; kept single-key here so the
-    // oracle stays a plain window
+    // bounds parallelism by language cardinality — t12 below is the
+    // sub-sharded variant that spreads a dominant language over reducers;
+    // this single-key form is kept as the exact-stratum baseline
     "t9_sequence_pack" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"lang").orderBy($"doc_id")
@@ -617,6 +616,28 @@ object LlmPipeline {
         .groupBy($"lang", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
         .orderBy($"lang", $"bin")
+    }),
+
+    // sub-sharded sequence packing: t9's window partitions by lang alone,
+    // so a dominant-language corpus serializes its packing on ONE reducer.
+    // Here the stratum key is (lang, doc_id div 128): deterministic,
+    // reshard-stable, and the window parallelism becomes
+    // languages × ceil(id-range/128) instead of languages — at 100 TB
+    // pick the shard width so each shard's rows fit one reducer. Packing
+    // quality is unchanged (bins never span shards by construction; the
+    // only cost is at most one underfilled bin per shard boundary).
+    "t12_sequence_pack_sharded" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", expr("doc_id div 128").as("shard"),
+          size(toks($"text")).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .withColumn("bin", expr("cum_before div 2048"))
+        .groupBy($"lang", $"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+        .orderBy($"lang", $"shard", $"bin")
     }),
 
     // benchmark decontamination: flag corpus docs sharing any word-8-gram
@@ -1115,6 +1136,22 @@ object LlmPipeline {
         |SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "t12_sequence_pack_sharded" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(doc_id // 128 AS BIGINT) AS shard,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t
+        |)
+        |SELECT lang, shard, CAST(cum_before // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin,
 
     "d10_decontaminate" ->
       """WITH docs AS (

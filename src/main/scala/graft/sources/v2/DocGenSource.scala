@@ -104,8 +104,14 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
 
+  // Integral types only: a fractional literal would truncate via
+  // longValue() and, because accepted filters are reported as fully
+  // handled, ship wrong rows with no post-scan recheck. (Catalyst
+  // currently casts the column for such comparisons, blocking the
+  // translation — but correctness must not rest on that.)
   private def bound(v: Any): Option[Long] = v match {
-    case n: Number => Some(n.longValue())
+    case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+              _: java.lang.Long) => Some(n.asInstanceOf[Number].longValue())
     case _ => None
   }
 

@@ -134,6 +134,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t12: packing window partitions on (lang, shard), not lang alone") {
+    val p = plan("t12_sequence_pack_sharded")
+    // the Window's partition spec must carry the sub-shard key — that is
+    // the whole point of t12: parallelism beyond language cardinality
+    val windowLine = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(windowLine.contains("lang") && windowLine.contains("shard"),
+      "window must partition by (lang, shard): " + windowLine)
+  }
+
   test("p1/t7 repetition uses the one-pass kernel, not re-inlined HOFs") {
     // the transform(sequence(...)) formulation was evaluated interpreted
     // and inlined into every consumer — the codegen'd kernel replaces it
