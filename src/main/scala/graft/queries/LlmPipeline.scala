@@ -391,27 +391,24 @@ object LlmPipeline {
     // this corpus; this formulation measures ~0.8 — see AnnRecallSpec).
     // Candidates meet via an equi-join on (table, bucket) — never
     // all-pairs — are deduped on ids BEFORE vectors are gathered, then
-    // exact-ranked. Plane weights are row-invariant → computed ONCE on
-    // the driver (deterministic, md5-seeded) and embedded as literals;
-    // signatures are L·k codegen'd VecDot sign bits per vector.
+    // exact-ranked. Signatures come from ONE codegen'd expression
+    // ([[graft.functions.LshSignature]]) with JVM-statically cached
+    // md5-seeded plane weights — the per-plane literal-array formulation
+    // put 5k+ nodes in the expression tree and cost more driver-side
+    // analysis time than the whole distributed job. The single-file
+    // embeddings scan is fanned out first so the signature pass uses
+    // every core, not one.
     // (rows-only in the oracle gate: recall-dependent by nature; the
     // quality floor is asserted by AnnRecallSpec instead.)
     "d6_ann_lsh" -> ((s, dir) => {
       import s.implicits._
-      import graft.functions.VecDot
-      val dim = 64; val nTables = 16; val bitsPerTable = 5
-      def plane(t: Int, p: Int): Column = array((0 until dim).map { j =>
-        val digit = Integer.parseInt(md5Hex(s"$t|$p|$j").substring(0, 1), 16)
-        lit(digit - 7.5)
-      }: _*)
-      val tableBuckets: Seq[Column] = (0 until nTables).map { t =>
-        concat((0 until bitsPerTable).map(p =>
-          when(VecDot($"v", plane(t, p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
-      }
-      val e = Tables.embeddings(s, dir)
+      import graft.functions.{LshSignature, VecDot}
+      val nTables = 16; val bitsPerTable = 5
+      val e = graft.ops.Spread.fanout(Tables.embeddings(s, dir))
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val sig = e.select($"vec_id", posexplode(array(tableBuckets: _*)))
+      val sig = e.select($"vec_id",
+          posexplode(LshSignature($"v", nTables, bitsPerTable)))
         .select($"vec_id", $"pos".as("t"), $"col".as("bucket"))
       val cand = sig.as("a")
         .join(sig.as("b"),
@@ -439,7 +436,9 @@ object LlmPipeline {
     "d7_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.VecDot
-      val e = Tables.embeddings(s, dir)
+      // fanout: the single-file embeddings scan would otherwise run the
+      // quantization crossJoin (16 dot products/row) in ONE task
+      val e = graft.ops.Spread.fanout(Tables.embeddings(s, dir))
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("norm", sqrt(VecDot($"v", $"v")))
