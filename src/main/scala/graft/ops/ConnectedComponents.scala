@@ -47,11 +47,19 @@ object ConnectedComponents {
     val e = edges.select(col(src).as("a"), col(dst).as("b")).filter(col("a") =!= col("b"))
     // symmetrize once; every round joins against it
     val sym = Materialize(e.union(e.select(col("b"), col("a"))))
-    // fused round 0: label = min(self, direct neighbors) — one groupBy
-    // instead of a full join round, and it usually saves an iteration
+    // fused round 0: label = min(self, direct neighbors) PLUS one
+    // pointer jump, all in the single materialized plan — no convergence
+    // bookkeeping needed yet, and the jump resolves distance-2 chains
+    // immediately, so dense duplicate clusters converge at round 0 and
+    // the loop's first iteration is already the fixpoint verification
+    val base = sym.groupBy(col("a").as("node")).agg(min(col("b")).as("mb"))
+      .select(col("node"), least(col("node"), col("mb")).as("label"))
     var labels = Materialize(
-      sym.groupBy(col("a").as("node")).agg(min(col("b")).as("mb"))
-        .select(col("node"), least(col("node"), col("mb")).as("label")))
+      base.as("x")
+        .join(base.select(col("node").as("l"), col("label").as("ll")).as("y"),
+          col("x.label") === col("y.l"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("y.ll"), col("x.label")).as("label")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIter) {
