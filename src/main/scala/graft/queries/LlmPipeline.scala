@@ -218,20 +218,24 @@ object LlmPipeline {
         (col("s1.n") + col("s2.n") - col("ubi")) >= threshold)
       .select(col("d1"), col("d2"))
     // exact verification on the FULL shingle sets (hot included): the
-    // index is semi-restricted to candidate-pair docs, the intersection
-    // joins touch only that neighborhood, and sizes come from st
+    // surviving candidate set is tiny (the point of the prune), so
+    // gather each candidate doc's whole shingle set into ONE array row
+    // and score pairs with a per-row array_intersect — one aggregation
+    // + two AQE-broadcastable joins instead of the shingle-level
+    // pair-join + count + two stat joins. The gathered arrays exist
+    // only for candidate-pair docs, bounded by the prune output — never
+    // a full-corpus collect.
     val ids = pruned.select(col("d1").as("doc_id"))
       .union(pruned.select(col("d2").as("doc_id"))).distinct()
-    val shc = fl.join(ids, Seq("doc_id"), "left_semi")
-    val inter = pruned
-      .join(shc.as("a"), col("d1") === col("a.doc_id"))
-      .join(shc.as("b"), col("d2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(st.as("t1"), col("d1") === col("t1.doc_id"))
-      .join(st.as("t2"), col("d2") === col("t2.doc_id"))
+    val sets = fl.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shs"), count(lit(1)).as("n"))
+    pruned
+      .join(sets.select(col("doc_id").as("d1"), col("shs").as("sa"), col("n").as("na")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shs").as("sb"), col("n").as("nb")), "d2")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / (col("t1.n") + col("t2.n") - col("inter"))).as("jaccard"))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -244,17 +248,18 @@ object LlmPipeline {
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val ids = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val shc = sh.join(ids, Seq("doc_id"), "left_semi")
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shc.as("a"), col("d1") === col("a.doc_id"))
-      .join(shc.as("b"), col("d2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+    // gather per-candidate-doc shingle sets once and intersect per pair
+    // (see nearDupJaccard's verify for the shape rationale); bounded by
+    // the candidate neighborhood, never a full-corpus collect
+    val sets = sh.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shs"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("shs").as("sa"), col("n").as("na")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shs").as("sb"), col("n").as("nb")), "d2")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
