@@ -45,4 +45,31 @@ class AnnRecallSpec extends SparkTestBase {
     assert(d6 >= 0.5, f"d6_ann_lsh recall@1 $d6%.3f fell below 0.5")
     assert(d7 >= 0.5, f"d7_ann_ivf recall@1 $d7%.3f fell below 0.5")
   }
+
+  test("LshSignature bucket codes are the hyperplane sign bits, stable across calls") {
+    import graft.functions.{LshSig, LshSignature}
+    import spark.implicits._
+    val nTables = 3; val bits = 4; val dim = 8
+    val vecs = Seq.tabulate(20)(i => Seq.tabulate(dim)(j => math.sin(i * 31 + j).toDouble))
+    // through the codegen'd Expression on a DataFrame…
+    val viaExpr = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select($"id", LshSignature($"v", nTables, bits).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // …must equal a from-first-principles sign-bit computation over the
+    // SAME deterministic plane weights (and be stable across calls —
+    // the static cache must not change values)
+    val planes = LshSig.planes(nTables, bits, dim)
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val want = (0 until nTables).map { t =>
+        (0 until bits).foldLeft(0L) { (code, p) =>
+          val dot = v.zip(planes(t * bits + p)).map { case (a, b) => a * b }.sum
+          (code << 1) | (if (dot >= 0) 1L else 0L)
+        }
+      }
+      assert(viaExpr(i.toLong) == want, s"vector $i")
+    }
+    assert(LshSig.planes(nTables, bits, dim).map(_.toSeq).toSeq ==
+      planes.map(_.toSeq).toSeq)
+  }
 }
