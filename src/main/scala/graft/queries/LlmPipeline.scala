@@ -845,7 +845,12 @@ object LlmPipeline {
       import s.implicits._
       val tok = graft.ops.Spread.fanout(Tables.documents(s, dir))
         .select($"doc_id", explode(toks($"text")).as("term"))
-      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      // materialized: tf feeds BOTH the df count and the scoring join,
+      // and exchange reuse does not collapse the two consumers (their
+      // required distributions differ), so without the checkpoint the
+      // tokenize+explode+aggregate pass runs twice
+      val tf = materialize(
+        tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
       // tf is already distinct per (doc, term): df is a count over it
       val dfc = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val scored = tf.join(dfc, "term")
