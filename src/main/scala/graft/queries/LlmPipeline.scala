@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -272,6 +273,41 @@ object LlmPipeline {
         .groupBy(md5($"text").as("fp"))
         .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
         .select($"doc_id", $"fp", $"n_copies")
+        .orderBy($"doc_id")
+    }),
+
+    // INCREMENTAL dedup: the daily-crawl posture — dedup a NEW batch
+    // (source 'src1') against the EXISTING corpus index (everything
+    // else), keeping only batch docs that match nothing. Match = exact
+    // text (md5) OR >= 5 shared non-hot 3-gram shingles. The candidate
+    // join is BIPARTITE over the posting lists (batch side × index side
+    // per shingle, hot shingles excluded) — at 100 TB the index
+    // postings come from the persisted corpus index and the batch side
+    // is small enough for AQE to broadcast, so the daily increment
+    // never reshuffles the full corpus.
+    "d14_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+      val flags = base.select($"doc_id", ($"source" === "src1").as("is_batch"),
+        md5($"text").as("fp"))
+      val sh = materialize(shingleIndex(base)
+        .select($"doc_id", xxhash64($"shingle").as("shingle"))
+        .join(flags.select($"doc_id", $"is_batch"), "doc_id"))
+      val ok = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" <= MaxShingleDf).select($"shingle")
+      val shOk = sh.join(ok, Seq("shingle"), "left_semi")
+      val pairs = shOk.filter($"is_batch").select($"doc_id".as("bid"), $"shingle")
+        .join(shOk.filter(!$"is_batch").select($"doc_id".as("iid"), $"shingle"), "shingle")
+        .groupBy($"bid", $"iid").agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 5)
+        .select($"bid").distinct()
+      val exact = flags.filter($"is_batch").select($"doc_id".as("bid"), $"fp")
+        .join(flags.filter(!$"is_batch").select($"fp"), "fp")
+        .select($"bid").distinct()
+      flags.filter($"is_batch")
+        .join(pairs.union(exact).withColumnRenamed("bid", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select($"doc_id")
         .orderBy($"doc_id")
     }),
 
@@ -642,6 +678,29 @@ object LlmPipeline {
         .groupBy($"lang", $"shard", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
         .orderBy($"lang", $"shard", $"bin")
+    }),
+
+    // data-mixing weights: per-source sampling weight under temperature
+    // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
+    // dominant sources when composing a training mixture. α=0.5 is
+    // sqrt, which is IEEE-correctly-rounded in every engine (pow is
+    // not — libm implementations differ in the last bit, which would
+    // flake the cross-engine hash gate); the denominator sums
+    // DECIMAL(38,6)-stabilized terms so float summation order can't
+    // flip a bit either. Two hash aggs over source cardinality + a
+    // single-group window for the global sum — no corpus reshuffle.
+    "t13_mixture_weights" -> ((s, dir) => {
+      import s.implicits._
+      val n = Tables.documents(s, dir)
+        .select($"source", size(toks($"text")).cast("long").as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      val sq = n.withColumn("sq",
+        sqrt($"n_tokens".cast("double")).cast(DecimalType(38, 6)))
+      val w = Window.partitionBy(lit(1))
+      sq.withColumn("weight",
+          $"sq".cast("double") / sum($"sq").over(w).cast("double"))
+        .select($"source", $"n_tokens", $"weight")
+        .orderBy($"source")
     }),
 
     // benchmark decontamination: flag corpus docs sharing any word-8-gram
@@ -1161,6 +1220,44 @@ object LlmPipeline {
         |SELECT lang, shard, CAST(cum_before // 2048 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin,
+
+    "d14_incremental_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, md5(text) AS fp,
+        |    string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT b.doc_id AS bid, i.doc_id AS iid
+        |  FROM sh b JOIN ok o ON b.shingle = o.shingle
+        |  JOIN sh i ON b.shingle = i.shingle
+        |  WHERE b.source = 'src1' AND i.source <> 'src1'
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |exact AS (
+        |  SELECT DISTINCT b.doc_id AS bid FROM docs b JOIN docs i ON b.fp = i.fp
+        |  WHERE b.source = 'src1' AND i.source <> 'src1'
+        |),
+        |matched AS (SELECT bid FROM pairs UNION SELECT bid FROM exact)
+        |SELECT d.doc_id FROM docs d
+        |WHERE d.source = 'src1' AND d.doc_id NOT IN (SELECT bid FROM matched)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "t13_mixture_weights" ->
+      """WITH n AS (
+        |  SELECT source, SUM(len(string_split_regex(lower(text), '\s+'))) AS n_tokens
+        |  FROM documents GROUP BY source
+        |),
+        |s AS (SELECT source, n_tokens,
+        |  CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,6)) AS sq FROM n)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sq AS DOUBLE) / CAST((SELECT SUM(sq) FROM s) AS DOUBLE) AS DOUBLE) AS weight
+        |FROM s ORDER BY source""".stripMargin,
 
     "d10_decontaminate" ->
       """WITH docs AS (
