@@ -154,6 +154,46 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 100.0)))
   }
 
+  test("RocksDB state store: recovery holds on the scale-grade backend") {
+    // the default (HDFSBackedStateStoreProvider) keeps state on the JVM
+    // heap — at 100 TB the state store must spill off-heap, which is
+    // what Spark's built-in RocksDB provider is for. Same stop/append/
+    // restart scenario as the checkpoint-recovery test, on RocksDB.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rdb_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rdb_loc").toString
+    def write(rows: (String, Double)*): Unit =
+      rows.toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.StringType)
+      .add("v", org.apache.spark.sql.types.DoubleType)
+    def run(queryName: String): Unit = {
+      val q = spark.readStream.schema(schema).parquet(dir)
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      write("a" -> 1.0, "b" -> 2.0)
+      run("rdb_phase1")
+      write("a" -> 3.0, "c" -> 4.0)
+      run("rdb_phase2")
+      val got = spark.table("rdb_phase2").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 1L), got.toString)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming dropDuplicates within watermark runs and dedupes") {
     val events = Streams.eventsStream(spark, sf0001)
       .withWatermark("ts", "1 hour")
