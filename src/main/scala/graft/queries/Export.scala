@@ -29,8 +29,12 @@ object Export {
       import s.implicits._
       val src = Tables.lineitem(s, dir)
         .orderBy($"l_orderkey", $"l_linenumber").limit(100)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
-        .resolve("out").toString
+      // fixed per-source-dir scratch path, overwritten per invocation —
+      // a fresh createTempDirectory per closure call would leak a copy
+      // every bench/verify run (same posture as Battery.scratchDir)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$key/out"
       CsvSink.writeDir(src, tmp, CsvOptions())
       s.read.option("header", "true").csv(tmp)
         .orderBy($"l_orderkey".cast("long"), $"l_linenumber".cast("int"))
