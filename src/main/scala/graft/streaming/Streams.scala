@@ -21,11 +21,18 @@ object Streams {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     // the file-stream source monitors a DIRECTORY; expose the single
-    // parquet fixture through a temp dir (symlink — no copy)
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // parquet fixture through a FIXED per-source temp dir (symlink — no
+    // copy; idempotent so repeated bench/verify invocations reuse it
+    // instead of leaking a fresh dir per call)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val streamDir = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_$key")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
     val raw = spark.readStream.schema(batch.schema)
       .parquet(streamDir.toString)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
