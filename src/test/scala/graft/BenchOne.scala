@@ -38,50 +38,6 @@ object BenchOne {
         .distinct()
       (1 to 3).foreach { i => time(s"hof run$i")(hof.count()) }
       (1 to 3).foreach { i => time(s"codegen run$i")(codegen.count()) }
-    } else if (name == "_d2stages") {
-      import org.apache.spark.sql.functions._
-      import graft.queries.LlmPipeline
-      val docs = graft.sources.Tables.documents(spark, sfDir)
-      (1 to 2).foreach { round =>
-        var sh: org.apache.spark.sql.DataFrame = null
-        time(s"r$round sh checkpoint") { sh = LlmPipeline.shingleIndex(docs).localCheckpoint(); 0L }
-        var bk: org.apache.spark.sql.DataFrame = null
-        time(s"r$round bk checkpoint") {
-          bk = LlmPipeline.buckets(sh, Seq("shingle"), LlmPipeline.MaxShingleDf).localCheckpoint(); 0L }
-        val full = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val rare = bk.select(explode(col("ids")).as("doc_id"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("rn"))
-        val st = full.join(rare, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n"),
-            (col("n") - coalesce(col("rn"), lit(0L))).as("h"))
-        val ri = LlmPipeline.bucketPairs(bk)
-          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ri"))
-        time(s"r$round ri.count")(ri.count())
-        val pruned = ri
-          .join(st.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(st.as("s2"), col("d2") === col("s2.doc_id"))
-          .withColumn("ubi", col("ri") + least(col("s1.h"), col("s2.h")))
-          .filter(col("ubi").cast("double") /
-            (col("s1.n") + col("s2.n") - col("ubi")) >= 0.5)
-          .select(col("d1"), col("d2"))
-        time(s"r$round pruned.count")(pruned.count())
-        val ids = pruned.select(col("d1").as("doc_id"))
-          .union(pruned.select(col("d2").as("doc_id"))).distinct()
-        val shc = sh.join(ids, Seq("doc_id"), "left_semi")
-        time(s"r$round shc.count")(shc.count())
-        val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = pruned
-          .join(shc.as("a"), col("d1") === col("a.doc_id"))
-          .join(shc.as("b"), col("d2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-        time(s"r$round verify.count")(
-          inter
-            .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-            .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-            .select(col("d1"), col("d2"),
-              (col("inter").cast("double") / (col("s1.n") + col("s2.n") - col("inter"))).as("jaccard"))
-            .filter(col("jaccard") >= 0.5).count())
-      }
     } else if (name.startsWith("_jobs:")) {
       // per-stage attribution: warm once, then run instrumented
       val q = name.stripPrefix("_jobs:")
