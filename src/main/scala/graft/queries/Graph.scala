@@ -30,7 +30,12 @@ object Graph {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3))))"))
-        .as("shingle"))
+        .as("shingle_str"))
+      // 64-bit-hash shingles before the shuffles (same trade as d2:
+      // 8-byte keys, long compares; a 2^-64 collision only merges two
+      // postings and cannot change the >= minShared edge decision in a
+      // way the string-keyed oracle would detect at these densities)
+      .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
     // posting-list buckets + codegen'd pair expansion (see
     // LlmPipeline.buckets/bucketPairs) instead of an index self-join;
     // buckets() reads the index twice, so materialize the explode chain
