@@ -712,12 +712,17 @@ object LlmPipeline {
     // benchmark side is typically small enough for AQE to broadcast
     "d10_decontaminate" -> ((s, dir) => {
       import s.implicits._
+      // 64-bit-hash the 8-grams before the join (d2's trade: 8-byte
+      // keys instead of ~50-byte strings through the shuffle; a 2^-64
+      // collision would add one phantom hit — negligible, and the
+      // string-keyed oracle still matches at these densities)
       val grams = Tables.documents(s, dir)
         .select($"doc_id", $"source", toks($"text").as("toks"))
         .filter(size($"toks") >= 8)
         .select($"doc_id", $"source", explode(expr(
           "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
           .as("g"))
+        .select($"doc_id", $"source", xxhash64($"g").as("g"))
       val bench = grams.filter($"source" === "src0").select($"g").distinct()
       grams.filter($"source" =!= "src0")
         .join(bench, "g")
@@ -871,6 +876,9 @@ object LlmPipeline {
         .select($"doc_id", $"source", explode(expr(
           "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
           .as("g"))
+        // 64-bit-hash once here: the Bloom build/probe AND the exact
+        // verify join all key on the same 8-byte value (d10's trade)
+        .select($"doc_id", $"source", xxhash64($"g").as("g"))
       val bench = grams.filter($"source" === "src0").select($"g").distinct()
       // Build the filter with Spark's own bloom_filter_agg (the build
       // half of the engine's runtime-filter machinery) and probe with
@@ -884,9 +892,9 @@ object LlmPipeline {
       // a megabyte literal costs seconds of driver time). Sized
       // generously; a production run would seed expectedNumItems from
       // an approx_count_distinct pre-pass.
-      val bloom = bench.selectExpr(s"bloom_filter_agg(xxhash64(g), ${1L << 20}L) AS bf").scalar()
+      val bloom = bench.selectExpr(s"bloom_filter_agg(g, ${1L << 20}L) AS bf").scalar()
       val hits = grams.filter($"source" =!= "src0")
-        .filter(call_function("might_contain", bloom, xxhash64($"g")))
+        .filter(call_function("might_contain", bloom, $"g"))
         .join(bench, "g")
         .select($"doc_id").distinct()
       docs.filter($"source" =!= "src0")
