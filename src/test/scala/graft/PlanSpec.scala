@@ -134,6 +134,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d14 incremental dedup: bipartite posting-list join, never all-pairs") {
+    val p = finalPlan("d14_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t12: packing window partitions on (lang, shard), not lang alone") {
     val p = plan("t12_sequence_pack_sharded")
     // the Window's partition spec must carry the sub-shard key — that is

@@ -154,6 +154,69 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 100.0)))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows on watermark expiry") {
+    // outer stream-stream semantics: an unmatched left row can only be
+    // emitted once the watermark proves no matching right row can still
+    // arrive — so with a bounded input the null-extended results appear
+    // ONLY after a later event advances the watermark past the join
+    // window. This is the part the inner-join test cannot see.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_oj_src").toString
+    def write(rows: (String, String, java.sql.Timestamp)*): Unit =
+      rows.toDF("kind", "k", "ts").coalesce(1).write.mode("append").parquet(dir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("kind", org.apache.spark.sql.types.StringType)
+      .add("k", org.apache.spark.sql.types.StringType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+    // batch 1: click c1 converts within 1h, click c2 never converts
+    write(("click", "c1", ts("2024-01-01 10:00:00")),
+      ("click", "c2", ts("2024-01-01 10:05:00")),
+      ("buy", "c1", ts("2024-01-01 10:30:00")))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // rename BEFORE withWatermark so the watermark tracks the column
+    // that actually reaches the join
+    val clicks = src.filter($"kind" === "click")
+      .select($"k", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val buys = src.filter($"kind" === "buy")
+      .select($"k".as("bk"), $"ts".as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = clicks.join(buys,
+      $"k" === $"bk" && $"buy_ts" >= $"click_ts" &&
+        $"buy_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select($"k", $"click_ts", $"buy_ts")
+    val q = joined.writeStream.format("memory").queryName("oj_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("oj_test").collect().map(_.getString(0)).toSet
+      // c2's non-match is NOT yet provable (a buy at 11:04 could still
+      // arrive): only the matched pair may have emitted so far
+      assert(!afterB1.contains("c2"), s"premature outer emit: $afterB1")
+      // batch 2: far-future events on BOTH branches — the query's
+      // global watermark is the MIN over all watermark operators, and
+      // each branch's operator only sees its own filtered rows, so a
+      // buys-only event would leave the clicks watermark (and thus the
+      // global one) stuck before c2's expiry
+      write(("buy", "zz", ts("2024-01-01 13:00:00")),
+        ("click", "zz", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // one more batch so the watermark computed from batch 2's max
+      // event time is APPLIED to state eviction
+      write(("buy", "zz2", ts("2024-01-01 13:30:00")),
+        ("click", "zz2", ts("2024-01-01 13:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("oj_test").collect()
+      .map(r => (r.getString(0), Option(r.getTimestamp(2)))).toMap
+    assert(rows("c1").isDefined, s"c1 must match: $rows")
+    assert(rows.contains("c2") && rows("c2").isEmpty,
+      s"c2 must emit null-extended after watermark expiry: $rows")
+  }
+
   test("RocksDB state store: recovery holds on the scale-grade backend") {
     // the default (HDFSBackedStateStoreProvider) keeps state on the JVM
     // heap — at 100 TB the state store must spill off-heap, which is
