@@ -680,6 +680,26 @@ object LlmPipeline {
         .orderBy($"lang", $"shard", $"bin")
     }),
 
+    // overlapping context-window chunking: 64-token chunks at stride 48
+    // (16-token overlap) — the chunk-prep step before embedding or
+    // packing, distinct from t9/t12 (which BIN whole docs). Chunk starts
+    // stop before size-16 so no degenerate tail chunk is emitted (short
+    // docs still yield their single chunk). Pure projection + generator,
+    // no shuffle until the output sort — embarrassingly parallel at any
+    // corpus size.
+    "t14_chunk_overlap" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", toks($"text").as("toks"))
+        .select($"doc_id", $"toks",
+          explode(expr("sequence(0, greatest(size(toks) - 17, 0), 48)")).as("start0"))
+        .select($"doc_id",
+          expr("start0 div 48").as("chunk_id"),
+          least(lit(64), size($"toks") - $"start0").cast("long").as("chunk_tokens"),
+          concat_ws(" ", slice($"toks", $"start0" + 1, lit(64))).as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -1255,6 +1275,19 @@ object LlmPipeline {
         |SELECT d.doc_id FROM docs d
         |WHERE d.source = 'src1' AND d.doc_id NOT IN (SELECT bid FROM matched)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "t14_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS start0, toks
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(start0 // 48 AS BIGINT) AS chunk_id,
+        |  CAST(least(64, len(toks) - start0) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(toks[start0+1:start0+64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "t13_mixture_weights" ->
       """WITH n AS (
