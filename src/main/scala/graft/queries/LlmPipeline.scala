@@ -264,6 +264,37 @@ object LlmPipeline {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental batch-vs-corpus dedup (the d14 core, extracted for unit
+    * testing): keep only batch docs (source == `batchSource`) that match
+    * NO index doc, where match = exact text (md5) OR >= `minShared`
+    * shared non-hot 3-gram shingles (df <= `maxDf` over the combined
+    * corpus). Bipartite posting-list join — batch×index per shingle,
+    * never all-pairs; see the d14 query comment for the 100 TB posture. */
+  def incrementalDedup(docs: DataFrame, batchSource: String,
+                       minShared: Int, maxDf: Int): DataFrame = {
+    val flags = docs.select(col("doc_id"),
+      (col("source") === batchSource).as("is_batch"), md5(col("text")).as("fp"))
+    val sh = materialize(shingleIndex(docs)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .join(flags.select(col("doc_id"), col("is_batch")), "doc_id"))
+    val ok = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    val shOk = sh.join(ok, Seq("shingle"), "left_semi")
+    val pairs = shOk.filter(col("is_batch")).select(col("doc_id").as("bid"), col("shingle"))
+      .join(shOk.filter(!col("is_batch")).select(col("doc_id").as("iid"), col("shingle")), "shingle")
+      .groupBy(col("bid"), col("iid")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("bid")).distinct()
+    val exact = flags.filter(col("is_batch")).select(col("doc_id").as("bid"), col("fp"))
+      .join(flags.filter(!col("is_batch")).select(col("fp")), "fp")
+      .select(col("bid")).distinct()
+    flags.filter(col("is_batch"))
+      .join(pairs.union(exact).withColumnRenamed("bid", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: keep min doc_id per identical text
@@ -285,31 +316,9 @@ object LlmPipeline {
     // postings come from the persisted corpus index and the batch side
     // is small enough for AQE to broadcast, so the daily increment
     // never reshuffles the full corpus.
-    "d14_incremental_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val base = Tables.documents(s, dir)
-      val flags = base.select($"doc_id", ($"source" === "src1").as("is_batch"),
-        md5($"text").as("fp"))
-      val sh = materialize(shingleIndex(base)
-        .select($"doc_id", xxhash64($"shingle").as("shingle"))
-        .join(flags.select($"doc_id", $"is_batch"), "doc_id"))
-      val ok = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        .filter($"df" <= MaxShingleDf).select($"shingle")
-      val shOk = sh.join(ok, Seq("shingle"), "left_semi")
-      val pairs = shOk.filter($"is_batch").select($"doc_id".as("bid"), $"shingle")
-        .join(shOk.filter(!$"is_batch").select($"doc_id".as("iid"), $"shingle"), "shingle")
-        .groupBy($"bid", $"iid").agg(count(lit(1)).as("n_shared"))
-        .filter($"n_shared" >= 5)
-        .select($"bid").distinct()
-      val exact = flags.filter($"is_batch").select($"doc_id".as("bid"), $"fp")
-        .join(flags.filter(!$"is_batch").select($"fp"), "fp")
-        .select($"bid").distinct()
-      flags.filter($"is_batch")
-        .join(pairs.union(exact).withColumnRenamed("bid", "doc_id"),
-          Seq("doc_id"), "left_anti")
-        .select($"doc_id")
-        .orderBy($"doc_id")
-    }),
+    "d14_incremental_dedup" -> ((s, dir) =>
+      incrementalDedup(Tables.documents(s, dir), batchSource = "src1",
+        minShared = 5, maxDf = MaxShingleDf)),
 
     // near-dup: word-3-gram Jaccard ≥ 0.5 — candidates from the
     // hot-capped inverted index, exact verification on full shingle sets

@@ -65,6 +65,31 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalDedup keeps novel batch docs, drops exact and near dups") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val indexDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      // existing corpus index
+      (0L, "idx", indexDoc),
+      (1L, "idx", "one two three four five six seven eight"),
+      // new batch: 10 = exact dup of 0; 11 = near dup of 0 (6 shingles
+      // shared of the 6-shingle doc, >= minShared 5); 12 = novel
+      (10L, "new", indexDoc),
+      (11L, "new", indexDoc + " omega"),
+      (12L, "new", "red orange yellow green blue indigo violet ultraviolet"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (id, s, t) => Row(id, s, t) }),
+      schema)
+    val kept = LlmPipeline.incrementalDedup(df, batchSource = "new",
+        minShared = 5, maxDf = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(12L),
+      s"exact dup 10 and near dup 11 must be dropped, novel 12 kept: $kept")
+  }
+
   test("nearDupJaccard equals brute-force capped-candidate exact Jaccard") {
     for (seed <- Seq(1, 7, 42)) {
       val docs = corpus(seed)
