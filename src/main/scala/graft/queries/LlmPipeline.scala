@@ -295,6 +295,54 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-SPAN statistics (the d15 core, extracted for unit
+    * testing) — the suffix-array substring-dedup posture of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL'22),
+    * approximated at `k`-token-gram granularity: every k-gram occurring
+    * >= 2 times ANYWHERE in the corpus (another doc, or the same doc
+    * again) marks its k-token span as duplicated; a doc's `dup_tokens`
+    * is the INTERVAL UNION of its marked spans (gaps-and-islands over a
+    * per-doc window), so overlapping grams — a 40-token copied passage
+    * is 31 overlapping marked 10-grams — are not double-counted.
+    * Downstream, dup_tokens/n_tokens drives removal of
+    * memorization-prone boilerplate.
+    *
+    * Scale shape: one posexplode (~n_tokens rows per doc), a count agg
+    * on gram keys (map-side partials), one shuffle join back on the
+    * gram key, and a window whose partitions are bounded by doc length
+    * — never all-pairs, no driver state. Gram strings are xxhash64'd
+    * before the shuffles (d2's trade: 8-byte keys; a 2^-64 collision
+    * adds one phantom marked span, and the string-keyed oracle still
+    * matches at these densities). Returns
+    * (doc_id, n_tokens, dup_tokens). */
+  def dupSpanStats(docs: DataFrame, k: Int): DataFrame = {
+    val toksDf = graft.ops.Spread.fanout(docs)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+    val grams = toksDf
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks)-$k), i -> concat_ws(' ', slice(toks, i+1, $k)))")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("g"))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("g"))
+    val marked = grams.join(dup, "g")
+      .select(col("doc_id"), col("pos"), (col("pos") + k - 1).as("e"))
+    // gaps-and-islands: a marked span contributes only the tokens past
+    // the running max end of all earlier spans in the same doc
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = marked
+      .withColumn("prev_end", max(col("e")).over(w))
+      .select(col("doc_id"),
+        greatest(lit(0),
+          col("e") - greatest(col("pos"), coalesce(col("prev_end"), lit(-1)) + 1) + 1).as("cov"))
+      .groupBy(col("doc_id")).agg(sum(col("cov")).as("dup_tokens"))
+    toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: keep min doc_id per identical text
@@ -319,6 +367,11 @@ object LlmPipeline {
     "d14_incremental_dedup" -> ((s, dir) =>
       incrementalDedup(Tables.documents(s, dir), batchSource = "src1",
         minShared = 5, maxDf = MaxShingleDf)),
+
+    // duplicated-SPAN detection at 10-gram granularity — see
+    // [[dupSpanStats]] for the Lee-et-al posture and the scale shape
+    "d15_dup_span_stats" -> ((s, dir) =>
+      dupSpanStats(Tables.documents(s, dir), k = 10).orderBy(col("doc_id"))),
 
     // near-dup: word-3-gram Jaccard ≥ 0.5 — candidates from the
     // hot-capped inverted index, exact verification on full shingle sets
@@ -1283,6 +1336,38 @@ object LlmPipeline {
         |matched AS (SELECT bid FROM pairs UNION SELECT bid FROM exact)
         |SELECT d.doc_id FROM docs d
         |WHERE d.source = 'src1' AND d.doc_id NOT IN (SELECT bid FROM matched)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "d15_dup_span_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(range(len(toks)-9)) AS pos
+        |  FROM docs WHERE len(toks) >= 10
+        |),
+        |grams AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos+1:pos+10], ' ') AS g FROM pos
+        |),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |marked AS (
+        |  SELECT m.doc_id, m.pos, m.pos + 9 AS e
+        |  FROM grams m JOIN dup d ON m.g = d.g
+        |),
+        |cov AS (
+        |  SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM marked
+        |),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(sum(greatest(0,
+        |    e - greatest(pos, coalesce(prev_end, -1) + 1) + 1)) AS BIGINT) AS dup_tokens
+        |  FROM cov GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(p.dup_tokens, 0) AS dup_tokens
+        |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "t14_chunk_overlap" ->

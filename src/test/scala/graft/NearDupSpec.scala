@@ -90,6 +90,34 @@ class NearDupSpec extends SparkTestBase {
       s"exact dup 10 and near dup 11 must be dropped, novel 12 kept: $kept")
   }
 
+  test("dupSpanStats: planted spans, intra-doc repeats, interval union") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val passage = "p1 p2 p3 p4 p5" // 5 tokens, shared by docs 0 and 1
+    val docs = Seq(
+      (0L, s"$passage u1 u2 u3"),            // 5 of 8 tokens duplicated
+      (1L, s"v1 v2 $passage v3"),            // 5 of 8
+      // intra-doc repeat: "x1 x2 x3" at pos 0 and 4 -> union = 6 tokens
+      (2L, "x1 x2 x3 gap x1 x2 x3"),
+      // overlap union: grams "a b c" and "b c d" both duplicated via
+      // doc 4 -> doc 3 covers 4 tokens (not 6)
+      (3L, "a b c d w1 w2 w3 w4 w5 w6"),
+      (4L, "a b c q1 q2 b c d q3 q4"),
+      (5L, "n1 n2 n3 n4 n5 n6"),             // nothing duplicated
+      (6L, "s1 s2"))                         // < k tokens: no grams
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (id, t) => Row(id, t) }),
+      schema)
+    val got = LlmPipeline.dupSpanStats(df, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      0L -> (8L, 5L), 1L -> (8L, 5L), 2L -> (7L, 6L),
+      3L -> (10L, 4L), 4L -> (10L, 6L), 5L -> (6L, 0L), 6L -> (2L, 0L)),
+      s"got $got")
+  }
+
   test("nearDupJaccard equals brute-force capped-candidate exact Jaccard") {
     for (seed <- Seq(1, 7, 42)) {
       val docs = corpus(seed)
