@@ -56,6 +56,25 @@ object Graph {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
+
+    // END-TO-END cluster resolution: near-dup edges → transitive
+    // clusters → drop every non-representative member (keep the min
+    // doc_id per cluster) → the surviving corpus. This is the step the
+    // whole dedup family feeds: d2/d3 emit pairs, cc1 labels clusters,
+    // cc2 emits the deduplicated corpus a training run would read.
+    // The non-representative set is tiny relative to the corpus, so
+    // the final anti-join broadcasts under AQE — the full corpus is
+    // never reshuffled.
+    "cc2_cluster_resolve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = sharedShingleEdges(docs, minShared = 5, maxDf = 100)
+      val losers = ConnectedComponents.run(edges, "d1", "d2")
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,5 +102,35 @@ object Graph {
         |)
         |SELECT node AS doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "cc2_cluster_resolve" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |losers AS (
+        |  SELECT node FROM (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        |  WHERE node <> cluster_id
+        |)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT node FROM losers)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }
