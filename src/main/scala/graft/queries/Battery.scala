@@ -519,6 +519,31 @@ object Battery {
           sum($"n_chars").as("total_chars"))
         .orderBy($"source")
     }),
+
+    // range-CLUSTERED data layout: repartitionByRange + in-partition
+    // sort on the filter column before the write gives every output
+    // file a disjoint l_shipdate range and every row group a tight
+    // min/max — at 100 TB this is what makes a time-window scan read
+    // ~1/N of the files (parquet footer min/max pruning) instead of
+    // all of them. The query result is layout-invariant (the oracle
+    // reads the unclustered table); the layout property itself —
+    // pairwise-disjoint per-file ranges — is asserted in ScaleSpec.
+    "q42_clustered_layout" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_clust", dir)
+      Tables.lineitem(s, dir)
+        .repartitionByRange(8, $"l_shipdate")
+        .sortWithinPartitions($"l_shipdate", $"l_orderkey")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        // l_shipdate is TIMESTAMP_NTZ (no-tz parquet annotation) —
+        // compare against NTZ literals, matching DuckDB's naive TIMESTAMP
+        .filter($"l_shipdate" >= to_timestamp_ntz(lit("1996-01-01")) &&
+          $"l_shipdate" < to_timestamp_ntz(lit("1997-01-01")))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -787,5 +812,13 @@ object Battery {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q42_clustered_layout" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

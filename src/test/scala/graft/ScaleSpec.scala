@@ -71,6 +71,34 @@ class ScaleSpec extends SparkTestBase {
       Tables.lineitem(spark, sf0001).filter($"l_returnflag" === "A").count())
   }
 
+  test("range-clustered layout gives pairwise-disjoint per-file ranges") {
+    // the q42 layout property: after repartitionByRange + in-partition
+    // sort on l_shipdate, every parquet file holds a disjoint shipdate
+    // range — the precondition for footer min/max pruning to skip
+    // ~(N-1)/N of the files on a time-window scan at 100 TB
+    val dir = java.nio.file.Files.createTempDirectory("graft_clust_spec").toString
+    Tables.lineitem(spark, sf0001)
+      .repartitionByRange(4, $"l_shipdate")
+      .sortWithinPartitions($"l_shipdate", $"l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size > 1, s"need multiple files to prove disjointness: $files")
+    val ranges = files.map { f =>
+      // TIMESTAMP_NTZ won't cast to a numeric — ISO-formatted strings
+      // order lexicographically, which is all disjointness needs
+      val r = spark.read.parquet(f)
+        .agg(min($"l_shipdate").cast("string"), max($"l_shipdate").cast("string"))
+        .head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, e1), (s2, _)) =>
+        assert(e1 <= s2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark.newSession() // warehouse dir set via -D in build.sbt
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
