@@ -17,6 +17,7 @@ object SparkEntry {
       (q.Export.queries, q.Export.oracleSql),
       (q.LlmPipeline.queries, q.LlmPipeline.oracleSql),
       (q.Graph.queries, q.Graph.oracleSql),
+      (q.Clustering.queries, q.Clustering.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql),
     )
 

@@ -25,6 +25,20 @@ object VecOps {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Squared L2 distance, same left-to-right-from-0.0 add order as the
+    * oracle's `list_reduce` over per-dim squared differences. */
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Multi-table random-hyperplane LSH signatures, computed entirely
@@ -118,4 +132,21 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 object VecDot {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `sq_dist(ARRAY<DOUBLE>, ARRAY<DOUBLE>) -> DOUBLE` (squared L2),
+  * codegen'd. */
+case class VecSqDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.sqDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDist =
+    copy(l, r)
+}
+
+object VecSqDist {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(VecSqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

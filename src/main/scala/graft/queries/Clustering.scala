@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.VecSqDist
+import graft.ops.Materialize
+import graft.sources.Tables
+
+/** Distributed k-means (Lloyd's) over the embedding column — the
+  * clustering step a training-data pipeline runs for mixture balancing
+  * and coverage analysis (group the corpus by embedding cluster, then
+  * sample per cluster), and the training loop behind d7's IVF index
+  * (d7 quantizes against FIXED seed centroids; this is the operator
+  * that would refine them).
+  *
+  * Determinism for the oracle gate: seeds are the first k vectors by
+  * vec_id (no RNG), iteration count is fixed, ties in the nearest-
+  * centroid argmin break on the lower centroid id, and every
+  * order-sensitive double reduction is either a sequential left fold
+  * from 0.0 (the per-pair distance — [[graft.functions.VecSqDist]],
+  * matching DuckDB's `list_reduce`) or a DECIMAL(38,6)-stabilized sum
+  * (the per-cluster per-dim means and the WSS), so a DuckDB replay is
+  * bit-identical.
+  *
+  * Scale shape per iteration: one crossJoin against the BROADCAST
+  * centroid set (k rows — never a shuffle of the corpus), one window
+  * argmin partitioned by vec_id (bounded k rows per partition), and one
+  * (cluster, dim)-keyed aggregation whose partials combine map-side.
+  * The corpus is never collected and never reshuffled by cluster; the
+  * only full pass is the per-dim posexplode (dim × n rows, the same
+  * fanout every distributed k-means pays for the centroid update).
+  * Centroid frames (k rows) are materialized per iteration to truncate
+  * lineage, so iteration i+1's plan does not replay iteration i.
+  */
+object Clustering {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** `iters` Lloyd iterations from the first-k-by-vec_id seeds; returns
+    * (cluster_id, n_members, wss) — wss is the within-cluster sum of
+    * squared distances under the FINAL assignment. */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = graft.ops.Spread.fanout(embeddings)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          VecSqDist(col("v"), col("cv")).as("dist"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dist"))
+    }
+
+    def update(assigned: DataFrame): DataFrame = {
+      val dims = assigned.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+      val means = dims.groupBy(col("cid"), col("d"))
+        .agg((dsum(col("x")) / count(lit(1))).as("m"))
+      means.groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").as("cv"))
+    }
+
+    var cents = Materialize(
+      e.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("cv")))
+    for (_ <- 1 until iters)
+      cents = Materialize(update(assign(cents)))
+    assign(cents)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), dsum(col("dist")).as("wss"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_kmeans" -> ((s, dir) =>
+      kmeans(Tables.embeddings(s, dir), k = 8, iters = 2)
+        .orderBy(col("cluster_id"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the same two Lloyd iterations unrolled as CTEs; distances fold
+    // left from the first element (0.0 + x1 == x1, so identical to the
+    // Spark side's fold from 0.0) and the mean/WSS sums are
+    // DECIMAL(38,6)-stabilized on both sides
+    "c1_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(range(len(e.v)),
+        |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+        |  FROM e CROSS JOIN c0 c
+        |),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM s1) WHERE rn = 1
+        |),
+        |x1 AS (
+        |  SELECT a1.cid, e.v, unnest(range(len(e.v))) AS d
+        |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+        |),
+        |u1 AS (
+        |  SELECT cid, d,
+        |    CAST(SUM(CAST(v[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM x1 GROUP BY cid, d
+        |),
+        |c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM u1 GROUP BY cid),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(range(len(e.v)),
+        |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+        |  FROM e CROSS JOIN c1 c
+        |),
+        |a2 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT vec_id, cid, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM s2) WHERE rn = 1
+        |)
+        |SELECT cid AS cluster_id, COUNT(*) AS n_members,
+        |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS wss
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+  )
+}
