@@ -77,6 +77,17 @@ object Streaming {
         .agg(count(lit(1)).as("n_pairs"), dsum($"value").as("sum_val"))
         .orderBy($"user_id")
     }),
+    // streaming dedup-ingest: arriving docs (source 'src1' plays the
+    // stream) anti-joined on md5 against the static corpus index —
+    // stream==batch proven in StreamingSpec with a genuine readStream
+    "s7_stream_dedup_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = docs.filter($"source" =!= "src1")
+        .select(md5($"text").as("fp")).distinct()
+      Streams.dedupIngest(docs.filter($"source" === "src1"), idx)
+        .orderBy($"lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -145,5 +156,13 @@ object Streaming {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.pus >= c.cus AND p.pus <= c.cus + 21600000000
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "s7_stream_dedup_ingest" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE source <> 'src1'
+        |)
+        |SELECT lang, COUNT(*) AS n_novel FROM documents
+        |WHERE source = 'src1' AND md5(text) NOT IN (SELECT fp FROM idx)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -106,6 +106,37 @@ object Streams {
       .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
   }
 
+  /** Streaming dedup-ingest — the continuous form of the d14
+    * daily-crawl posture: an arriving document stream is fingerprinted
+    * (md5) and LEFT-ANTI joined against the STATIC corpus index, so
+    * only never-seen documents survive into the per-language novelty
+    * counts. Stream-static anti joins are STATELESS in Structured
+    * Streaming (each micro-batch probes the static side, broadcast by
+    * AQE when small); only the downstream aggregation keeps state —
+    * exactly how a 100 TB ingest keeps the corpus index out of the
+    * hot path. Works on a batch frame too (shape of `s7`). */
+  def dedupIngest(docs: DataFrame, index: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(col("text")))
+      .join(index, Seq("fp"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_novel"))
+
+  /** `readStream` documents source over a fixed symlink dir (same
+    * mechanism as [[eventsStream]]). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val streamDir = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_docstream_$key")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    spark.readStream.schema(batch.schema).parquet(streamDir.toString)
+  }
+
   /** Run a streaming plan to a memory sink synchronously (one batch of
     * the parquet source) and return the materialized result. */
   def runToMemory(spark: SparkSession, plan: DataFrame, name: String,

@@ -44,6 +44,22 @@ class StreamingSpec extends SparkTestBase {
     assert(stream == batch)
   }
 
+  test("dedup-ingest: stream-static anti join equals batch novelty counts") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val idx = docs.filter(col("source") =!= "src1")
+      .select(md5(col("text")).as("fp")).distinct()
+    val batch = rowsOf(
+      Streams.dedupIngest(docs.filter(col("source") === "src1"), idx))
+    val stream = rowsOf(Streams.runToMemory(spark,
+      Streams.dedupIngest(
+        Streams.documentsStream(spark, sf0001).filter(col("source") === "src1"),
+        idx),
+      "dedup_ingest_test"))
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("stateful streaming: flatMapGroupsWithState running per-user counts") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
