@@ -762,6 +762,47 @@ object LlmPipeline {
         .orderBy($"doc_id", $"chunk_id")
     }),
 
+    // vocabulary growth (Heaps' law curve) by FIRST-OCCURRENCE
+    // attribution: a token type is credited to the first doc_id it
+    // appears in, so new_types per doc and the running cum_types trace
+    // |V(n)| WITHOUT any sequential corpus scan — one explode + one
+    // min-agg on token keys (map-side combine), then a window over the
+    // (sparse, vocabulary-bounded) curve points. The curve drives
+    // tokenizer vocab sizing and corpus-diversity monitoring. (This
+    // synthetic corpus has a closed ~small vocab, so the curve has few
+    // points; the shape is the same at any scale.)
+    "t15_vocab_growth" -> ((s, dir) => {
+      import s.implicits._
+      val firstSeen = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select(explode(toks($"text")).as("tok"), $"doc_id")
+        .groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+      val curve = firstSeen
+        .groupBy($"first_doc")
+        .agg(count(lit(1)).as("new_types"))
+      curve
+        .withColumn("cum_types",
+          sum($"new_types").over(Window.orderBy($"first_doc")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy($"first_doc")
+    }),
+
+    // first BPE training iteration: corpus-wide adjacent character-pair
+    // frequencies inside word boundaries (the statistic whose argmax is
+    // the first merge rule). One explode chain to (pair) rows, a count
+    // agg with map-side partials, and a global top-20 — vocabulary-
+    // bounded, no shuffle of the corpus itself.
+    "b1_bpe_pair_stats" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select(explode(toks($"text")).as("tok"))
+        .filter(length($"tok") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok)-1), i -> substr(tok, i, 2))")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(20)
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -1382,6 +1423,30 @@ object LlmPipeline {
         |  CAST(least(64, len(toks) - start0) AS BIGINT) AS chunk_tokens,
         |  array_to_string(toks[start0+1:start0+64], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t15_vocab_growth" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+        |),
+        |fs AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+        |b AS (
+        |  SELECT first_doc, COUNT(*) AS new_types
+        |  FROM fs GROUP BY 1
+        |)
+        |SELECT first_doc, new_types,
+        |  CAST(SUM(new_types) OVER (ORDER BY first_doc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM b ORDER BY first_doc""".stripMargin,
+
+    "b1_bpe_pair_stats" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+        |),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(tok)), i -> tok[i:i+1])) AS pair
+        |  FROM t WHERE len(tok) >= 2
+        |)
+        |SELECT pair, COUNT(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     "t13_mixture_weights" ->
       """WITH n AS (
