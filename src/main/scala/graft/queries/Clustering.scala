@@ -76,10 +76,52 @@ object Clustering {
       .agg(count(lit(1)).as("n_members"), dsum(col("dist")).as("wss"))
   }
 
+  /** Distributed LINEAR PROBE — least-squares regression of the label
+    * column on the embedding, trained by `iters` full-batch gradient
+    * descent steps from w=0 (the standard quick eval of embedding
+    * quality: how linearly decodable is the label?). Every step is one
+    * corpus pass: residuals via the codegen'd [[VecSqDist]]-sibling
+    * [[VecDot]] against the BROADCAST weight vector, then per-dim
+    * gradient sums g_j = Σ resid·x_j / n that are DECIMAL(38,6)-
+    * stabilized so the reduction order cannot flip a bit vs the
+    * unrolled-CTE oracle. The weight vector (dim rows) is the only
+    * state between iterations — the corpus is never reshuffled.
+    * Returns (d, w) — the learned weight per dimension. */
+  def linearProbe(embeddings: DataFrame, iters: Int, lr: Double): DataFrame = {
+    val e = graft.ops.Spread.fanout(embeddings)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        col("label").cast("double").as("y"))
+
+    // w starts as an all-zeros vector of the embedding dimension
+    var w = Materialize(
+      e.limit(1).select(posexplode(expr("transform(v, x -> CAST(0 AS DOUBLE))"))
+        .as(Seq("d", "w"))))
+
+    val n = count(lit(1))
+    for (_ <- 1 to iters) {
+      val wv = w.groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(d, w))), s -> s.w)").as("wv"))
+      val resid = e.crossJoin(broadcast(wv))
+        .select(col("v"), (graft.functions.VecDot(col("v"), col("wv")) - col("y")).as("r"))
+      val grad = resid
+        .select(col("r"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg((dsum(col("r") * col("x")) / n).as("g"))
+      w = Materialize(
+        w.join(grad, "d").select(col("d"), (col("w") - lit(lr) * col("g")).as("w")))
+    }
+    w.select(col("d").cast("long").as("d"), col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_kmeans" -> ((s, dir) =>
       kmeans(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy(col("cluster_id"))),
+
+    "ml1_linear_probe" -> ((s, dir) =>
+      linearProbe(Tables.embeddings(s, dir), iters = 2, lr = 0.5)
+        .orderBy(col("d"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -130,5 +172,46 @@ object Clustering {
         |SELECT cid AS cluster_id, COUNT(*) AS n_members,
         |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS wss
         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // two GD steps unrolled; residual dot products fold left (0.0 + x1
+    // == x1, so Spark's fold-from-zero and list_reduce agree) and the
+    // gradient sums are DECIMAL(38,6)-stabilized on both sides
+    "ml1_linear_probe" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    CAST(label AS DOUBLE) AS y
+        |  FROM embeddings
+        |),
+        |w0 AS (
+        |  SELECT unnest(range(len(v))) AS d, 0.0 AS w
+        |  FROM (SELECT v FROM e LIMIT 1)
+        |),
+        |wv0 AS (SELECT list(w ORDER BY d) AS wv FROM w0),
+        |r1 AS (
+        |  SELECT e.v, e.y,
+        |    list_reduce(list_transform(range(len(e.v)), i -> e.v[i+1]*w.wv[i+1]),
+        |      (a, b) -> a + b) - e.y AS r
+        |  FROM e CROSS JOIN wv0 w
+        |),
+        |x1 AS (SELECT r, v, unnest(range(len(v))) AS d FROM r1),
+        |g1 AS (
+        |  SELECT d, CAST(SUM(CAST(r * v[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS g
+        |  FROM x1 GROUP BY d
+        |),
+        |w1 AS (SELECT w0.d, w0.w - 0.5*g1.g AS w FROM w0 JOIN g1 ON w0.d = g1.d),
+        |wv1 AS (SELECT list(w ORDER BY d) AS wv FROM w1),
+        |r2 AS (
+        |  SELECT e.v, e.y,
+        |    list_reduce(list_transform(range(len(e.v)), i -> e.v[i+1]*w.wv[i+1]),
+        |      (a, b) -> a + b) - e.y AS r
+        |  FROM e CROSS JOIN wv1 w
+        |),
+        |x2 AS (SELECT r, v, unnest(range(len(v))) AS d FROM r2),
+        |g2 AS (
+        |  SELECT d, CAST(SUM(CAST(r * v[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS g
+        |  FROM x2 GROUP BY d
+        |),
+        |w2 AS (SELECT w1.d, w1.w - 0.5*g2.g AS w FROM w1 JOIN g2 ON w1.d = g2.d)
+        |SELECT CAST(d AS BIGINT) AS d, w FROM w2 ORDER BY d""".stripMargin,
   )
 }

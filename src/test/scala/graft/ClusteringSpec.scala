@@ -19,6 +19,20 @@ class ClusteringSpec extends SparkTestBase {
       s"WSS must not increase with more Lloyd iterations: $wss")
   }
 
+  test("linearProbe: two GD steps cut training MSE below the zero model") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf0001)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        col("label").cast("double").as("y"))
+    val w = Clustering.linearProbe(Tables.embeddings(spark, sf0001), iters = 2, lr = 0.5)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1)).toSeq
+    val mse = e.select(
+        pow(graft.functions.VecDot(col("v"), typedLit(w)) - col("y"), 2).as("se"))
+      .agg(avg("se")).head().getDouble(0)
+    val mse0 = e.select(pow(col("y"), 2).as("se")).agg(avg("se")).head().getDouble(0)
+    assert(mse < mse0, s"probe must beat the zero model: $mse vs $mse0")
+  }
+
   test("kmeans partitions the corpus: member counts sum to n") {
     val e = Tables.embeddings(spark, sf0001)
     val n = e.count()
