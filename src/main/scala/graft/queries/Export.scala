@@ -39,6 +39,22 @@ object Export {
       s.read.option("header", "true").csv(tmp)
         .orderBy($"l_orderkey".cast("long"), $"l_linenumber".cast("int"))
     }),
+
+    // NDJSON roundtrip: the library's distributed JSON sink writes
+    // native-typed objects; Spark's json source reads them back under
+    // an EXPLICIT schema (no inference pass — at 100 TB schema
+    // inference is a full extra scan). Proves the sink's output is a
+    // valid Spark/JSON-lines interchange format, not just bytes.
+    "q43_export_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables.documents(s, dir).orderBy($"doc_id").limit(100)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_$key/out"
+      graft.sinks.JsonSink.writeDir(src, tmp,
+        graft.sinks.JsonOptions(newlineDelimited = true))
+      s.read.schema(src.schema).json(tmp).orderBy($"doc_id")
+    }),
   )
 
   /** Shared render-to-SQL fragment for the lineitem columns. */
@@ -62,5 +78,9 @@ object Export {
       (renderedLineitemSql + "ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT)"),
     "q20_export_csv_roundtrip" ->
       (renderedLineitemSql + "ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT)"),
+    // typed roundtrip: the NDJSON read-back must equal the source rows
+    "q43_export_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
   )
 }
