@@ -99,7 +99,7 @@ object Clustering {
         .as(Seq("d", "w"))))
 
     val n = count(lit(1))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val wv = w.groupBy()
         .agg(expr("transform(array_sort(collect_list(struct(d, w))), s -> s.w)").as("wv"))
       val resid = e.crossJoin(broadcast(wv))
@@ -108,8 +108,12 @@ object Clustering {
         .select(col("r"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("d"))
         .agg((dsum(col("r") * col("x")) / n).as("g"))
-      w = Materialize(
-        w.join(grad, "d").select(col("d"), (col("w") - lit(lr) * col("g")).as("w")))
+      val next = w.join(grad, "d")
+        .select(col("d"), (col("w") - lit(lr) * col("g")).as("w"))
+      // materialize BETWEEN iterations only (truncates the doubling
+      // lineage); the last step stays a live plan so callers — and the
+      // PlanSpec audit — see the broadcast-weight corpus pass
+      w = if (i < iters) Materialize(next) else next
     }
     w.select(col("d").cast("long").as("d"), col("w"))
   }

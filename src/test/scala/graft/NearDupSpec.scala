@@ -118,6 +118,43 @@ class NearDupSpec extends SparkTestBase {
       s"got $got")
   }
 
+  /** Independent brute-force for dupSpanStats: count every k-gram
+    * occurrence corpus-wide, mark spans of grams seen >= 2 times, take
+    * the per-doc union of covered token positions directly. */
+  private def bruteDupSpans(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toIndexedSeq }.toMap
+    val grams = for {
+      (id, ts) <- toks.toSeq; p <- 0 to ts.length - k
+    } yield (id, p, ts.slice(p, p + k).mkString(" "))
+    val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    docs.map { case (id, _) =>
+      val covered = grams.collect {
+        case (d, p, g) if d == id && freq(g) >= 2 => p until (p + k)
+      }.flatten.toSet
+      id -> (toks(id).length.toLong, covered.size.toLong)
+    }.toMap
+  }
+
+  test("dupSpanStats equals brute-force position-set coverage") {
+    for (seed <- Seq(3, 11)) {
+      val docs = corpus(seed)
+      for (k <- Seq(3, 5)) {
+        val want = bruteDupSpans(docs, k)
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(docs.map { case (id, t) => Row(id, t) }),
+          schema)
+        val got = LlmPipeline.dupSpanStats(df, k)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(got == want, s"seed=$seed k=$k\nonly-spark=${got.toSet -- want.toSet}\n" +
+          s"only-brute=${want.toSet -- got.toSet}")
+      }
+    }
+  }
+
   test("nearDupJaccard equals brute-force capped-candidate exact Jaccard") {
     for (seed <- Seq(1, 7, 42)) {
       val docs = corpus(seed)

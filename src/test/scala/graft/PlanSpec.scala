@@ -159,4 +159,27 @@ class PlanSpec extends SparkTestBase {
     assert(!finalPlan("t7_repetition").contains("transform("),
       finalPlan("t7_repetition"))
   }
+
+  test("d15 duplicated-span detection joins on gram keys, never all-pairs") {
+    val p = finalPlan("d15_dup_span_stats")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("c1/ml1: centroid and weight vectors broadcast; corpus never reshuffled") {
+    // the only corpus-width joins are nested-loop against a BROADCAST
+    // k-row (or 1-row) side — a hash exchange of the corpus keyed by
+    // cluster would be the scale bug these audits exist to catch
+    Seq("c1_kmeans", "ml1_linear_probe").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q: " + p)
+      assert(!p.contains("CartesianProduct"), s"$q: " + p)
+    }
+  }
+
+  test("s7 dedup-ingest: anti join against the static index, no row multiplication") {
+    val p = finalPlan("s7_stream_dedup_ingest")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
