@@ -383,10 +383,11 @@ object LlmPipeline {
       // a long compare. A collision would merely merge two shingles'
       // postings (2M shingles in 2^64: P ~ 1e-7); the reported
       // pairs/jaccard are unchanged, so the string-based oracle holds.
-      // No materialize here — nearDupJaccard checkpoints its flagged
-      // posting list, the only multi-consumer intermediate.
-      val sh = shingleIndex(Tables.documents(s, dir))
-        .select($"doc_id", xxhash64($"shingle").as("shingle"))
+      // Materialized: nearDupJaccard reads the posting list twice (the
+      // hot-count aggregate and the flag join), so the tokenize+explode
+      // pass would otherwise run twice before fl's own checkpoint.
+      val sh = materialize(shingleIndex(Tables.documents(s, dir))
+        .select($"doc_id", xxhash64($"shingle").as("shingle")))
       nearDupJaccard(sh, MaxShingleDf, 0.5).orderBy($"d1", $"d2")
     }),
 
