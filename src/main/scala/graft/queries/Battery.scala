@@ -520,6 +520,24 @@ object Battery {
         .orderBy($"source")
     }),
 
+    // skew-salted join AS a registered query: the fact side carries a
+    // random salt, the dimension side is replicated per salt, so one
+    // hot join key spreads over `salts` reducers instead of one. The
+    // oracle is the PLAIN join — salting must be invisible in the
+    // result (the unit equivalence lives in ScaleSpec; this entry makes
+    // it oracle-gated too).
+    "q44_salted_skew_join" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Salt.saltedJoin(
+          Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity"),
+          Tables.orders(s, dir)
+            .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority"),
+          "l_orderkey", salts = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // range-CLUSTERED data layout: repartitionByRange + in-partition
     // sort on the filter column before the write gives every output
     // file a disjoint l_shipdate range and every row group a tight
@@ -812,6 +830,12 @@ object Battery {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q44_salted_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q42_clustered_layout" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

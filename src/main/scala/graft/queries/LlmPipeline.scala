@@ -901,6 +901,24 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // FIXED-BUDGET per-stratum sampling: exactly k=10 docs per language,
+    // chosen by md5 rank (deterministic, no RNG — the reproducible
+    // "give me k examples per stratum" op for eval sets and mixture
+    // audits, complementing d9's ratio-based sample). The rank is the
+    // map-side-pruning TopKPerKey operator, so each stratum ships at
+    // most k rows per task to the exchange — never a full per-stratum
+    // sort at 100 TB.
+    "d16_topk_per_stratum" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = Tables.documents(s, dir)
+        .withColumn("rk", expr(
+          "CAST(conv(substr(md5(concat(lang, ':', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      graft.plans.TopK.perKey(keyed,
+          keys = Seq($"lang"), order = Seq($"rk".asc, $"doc_id".asc), k = 10)
+        .select($"doc_id", $"lang", $"rk")
+        .orderBy($"lang", $"rk", $"doc_id")
+    }),
+
     // multimodal frame sampling: deterministic evenly-spaced frame
     // offsets per (pretend-video) payload — the DecodeStub sampler runs
     // distributed via a typed flatMap, one output row per sampled frame
@@ -1497,6 +1515,23 @@ object LlmPipeline {
         |  array_to_string(list_filter(toks, t -> t NOT IN ('the','a','key','row')), ' ') AS scrubbed,
         |  length(array_to_string(list_filter(toks, t -> t NOT IN ('the','a','key','row')), ' ')) AS scrub_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d16_topk_per_stratum" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef',
+        |             substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT AS rk
+        |  FROM documents
+        |),
+        |ranked AS (
+        |  SELECT doc_id, lang, rk,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rk ASC, doc_id ASC) AS rn
+        |  FROM keyed
+        |)
+        |SELECT doc_id, lang, rk FROM ranked WHERE rn <= 10
+        |ORDER BY lang, rk, doc_id""".stripMargin,
 
     "d9_stratified_sample" ->
       """WITH keyed AS (
