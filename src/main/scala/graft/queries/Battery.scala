@@ -520,6 +520,49 @@ object Battery {
         .orderBy($"source")
     }),
 
+    // statistical outlier flagging: events whose value sits more than
+    // 3σ from their type's mean. Moments come from ONE map-side-
+    // combining aggregation (count + decimal-stabilized Σv, Σv² — the
+    // textbook shift to make stddev a post-aggregation scalar), joined
+    // back broadcast-small; sqrt is IEEE-correctly-rounded so the
+    // threshold compare is bit-deterministic cross-engine.
+    "q45_outlier_events" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val st = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum($"value").as("s1"),
+          dsum($"value" * $"value").as("s2"))
+      ev.join(broadcast(st), "event_type")
+        .filter(abs($"value" - $"s1" / $"n") >
+          lit(3) * sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)))
+        .select($"event_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    }),
+
+    // ordered funnel: first view → first click AFTER it → first
+    // purchase after that, per user; three conditional-min aggregations
+    // on user_id keys (each join is user-keyed, never row×row). The
+    // classic product-analytics conversion count.
+    "q46_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("v_us"))
+      val c = ev.filter($"event_type" === "click").as("e")
+        .join(v, "user_id").filter($"us" > $"v_us")
+        .groupBy($"user_id").agg(min($"us").as("c_us"))
+      val p = ev.filter($"event_type" === "purchase").as("e")
+        .join(c, "user_id").filter($"us" > $"c_us")
+        .groupBy($"user_id").agg(min($"us").as("p_us"))
+      Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+        .map { case (step, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(step).as("step"), $"n_users") }
+        .reduce(_ union _)
+        .orderBy($"step")
+    }),
+
     // skew-salted join AS a registered query: the fact side carries a
     // random salt, the dimension side is replicated per salt, so one
     // hot join key spreads over `salts` reducers instead of one. The
@@ -830,6 +873,36 @@ object Battery {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q45_outlier_events" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE abs(e.value - s1/n) > 3 * sqrt((s2 - s1*s1/n)/(n-1))
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q46_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1 AS us FROM events
+        |),
+        |v AS (SELECT user_id, min(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.us) AS c_us FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1
+        |),
+        |p AS (
+        |  SELECT e.user_id, min(e.us) AS p_us FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1
+        |)
+        |SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY step""".stripMargin,
 
     "q44_salted_skew_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
