@@ -787,6 +787,28 @@ object LlmPipeline {
         .orderBy($"first_doc")
     }),
 
+    // skip-bigram co-occurrence: unordered token pairs within a ±2
+    // window, counted corpus-wide — the word2vec/PMI preprocessing
+    // statistic. Pairs are canonicalized (least, greatest) so "a b" and
+    // "b a" merge; ranking stays on integer counts (no log-PMI — libm
+    // log is not bit-portable across engines, the count table is the
+    // deterministic artifact). One generator explode + one count agg +
+    // a global top-20: vocabulary²-bounded, corpus never reshuffled.
+    "t16_cooccurrence" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select(toks($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(toks)-2), i ->
+            |  transform(sequence(i+1, least(i+2, size(toks)-1)), j ->
+            |    concat(least(toks[i], toks[j]), ' ', greatest(toks[i], toks[j])))))"""
+            .stripMargin)).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(20)
+    }),
+
     // first BPE training iteration: corpus-wide adjacent character-pair
     // frequencies inside word boundaries (the statistic whose argmax is
     // the first merge rule). One explode chain to (pair) rows, a count
@@ -1455,6 +1477,19 @@ object LlmPipeline {
         |SELECT first_doc, new_types,
         |  CAST(SUM(new_types) OVER (ORDER BY first_doc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
         |FROM b ORDER BY first_doc""".stripMargin,
+
+    "t16_cooccurrence" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(len(toks)-1), i ->
+        |    list_transform(range(i+1, least(i+3, len(toks))), j ->
+        |      least(toks[i+1], toks[j+1]) || ' ' || greatest(toks[i+1], toks[j+1]))))) AS pair
+        |  FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT pair, COUNT(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     "b1_bpe_pair_stats" ->
       """WITH t AS (
