@@ -520,6 +520,30 @@ object Battery {
         .orderBy($"source")
     }),
 
+    // SCHEMA EVOLUTION read: an old batch written before a column
+    // existed and a new batch carrying it, unioned by a mergeSchema
+    // scan — the multi-year-corpus reality at 100 TB (schemas drift;
+    // re-writing history is off the table). Old-batch rows surface the
+    // added column as NULL; the aggregation distinguishes "column
+    // absent" (count of non-nulls) from the flag's own value.
+    "q47_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_evo", dir)
+      val docs = Tables.documents(s, dir)
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang", $"n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/b1")
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", $"n_chars", ($"n_chars" > 200).as("long_doc"))
+        .write.mode("overwrite").parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          count($"long_doc").as("n_with_flag"),
+          sum(when($"long_doc", 1L).otherwise(0L)).as("n_long"))
+        .orderBy($"lang")
+    }),
+
     // statistical outlier flagging: events whose value sits more than
     // 3σ from their type's mean. Moments come from ONE map-side-
     // combining aggregation (count + decimal-stabilized Σv, Σv² — the
@@ -873,6 +897,12 @@ object Battery {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q47_schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_flag,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 AND n_chars > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q45_outlier_events" ->
       """WITH st AS (
