@@ -941,6 +941,24 @@ object LlmPipeline {
         .orderBy($"lang", $"rk", $"doc_id")
     }),
 
+    // multimodal SAMPLE ASSEMBLY: the manifest a training job consumes —
+    // text features + embedding metadata + the d11 deterministic split,
+    // joined on the shared id. The embedding side is pre-projected to
+    // (id, dim, label) so the wide vector column never rides the
+    // shuffle; the join keys are ids (AQE broadcasts whichever side
+    // shrinks). Inner join: only docs WITH an embedding are trainable.
+    "m3_sample_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"n_chars",
+          when(h < "c", "train").when(h < "e", "val").otherwise("test").as("split"))
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id".as("doc_id"),
+          size($"embedding").cast("long").as("dim"), $"label")
+      docs.join(emb, "doc_id").orderBy($"doc_id")
+    }),
+
     // multimodal frame sampling: deterministic evenly-spaced frame
     // offsets per (pretend-video) payload — the DecodeStub sampler runs
     // distributed via a typed flatMap, one output row per sampled frame
@@ -1601,6 +1619,15 @@ object LlmPipeline {
         |  CAST(len(regexp_extract_all(c_name, '[0-9]{3,}')) AS BIGINT) AS n_redacted,
         |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_digit_chars
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "m3_sample_manifest" ->
+      """SELECT d.doc_id, d.lang, d.n_chars,
+        |  CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+        |       WHEN substr(md5(CAST(d.doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(len(e.embedding) AS BIGINT) AS dim, e.label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d11_hash_split" ->
       """SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
