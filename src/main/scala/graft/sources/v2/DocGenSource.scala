@@ -92,7 +92,7 @@ class DocGenTable(rows: Long, partitions: Int, seed: Long)
 
 class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = DocGen.schema
@@ -140,8 +140,81 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new DocGenScan(lo, math.max(lo, hi), partitions, seed, required)
+
+  // COUNT(*) / MIN(doc_id) / MAX(doc_id) are pure functions of the
+  // (filter-narrowed) id range [lo, hi) — answered from arithmetic,
+  // generating NOTHING. Aggregate pushdown runs after filter pushdown,
+  // so `WHERE doc_id >= x` composes. COMPLETE pushdown: the scan emits
+  // the single final row and Spark only projects over it.
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, CountStar, Max, Min}
+
+  private var aggValues: Option[Seq[Option[Long]]] = None
+  private var aggSchema: StructType = _
+
+  private def isDocIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+
+  private def isDocId(f: AggregateFunc): Boolean = f match {
+    case m: Min => isDocIdRef(m.column)
+    case m: Max => isDocIdRef(m.column)
+    case _ => false
+  }
+
+  private def translatable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case f => isDocId(f)
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = translatable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!translatable(agg)) return false
+    val span = math.max(0L, hi - lo)
+    aggValues = Some(agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(span)
+      case _: Min => if (span > 0) Some(lo) else None
+      case _ => if (span > 0) Some(hi - 1) else None // Max, by translatable()
+    })
+    aggSchema = StructType(agg.aggregateExpressions.indices.map { i =>
+      StructField(s"agg_$i", LongType, nullable = true)
+    })
+    true
+  }
+
+  override def build(): Scan = aggValues match {
+    case Some(vals) => new DocGenAggScan(vals, aggSchema)
+    case None => new DocGenScan(lo, math.max(lo, hi), partitions, seed, required)
+  }
+}
+
+/** Single-row scan carrying a completely-pushed aggregate result. */
+class DocGenAggScan(values: Seq[Option[Long]], schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocGenAggReaderFactory(values)
+}
+
+// a case class so the factory serializes without capturing the Scan
+case class DocGenAggReaderFactory(values: Seq[Option[Long]])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(values.map(_.map(Long.box).orNull))
+      override def close(): Unit = ()
+    }
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition

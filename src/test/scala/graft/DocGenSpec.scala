@@ -59,6 +59,40 @@ class DocGenSpec extends SparkTestBase {
     assert(all == expect && all.nonEmpty)
   }
 
+  test("COUNT/MIN/MAX push into the source: a 10-billion-row count is arithmetic") {
+    // only possible if the aggregate is answered from the id range —
+    // generating 1e10 documents would run for days
+    val huge = spark.read.format("graft-docs")
+      .option("rows", "10000000000").load()
+    val r = huge.agg(count(lit(1)), min($"doc_id"), max($"doc_id")).head()
+    assert(r.getLong(0) == 10000000000L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 9999999999L)
+    // composes with filter pushdown: the narrowed range answers exactly
+    val f = huge.filter($"doc_id" >= 9999999000L)
+      .agg(count(lit(1)), min($"doc_id")).head()
+    assert(f.getLong(0) == 1000L && f.getLong(1) == 9999999000L)
+    // empty range: count 0, min/max NULL
+    val e = huge.filter($"doc_id" < 0L).agg(count(lit(1)), max($"doc_id")).head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    // and the pushed plan must actually be the aggregate scan
+    val plan = huge.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(plan.contains("DocGenAggScan") || plan.contains("PushedAggregat"),
+      "aggregate must reach the source: " + plan)
+  }
+
+  test("aggregates the source cannot answer fall back to full generation") {
+    val df = gen(200)
+    // grouped aggregation is NOT pushed (groupByExpressions nonEmpty) —
+    // results must still be correct via the normal generate-and-agg path
+    val byLang = df.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.sum == 200L && byLang.keySet.subsetOf(
+      Set("en", "de", "fr", "es", "zh")))
+    // SUM over a generated column is not translatable either
+    val s = df.agg(sum($"n_tokens")).head().getLong(0)
+    assert(s > 0)
+  }
+
   test("generated corpus flows into the text-analysis operators") {
     val df = gen(500)
     val stats = df.groupBy($"lang").agg(count(lit(1)).as("n"))
