@@ -520,6 +520,26 @@ object Battery {
         .orderBy($"source")
     }),
 
+    // daily cohort retention: users grouped by their first active day,
+    // with day-1 return counts — the activity-analytics companion to
+    // the funnel. Day indices are integer µs division (bit-portable, no
+    // timezone arithmetic); every join/agg is user_id- or day-keyed.
+    "q48_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val days = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val cohort = days.groupBy($"user_id").agg(min($"day").as("c_day"))
+      val base = cohort.groupBy($"c_day").agg(count(lit(1)).as("n_users"))
+      val retained = cohort.as("c")
+        .join(days.as("d"),
+          $"c.user_id" === $"d.user_id" && $"d.day" === $"c.c_day" + 1, "left_semi")
+        .groupBy($"c_day").agg(count(lit(1)).as("n_ret"))
+      base.join(retained, Seq("c_day"), "left")
+        .select($"c_day", $"n_users", coalesce($"n_ret", lit(0L)).as("n_retained"))
+        .orderBy($"c_day")
+    }),
+
     // SCHEMA EVOLUTION read: an old batch written before a column
     // existed and a new batch carrying it, unioned by a mergeSchema
     // scan — the multi-year-corpus reality at 100 TB (schemas drift;
@@ -897,6 +917,22 @@ object Battery {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q48_cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |),
+        |cohort AS (SELECT user_id, min(day) AS c_day FROM days GROUP BY 1),
+        |base AS (SELECT c_day, COUNT(*) AS n_users FROM cohort GROUP BY 1),
+        |ret AS (
+        |  SELECT c.c_day, COUNT(*) AS n_ret FROM cohort c
+        |  WHERE EXISTS (SELECT 1 FROM days d
+        |                WHERE d.user_id = c.user_id AND d.day = c.c_day + 1)
+        |  GROUP BY 1
+        |)
+        |SELECT b.c_day, b.n_users, coalesce(r.n_ret, 0) AS n_retained
+        |FROM base b LEFT JOIN ret r ON b.c_day = r.c_day
+        |ORDER BY b.c_day""".stripMargin,
 
     "q47_schema_evolution" ->
       """SELECT lang, COUNT(*) AS n,
