@@ -923,6 +923,48 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // sparse TF-weighted cosine over an inverted index — the classic
+    // information-retrieval similarity join, the third near-dup metric
+    // family next to set-overlap (d2 Jaccard) and dense-embedding
+    // cosine (d5/d8). Terms are word bigrams weighted tf·(N/df) (plain
+    // rarity reciprocal, not log-idf — libm log is not bit-portable
+    // across engines; the ranking behavior is the same). Hot terms
+    // (df > cap) drop from weights, norms, and pairing consistently,
+    // so one boilerplate bigram can't emit O(df²) pairs. Dot products
+    // accumulate per (d1,d2) with map-side combine; every
+    // order-sensitive sum is DECIMAL(38,6)-stabilized. The corpus-size
+    // scalar reaches the plan as a SCALAR SUBQUERY, not a collected
+    // literal.
+    "d17_sparse_cosine" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      def dsumL(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+      val docs = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", toks($"text").as("toks"))
+      val bi = docs.filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))")).as("t"))
+        .select($"doc_id", xxhash64($"t").as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val nDocs = Tables.documents(s, dir)
+        .agg(count(lit(1)).cast("double").as("n")).scalar()
+      val rare = bi.groupBy($"term").agg(count(lit(1)).as("df"))
+        .filter($"df" <= MaxShingleDf)
+      val w = materialize(bi.join(rare, "term")
+        .select($"doc_id", $"term", ($"tf" * (nDocs / $"df")).as("w")))
+      val nrm = w.groupBy($"doc_id").agg(sqrt(dsumL($"w" * $"w")).as("nn"))
+      val dot = w.as("a")
+        .join(w.as("b"), $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), ($"a.w" * $"b.w").as("p"))
+        .groupBy($"d1", $"d2").agg(dsumL($"p").as("dot"))
+      dot
+        .join(nrm.select($"doc_id".as("d1"), $"nn".as("n1")), "d1")
+        .join(nrm.select($"doc_id".as("d2"), $"nn".as("n2")), "d2")
+        .select($"d1", $"d2", ($"dot" / ($"n1" * $"n2")).as("cos"))
+        .filter($"cos" >= 0.5)
+        .orderBy($"d1", $"d2")
+    }),
+
     // FIXED-BUDGET per-stratum sampling: exactly k=10 docs per language,
     // chosen by md5 rank (deterministic, no RNG — the reproducible
     // "give me k examples per stratum" op for eval sets and mixture
@@ -1568,6 +1610,37 @@ object LlmPipeline {
         |  array_to_string(list_filter(toks, t -> t NOT IN ('the','a','key','row')), ' ') AS scrubbed,
         |  length(array_to_string(list_filter(toks, t -> t NOT IN ('the','a','key','row')), ' ')) AS scrub_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d17_sparse_cosine" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |bi AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i
+        |        FROM docs WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2
+        |),
+        |rare AS (SELECT term, COUNT(*) AS df FROM bi GROUP BY 1 HAVING COUNT(*) <= 100),
+        |w AS (
+        |  SELECT bi.doc_id, bi.term,
+        |    bi.tf * ((SELECT COUNT(*) FROM documents)::DOUBLE / r.df) AS w
+        |  FROM bi JOIN rare r ON bi.term = r.term
+        |),
+        |nrm AS (
+        |  SELECT doc_id, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,6))) AS DOUBLE)) AS nn
+        |  FROM w GROUP BY 1
+        |),
+        |dot AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(SUM(CAST(a.w*b.w AS DECIMAL(38,6))) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.d1, d.d2, d.dot / (x.nn * y.nn) AS cos
+        |FROM dot d JOIN nrm x ON d.d1 = x.doc_id JOIN nrm y ON d.d2 = y.doc_id
+        |WHERE d.dot / (x.nn * y.nn) >= 0.5
+        |ORDER BY d.d1, d.d2""".stripMargin,
 
     "d16_topk_per_stratum" ->
       """WITH keyed AS (
