@@ -1183,6 +1183,53 @@ object LlmPipeline {
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
         .orderBy($"lang")
     }),
+
+    // the FULL training-prep pipeline, end to end: p1's floor +
+    // repetition ceiling → d1's exact dedup (keep-min representative) →
+    // d10's 8-gram benchmark decontamination (vs the raw src0 docs;
+    // src0 itself leaves the corpus) → d11's deterministic split →
+    // per-(split, lang) corpus accounting. One composed plan: the
+    // stages chain as projections/aggregations with the two
+    // decontamination joins on hashed gram keys — proof the operators
+    // compose without driver round-trips, exactly how the engine would
+    // run a real pretraining prep job.
+    "p2_prepare_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source", $"text", toks($"text").as("toks"))
+        .select($"doc_id", $"lang", $"source", $"text",
+          size($"toks").cast("long").as("n_tokens"), $"toks")
+        .filter($"n_tokens" >= 10)
+        .withColumn("rep_ratio",
+          lit(1.0) - graft.functions.DistinctBigrams($"toks").cast("double") /
+            (size($"toks") - 1))
+        .filter($"rep_ratio" <= 0.8)
+      // identical text ⇒ identical toks; min() picks the representative
+      val dedup = scored
+        .groupBy(md5($"text").as("fp"))
+        .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"),
+          min($"source").as("source"), min($"n_tokens").as("n_tokens"),
+          min($"text").as("text"))
+      val grams8 = (df: DataFrame) => df
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          .as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      val bench = grams8(Tables.documents(s, dir).filter($"source" === "src0"))
+        .select($"g").distinct()
+      val corpus = dedup.filter($"source" =!= "src0")
+      val contaminated = grams8(corpus).join(bench, "g").select($"doc_id").distinct()
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      clean
+        .select($"lang", $"n_tokens",
+          when(h < "c", "train").when(h < "e", "val").otherwise("test").as("split"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+        .orderBy($"split", $"lang")
+    }),
   )
 
   /** Shared oracle fragments. */
@@ -1761,5 +1808,47 @@ object LlmPipeline {
         |)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p2_prepare_corpus" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    list_transform(range(len(string_split_regex(lower(text), '\s+')) - 1),
+        |      i -> array_to_string((string_split_regex(lower(text), '\s+'))[i+1:i+2], ' ')) AS bigrams
+        |  FROM documents
+        |),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tokens >= 10
+        |    AND 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) <= 0.8
+        |),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(source) AS source,
+        |    min(n_tokens) AS n_tokens, min(text) AS text
+        |  FROM kept GROUP BY md5(text)
+        |),
+        |bgrams AS (
+        |  SELECT DISTINCT
+        |    unnest(list_distinct(list_transform(range(len(toks)-7), i -> array_to_string(toks[i+1:i+8], ' ')))) AS g
+        |  FROM (SELECT string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents WHERE source = 'src0')
+        |  WHERE len(toks) >= 8
+        |),
+        |corpus AS (SELECT * FROM dedup WHERE source <> 'src0'),
+        |cgrams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(toks)-7), i -> array_to_string(toks[i+1:i+8], ' ')))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 8
+        |),
+        |contaminated AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b ON c.g = b.g),
+        |clean AS (
+        |  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |)
+        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM clean GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
   )
 }
