@@ -520,6 +520,28 @@ object Battery {
         .orderBy($"source")
     }),
 
+    // bucketed CO-LOCATED join: both sides written bucketBy the join
+    // key, so the sort-merge join needs NO exchange on either side (the
+    // ScaleSpec plan audit asserts exchange-freedom; here the result is
+    // oracle-gated against the plain join). At 100 TB bucketing is how
+    // a fact-fact join becomes a per-bucket local merge.
+    "q49_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val (liT, oT) = (s"li_q49_$key", s"o_q49_$key")
+      Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+      Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(oT)
+      s.table(liT).join(s.table(oT), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // daily cohort retention: users grouped by their first active day,
     // with day-1 return counts — the activity-analytics companion to
     // the funnel. Day indices are integer µs division (bit-portable, no
@@ -917,6 +939,12 @@ object Battery {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q49_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q48_cohort_retention" ->
       """WITH days AS (

@@ -626,6 +626,21 @@ object LlmPipeline {
         .orderBy($"lang")
     }),
 
+    // DSv2 COMPLETE aggregate pushdown in the registered surface: the
+    // count/min/max of a BILLION-row generated corpus answers from the
+    // filter-narrowed id range — no document is ever generated
+    // (rows-only: no parquet counterpart; the pushdown arithmetic is
+    // asserted in DocGenSpec, and a non-pushdown plan would run for
+    // hours here, not milliseconds)
+    "g2_docgen_agg_pushdown" -> ((s, _) => {
+      import s.implicits._
+      s.read.format("graft-docs")
+        .option("rows", "1000000000").load()
+        .filter($"doc_id" >= 250000000L)
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+    }),
+
     // corpus statistics per language
     "t1_lang_stats" -> ((s, dir) => {
       import s.implicits._
