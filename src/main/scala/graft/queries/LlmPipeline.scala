@@ -627,16 +627,20 @@ object LlmPipeline {
     }),
 
     // DSv2 COMPLETE aggregate pushdown in the registered surface: the
-    // count/min/max of a BILLION-row generated corpus answers from the
-    // filter-narrowed id range — no document is ever generated
-    // (rows-only: no parquet counterpart; the pushdown arithmetic is
-    // asserted in DocGenSpec, and a non-pushdown plan would run for
-    // hours here, not milliseconds)
+    // count/min/max of a 100M-row generated corpus answers from the
+    // filter-narrowed id range — no document is generated when the agg
+    // plan runs as returned (Verify writes DocGenAggScan's single row;
+    // the 10-billion-row .head() proof lives in DocGenSpec). Rows-only:
+    // no parquet counterpart. NOTE the bench bills this query's
+    // count()-wrapped plan, where Catalyst dead-code-eliminates the agg
+    // functions (count needs only cardinality) into an empty-schema
+    // full scan that cannot push — that artifact measures empty-row
+    // generation, not the pushdown.
     "g2_docgen_agg_pushdown" -> ((s, _) => {
       import s.implicits._
       s.read.format("graft-docs")
-        .option("rows", "1000000000").load()
-        .filter($"doc_id" >= 250000000L)
+        .option("rows", "100000000").load()
+        .filter($"doc_id" >= 25000000L)
         .agg(count(lit(1)).as("n_docs"),
           min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
     }),
