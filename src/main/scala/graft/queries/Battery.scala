@@ -530,6 +530,20 @@ object Battery {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
       val (liT, oT) = (s"li_q49_$key", s"o_q49_$key")
+      // idempotent across JVMs: a fresh in-memory catalog has no table
+      // entry, but the managed LOCATION from a previous run survives in
+      // the warehouse dir and saveAsTable refuses it — drop both
+      Seq(liT, oT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+        val loc = java.nio.file.Paths.get(
+          if (wh.getScheme == null) wh.toString else java.nio.file.Paths.get(wh).toString, t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
       Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(liT)
