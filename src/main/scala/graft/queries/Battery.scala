@@ -520,6 +520,30 @@ object Battery {
         .orderBy($"source")
     }),
 
+    // BANDED inequality join — the shuffle-side scale path for range
+    // predicates (q26's broadcast interval join needs one small side;
+    // this one doesn't): events bucket into window-sized time bands,
+    // the right side probes its own and the previous band, so every
+    // within-window pair meets on (user_id, band) EQUALITY exactly once
+    // and the range predicate only verifies equi-join survivors. A
+    // per-user cross join never happens; candidate volume is bounded by
+    // events-per-band.
+    "q50_banded_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val W = 600000000L // 10-minute pairing window, in µs
+      val e = Tables.events(s, dir)
+        .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"))
+      val a = e.withColumn("band", expr(s"us div $W"))
+      val b = e.select($"user_id".as("b_user"), $"event_id".as("b_id"), $"us".as("b_us"))
+        .withColumn("band", explode(array(expr(s"b_us div $W"), expr(s"b_us div $W - 1"))))
+      a.join(b, $"user_id" === $"b_user" && a("band") === b("band"))
+        .filter(($"us" < $"b_us" || ($"us" === $"b_us" && $"event_id" < $"b_id")) &&
+          $"b_us" - $"us" <= W)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    }),
+
     // bucketed CO-LOCATED join: both sides written bucketBy the join
     // key, so the sort-merge join needs NO exchange on either side (the
     // ScaleSpec plan audit asserts exchange-freedom; here the result is
@@ -953,6 +977,16 @@ object Battery {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q50_banded_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1 AS us FROM events
+        |)
+        |SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |  AND b.us - a.us <= 600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q49_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,

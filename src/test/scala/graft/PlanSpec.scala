@@ -182,4 +182,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q50 banded range join stays an equi-join on (user, band)") {
+    // the range predicate must ride an equality join as a post-filter,
+    // never become a nested-loop/cartesian per-user expansion
+    val p = finalPlan("q50_banded_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
