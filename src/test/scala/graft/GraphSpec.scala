@@ -37,6 +37,35 @@ class GraphSpec extends SparkTestBase {
     assert(cc(Seq((7L, 7L))) === Map.empty[Long, Long])
   }
 
+  test("random graphs match a reference union-find across densities") {
+    for (seed <- Seq(2, 19, 71); nEdges <- Seq(30, 120)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        if (a != b) {
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val touched = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e._1, e._2)).toSet
+      // min-id-per-component labels: one more find pass after all unions
+      val want = touched.map(v => v -> find(v.toInt).toLong).toMap
+      assert(cc(edges) === want, s"seed=$seed edges=$nEdges")
+    }
+  }
+
   test("nodes universe unions isolated nodes back as singleton clusters") {
     import spark.implicits._
     // 9 appears in no edge; 7 only in a self-loop — both are singletons
