@@ -692,6 +692,31 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // classifier-output DRIFT table: how t3's predicted content class
+    // distributes within each language stratum — the monitoring
+    // artifact a pipeline watches to catch a classifier or corpus shift
+    // (a share moving between snapshots flags drift). Two hash aggs on
+    // low-cardinality keys; the within-stratum share is a plain double
+    // division of counts (bit-portable).
+    "t17_class_drift" -> ((s, dir) => {
+      import s.implicits._
+      val pred = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", toks($"text").as("toks"))
+        .select($"lang",
+          expr("size(filter(toks, t -> t IN ('query','table','row','scan')))").as("a_hits"),
+          expr("size(filter(toks, t -> t IN ('stream','batch','window','merge')))").as("b_hits"))
+        .select($"lang",
+          when($"a_hits" > $"b_hits", lit("analytics"))
+            .when($"b_hits" > $"a_hits", lit("pipeline"))
+            .otherwise(lit("mixed")).as("predicted"))
+      val counts = pred.groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+      val totals = pred.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+      counts.join(totals, "lang")
+        .select($"lang", $"predicted", $"n",
+          ($"n".cast("double") / $"n_lang").as("share"))
+        .orderBy($"lang", $"predicted")
+    }),
+
     // document fingerprint: md5 of whitespace-normalized text + cluster size
     "t4_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -1453,6 +1478,26 @@ object LlmPipeline {
         |  (CAST(n_distinct AS DOUBLE)/n_tokens) *
         |    (CASE WHEN n_tokens > 50 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE)/50.0 END) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t17_class_drift" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN len(list_filter(toks, t -> t IN ('query','table','row','scan'))) >
+        |              len(list_filter(toks, t -> t IN ('stream','batch','window','merge'))) THEN 'analytics'
+        |         WHEN len(list_filter(toks, t -> t IN ('stream','batch','window','merge'))) >
+        |              len(list_filter(toks, t -> t IN ('query','table','row','scan'))) THEN 'pipeline'
+        |         ELSE 'mixed' END AS predicted
+        |  FROM t
+        |),
+        |c AS (SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT lang, COUNT(*) AS n_lang FROM pred GROUP BY 1)
+        |SELECT c.lang, c.predicted, c.n,
+        |  CAST(c.n AS DOUBLE) / tot.n_lang AS share
+        |FROM c JOIN tot ON c.lang = tot.lang
+        |ORDER BY c.lang, c.predicted""".stripMargin,
 
     "t3_langid_heuristic" ->
       """WITH t AS (
