@@ -47,6 +47,16 @@ object Bench {
       System.gc()
     }
 
+    // PLAN-PRESERVING action: df.count() wraps the query in a new
+    // Aggregate, letting Catalyst dead-code-eliminate everything the
+    // count doesn't need — final sorts vanish, and an agg over a
+    // pushdown-capable source (g2) collapses to an empty-schema full
+    // scan that CANNOT push, so the bench would bill a plan the query
+    // never runs. toRdd executes the query's own optimized physical
+    // plan (AQE included) and the RDD-level count just drains it.
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     // Per query: one untimed warmup, then two timed runs keeping the
     // faster (single-run numbers on a shared box swing 2-3x on GC/JIT
     // noise), then drop all blocks the query pinned.
@@ -54,13 +64,13 @@ object Bench {
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
-          try { fn(spark, sfDir).count(); None }
+          try { run(fn(spark, sfDir)); None }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       val (t1, e1) = timed()
       val (t2, e2) = timed()
       dropQueryState()
@@ -69,17 +79,28 @@ object Bench {
 
     // ms precision keeps the line short, and the headline total goes LAST:
     // the round artifact stores only the tail of this process's output, so
-    // a long queries map must not push the total out of the window.
+    // a long queries map must not push the total out of the window. The
+    // per-query map is sorted by DESCENDING cost so that if the artifact
+    // truncates the head of the line, the entries that vanish are the
+    // cheap ones — every expensive query's number survives.
     // Locale.ROOT: the default-locale f-interpolator renders "1,234" on
     // comma-decimal locales, which is invalid JSON.
     def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s""""${esc(k)}":${r(v)}""" }
+    val qs = results.sortBy(-_._2).map { case (k, v, _) => s""""${esc(k)}":${r(v)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"queries":$qs,"errors":$errs,"failures":$failures,"sf":"${esc(sfDir)}","metric":"total","unit":"sec","value":${r(total)}}""")
+    val line = s"""{"queries":$qs,"errors":$errs,"failures":$failures,"sf":"${esc(sfDir)}","metric":"total","unit":"sec","value":${r(total)}}"""
+    // Full artifact on disk as well: the driver's captured tail can
+    // truncate long stdout lines, but BENCH_full.json always has every
+    // per-query number for regression triage.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // read-only CWD must not fail the bench
+    println(line)
     spark.stop()
   }
 }

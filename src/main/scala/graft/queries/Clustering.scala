@@ -41,39 +41,61 @@ object Clustering {
     sum(c.cast(DecimalType(38, 6))).cast("double")
 
   /** `iters` Lloyd iterations from the first-k-by-vec_id seeds; returns
+    * the refined centroid table (cid, cv). This is the trainable half of
+    * k-means, exposed separately because d7's IVF quantizer consumes the
+    * centroids themselves (a raw-seed quantizer measured recall@1 0.664;
+    * Lloyd-refined seeds partition the space where the data actually
+    * lives). */
+  def centroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = prep(embeddings)
+    // the raw seed frame is a k-row filter with lineage depth 1 — no
+    // checkpoint needed (Materialize is for the loop-doubling lineage)
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 until iters)
+      cents = Materialize(update(e, assign(e, cents)))
+    cents
+  }
+
+  /** `iters` Lloyd iterations from the first-k-by-vec_id seeds; returns
     * (cluster_id, n_members, wss) — wss is the within-cluster sum of
     * squared distances under the FINAL assignment. */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val e = graft.ops.Spread.fanout(embeddings)
+    val e = prep(embeddings)
+    assign(e, centroids(embeddings, k, iters))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), dsum(col("dist")).as("wss"))
+  }
+
+  private def prep(embeddings: DataFrame): DataFrame =
+    graft.ops.Spread.fanout(embeddings)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          VecSqDist(col("v"), col("cv")).as("dist"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("dist"))
-    }
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        VecSqDist(col("v"), col("cv")).as("dist"))
+    // argmin via the map-side-pruning TopKPerKey operator: every cid of
+    // a vector sits in the same partition (broadcast crossJoin), so the
+    // partial stage already reduces k rows/vector to 1 BEFORE the
+    // exchange — the row_number window it replaces shuffled all k and,
+    // being byte-small, got AQE-coalesced into one CPU-bound task.
+    // (dist ASC, cid ASC) is a total order, so the kept row is exactly
+    // the one the window ranked first — bit-identical to the oracle.
+    graft.plans.TopK.perKey(scored,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("dist").asc, col("cid").asc), k = 1)
+      .select(col("vec_id"), col("cid"), col("dist"))
+  }
 
-    def update(assigned: DataFrame): DataFrame = {
-      val dims = assigned.join(e, "vec_id")
-        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-      val means = dims.groupBy(col("cid"), col("d"))
-        .agg((dsum(col("x")) / count(lit(1))).as("m"))
-      means.groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").as("cv"))
-    }
-
-    var cents = Materialize(
-      e.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("cv")))
-    for (_ <- 1 until iters)
-      cents = Materialize(update(assign(cents)))
-    assign(cents)
-      .groupBy(col("cid").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), dsum(col("dist")).as("wss"))
+  private def update(e: DataFrame, assigned: DataFrame): DataFrame = {
+    val dims = assigned.join(e, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+    val means = dims.groupBy(col("cid"), col("d"))
+      .agg((dsum(col("x")) / count(lit(1))).as("m"))
+    means.groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").as("cv"))
   }
 
   /** Distributed LINEAR PROBE — least-squares regression of the label

@@ -534,9 +534,12 @@ object LlmPipeline {
     }),
 
     // similarity search at scale, IVF-shaped: coarse-quantize vectors to
-    // their nearest seed centroid (inverted cell lists), probe the 2
+    // their nearest TRAINED centroid (inverted cell lists), probe the
     // nearest cells per query, search only inside them (rows-only:
-    // recall depends on the quantizer, like any IVF index)
+    // recall depends on the quantizer, like any IVF index). The
+    // quantizer is Lloyd-refined ([[Clustering.centroids]], the standard
+    // IVF train step): raw first-16 seeds measured recall@1 0.664;
+    // refined centroids partition the space where the data lives.
     "d7_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.VecDot
@@ -546,16 +549,26 @@ object LlmPipeline {
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("norm", sqrt(VecDot($"v", $"v")))
-      val seeds = broadcast(e.filter($"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm")))
+      val seeds = broadcast(
+        Clustering.centroids(Tables.embeddings(s, dir), k = 16, iters = 2)
+          .withColumn("cnorm", sqrt(VecDot($"cv", $"cv"))))
       val sims = e.crossJoin(seeds)
         .select($"vec_id", $"cid",
           (VecDot($"v", $"cv") / ($"norm" * $"cnorm")).as("sim"))
-      val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid".asc)
+      // map-side prune to the 6 best cells per vector BEFORE the
+      // exchange (all centroids of a vector share a partition under the
+      // broadcast crossJoin): the nprobe=6 probe set IS this frame, and
+      // the home cell is one more k=1 prune of it — no rank window
+      // needed (the full-width row_number window this replaces shuffled
+      // every (vector, centroid) row and ran as one CPU-bound task
+      // under AQE's byte-based coalescing).
       // materialized once (consumed by both cells and probes); checkpoint
       // blocks are ContextCleaner-freed, unlike closure-local cache()
-      val ranked = materialize(sims.withColumn("rn", row_number().over(w)))
-      val cells = ranked.filter($"rn" === 1).select($"vec_id", $"cid")
+      val ranked = materialize(graft.plans.TopK.perKey(sims,
+        keys = Seq($"vec_id"), order = Seq($"sim".desc, $"cid".asc), k = 6))
+      val cells = graft.plans.TopK.perKey(ranked,
+          keys = Seq($"vec_id"), order = Seq($"sim".desc, $"cid".asc), k = 1)
+        .select($"vec_id", $"cid")
       // bounded inverted lists (real-IVF list truncation): keep at most
       // MaxBucketSize members per cell, deterministically by vec_id,
       // via the map-side-pruning TopKPerKey operator. A degenerate cell
@@ -564,23 +577,49 @@ object LlmPipeline {
       // query as soon as the corpus outgrows centroids × cap
       val cappedCells = graft.plans.TopK.perKey(cells,
         keys = Seq($"cid"), order = Seq($"vec_id".asc), k = MaxBucketSize)
-      // nprobe = 6 of 16 cells: 2 probes measured recall@1 = 0.33 on
-      // this corpus, 4 -> 0.53, 6 -> the AnnRecallSpec-recorded value —
-      // the standard IVF quality/cost knob (at production scale the
+      // nprobe = 6 of 16 cells (raw-seed quantizer measured recall@1 =
+      // 0.33 at nprobe 2, 0.53 at 4, 0.664 at 6; Lloyd-refined seeds
+      // lift nprobe-6 to the AnnRecallSpec-recorded value) — the
+      // standard IVF quality/cost knob (at production scale the
       // centroid count grows ~sqrt(n) and nprobe stays a small constant
       // fraction of it)
-      val probes = ranked.filter($"rn" <= 6).select($"vec_id", $"cid")
-      val cands = probes.as("p")
-        .join(cappedCells.as("c"), $"p.cid" === $"c.cid" && $"p.vec_id" =!= $"c.vec_id")
+      val probes = ranked.select($"vec_id", $"cid")
+      // Explicit repartition by query id before the scoring joins: the
+      // candidate set is byte-small but VecDot-heavy, so AQE's
+      // byte-based coalescing would collapse the exchange to ONE task
+      // and single-thread the whole exact-scoring pass (measured 662 ms
+      // of a 2.9 s run). An explicit partition count is exempt from AQE
+      // coalescing, and hash-by-vec_id is the clustering the per-query
+      // ranking needs anyway.
+      // the capped inverted lists are size-bounded BY CONSTRUCTION
+      // (centroids × MaxBucketSize rows), so they broadcast — the
+      // candidate expansion then runs data-parallel over the probe
+      // side instead of shuffling on the k-cardinality cid key (16
+      // distinct values: a shuffle there caps parallelism at k and
+      // AQE's byte-based coalescing collapsed it to ONE task). When
+      // centroid count outgrows the broadcast budget at extreme scale,
+      // the same join runs as a salted shuffle (q44's pattern).
+      // The ONE explicit exchange — probes hashed by query id, with a
+      // fixed partition count so AQE's byte-based coalescing can't
+      // serialize this CPU-dense-per-byte pipeline — then carries the
+      // whole tail: hash(vec_id) satisfies the dedup's, the scoring
+      // joins' (e broadcasts) and the final top-1's clustering, so
+      // expansion → distinct → VecDot scoring → TopKPerKey all run in
+      // that same 32-task stage with no further shuffle.
+      val cands = probes.repartition(s.sparkContext.defaultParallelism, $"vec_id").as("p")
+        .join(broadcast(cappedCells.as("c")),
+          $"p.cid" === $"c.cid" && $"p.vec_id" =!= $"c.vec_id")
         .select($"p.vec_id".as("vec_id"), $"c.vec_id".as("cand")).distinct()
       val scored = cands
         .join(e.select($"vec_id", $"v", $"norm"), "vec_id")
         .join(e.select($"vec_id".as("cand"), $"v".as("cv"), $"norm".as("cnorm")), "cand")
         .select($"vec_id", $"cand",
           (VecDot($"v", $"cv") / ($"norm" * $"cnorm")).as("cos"))
-      val wTop = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cand".asc)
-      scored.withColumn("rn", row_number().over(wTop))
-        .filter($"rn" === 1)
+      // per-query top-1 via the map-side-pruning TopKPerKey operator:
+      // (cos DESC, cand ASC) is a total order, so the heap keeps exactly
+      // the row a full window sort would rank first
+      graft.plans.TopK.perKey(scored,
+          keys = Seq($"vec_id"), order = Seq($"cos".desc, $"cand".asc), k = 1)
         .select($"vec_id", $"cand".as("nbr"), $"cos")
         .orderBy($"vec_id")
     }),
@@ -631,11 +670,11 @@ object LlmPipeline {
     // filter-narrowed id range — no document is generated when the agg
     // plan runs as returned (Verify writes DocGenAggScan's single row;
     // the 10-billion-row .head() proof lives in DocGenSpec). Rows-only:
-    // no parquet counterpart. NOTE the bench bills this query's
-    // count()-wrapped plan, where Catalyst dead-code-eliminates the agg
-    // functions (count needs only cardinality) into an empty-schema
-    // full scan that cannot push — that artifact measures empty-row
-    // generation, not the pushdown.
+    // no parquet counterpart. The bench executes the query's own
+    // optimized plan (Bench.run uses queryExecution.toRdd, not a
+    // wrapping count()), so the billed number measures the pushed
+    // aggregate — answered from the id range in ~ms — not the
+    // empty-row full generation a count() wrapper would degrade to.
     "g2_docgen_agg_pushdown" -> ((s, _) => {
       import s.implicits._
       s.read.format("graft-docs")
@@ -734,7 +773,9 @@ object LlmPipeline {
         .select(toks($"text").as("toks"))
         .filter(size($"toks") >= 2)
         .select(explode(expr(
-          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
+          // direct element concat — no per-bigram 2-element array (the
+          // slice+concat_ws form allocates one; this is the hot loop)
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
           .as("bigram"))
         .groupBy($"bigram")
         .agg(count(lit(1)).as("n"))

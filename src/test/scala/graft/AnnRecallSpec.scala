@@ -12,15 +12,17 @@ import org.apache.spark.sql.functions._
   * (d5's rank-1 row) is exactly the neighbor the approximate method
   * returns; queries the method answers not at all (no bucket-mate)
   * count as misses. Measured at sf0.01 over 500 vectors on the
-  * deterministic synthetic embeddings: d6 = 0.818, d7 = 0.664
+  * deterministic synthetic embeddings: d6 = 0.818, d7 = 0.756
   * (2026-08, both stable run-to-run — the pipelines are fully
-  * deterministic). The floor asserts a conservative 0.5 so data
+  * deterministic; d7 was 0.664 before its quantizer switched from raw
+  * first-16 seeds to Lloyd-refined centroids). The floors assert a
+  * margin below the measured values (d6 0.7, d7 0.7) so data
   * regeneration noise can't flake the suite while a real blocking bug
-  * (recall collapsing toward 0) still fails loudly.
+  * (recall collapsing) still fails loudly.
   */
 class AnnRecallSpec extends SparkTestBase {
 
-  test("ANN recall@1 vs brute-force truth stays above 0.5 (d6 LSH, d7 IVF)") {
+  test("ANN recall@1 vs brute-force truth stays above 0.7 (d6 LSH, d7 IVF)") {
     val dir = "/root/testdata/sf0.01"
     val truth = SparkEntry.queries("d5_cosine_topk")(spark, dir)
       .filter(col("rn") === 1)
@@ -42,8 +44,8 @@ class AnnRecallSpec extends SparkTestBase {
     val d7 = recallAt1("d7_ann_ivf")
     truth.unpersist()
     info(f"recall@1 over $n queries: d6_ann_lsh=$d6%.3f d7_ann_ivf=$d7%.3f")
-    assert(d6 >= 0.5, f"d6_ann_lsh recall@1 $d6%.3f fell below 0.5")
-    assert(d7 >= 0.5, f"d7_ann_ivf recall@1 $d7%.3f fell below 0.5")
+    assert(d6 >= 0.7, f"d6_ann_lsh recall@1 $d6%.3f fell below 0.7")
+    assert(d7 >= 0.7, f"d7_ann_ivf recall@1 $d7%.3f fell below 0.7")
   }
 
   test("LshSignature bucket codes are the hyperplane sign bits, stable across calls") {

@@ -50,7 +50,11 @@ object BenchOne {
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
           val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L))
-          stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(90), dur, si.numTasks))
+          // RDD scope names identify the physical operators in the stage
+          // (the stage name itself is just the AQE callsite)
+          val ops = si.rddInfos.flatMap(_.scope).map(_.name)
+            .filterNot(_.startsWith("Wholestage")).distinct.mkString("|").take(90)
+          stages += ((si.stageId, ops, dur, si.numTasks))
         }
       }
       spark.sparkContext.addSparkListener(listener)

@@ -127,4 +127,32 @@ class ScaleSpec extends SparkTestBase {
       "bucketed co-located join must not shuffle: " + plan)
     assert(joined.count() == Tables.lineitem(s, sf0001).count())
   }
+
+  test("reliable-checkpoint Materialize branch produces identical results") {
+    // graft.checkpoint.reliable=true is the documented 100 TB
+    // executor-loss posture (Materialize switches localCheckpoint →
+    // reliable df.checkpoint); exercise it on two checkpoint-heavy
+    // queries and require bit-identical output vs the default branch.
+    def canon(name: String, s: org.apache.spark.sql.SparkSession): Seq[String] =
+      SparkEntry.queries(name)(s, sf0001).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+    val baseline = Seq("d2_dedup_ngram_jaccard", "cc1_dup_clusters")
+      .map(q => q -> canon(q, spark)).toMap
+    val s = spark.newSession()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    s.conf.set("graft.checkpoint.reliable", "true")
+    s.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      baseline.foreach { case (q, want) =>
+        assert(canon(q, s) == want, s"$q diverged under reliable checkpoint")
+      }
+      // the branch actually ran: reliable checkpoints write RDD dirs
+      import scala.jdk.CollectionConverters._
+      val wrote = java.nio.file.Files.walk(ckpt).iterator().asScala
+        .exists(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no reliable checkpoint data written under $ckpt")
+    } finally {
+      s.conf.unset("graft.checkpoint.reliable")
+    }
+  }
 }
