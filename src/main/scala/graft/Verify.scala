@@ -25,6 +25,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // coalesce(1) is deliberate: these are sf0.01 oracle dumps (≤15k
+      // rows) and a single file keeps the DuckDB read_parquet glob
+      // simple — it is NOT a pattern for production writes
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -541,6 +541,9 @@ object Battery {
     "q50_banded_range_join" -> ((s, dir) => {
       import s.implicits._
       val W = 600000000L // 10-minute pairing window, in µs
+      // band indices use `div` (truncating), the oracle `//` (flooring):
+      // they agree only for ts >= epoch — which the events fixture
+      // guarantees; pre-1970 data would need floor() on both sides
       val e = Tables.events(s, dir)
         .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"))
       val a = e.withColumn("band", expr(s"us div $W"))
@@ -606,6 +609,8 @@ object Battery {
     // with day-1 return counts — the activity-analytics companion to
     // the funnel. Day indices are integer µs division (bit-portable, no
     // timezone arithmetic); every join/agg is user_id- or day-keyed.
+    // `div` truncates while the oracle's `//` floors — identical only
+    // for ts >= epoch, which the events fixture guarantees.
     "q48_cohort_retention" -> ((s, dir) => {
       import s.implicits._
       val days = Tables.events(s, dir)

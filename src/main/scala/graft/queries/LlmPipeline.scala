@@ -101,6 +101,153 @@ object LlmPipeline {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     materialize(shingleIndex(Tables.documents(s, dir)))
 
+  /** Number of BPE merge iterations t18 trains (and its oracle unrolls). */
+  val BpeSteps = 5
+
+  /** Distributed BPE trainer (t18): `steps` argmax-merge iterations,
+    * returning the learned merge table (step, lhs, rhs, cnt).
+    *
+    * Scale design: the whole loop runs on the corpus WORD-FREQUENCY
+    * table (the corpus is scanned exactly once to build it; everything
+    * after is vocabulary-bounded — the standard distributed-BPE split,
+    * cf. the word-count pre-aggregation in every production tokenizer
+    * trainer). Each iteration is (a) a pair-count aggregation with
+    * map-side partials, (b) a 1-row argmax broadcast back via
+    * crossJoin — never a collect — and (c) the greedy left-to-right
+    * merge applied with WINDOW FUNCTIONS ONLY (no fold, no UDF):
+    * within each maximal run of consecutive (lhs,rhs) occurrences,
+    * exactly the odd-ranked ones merge (greedy non-overlapping
+    * semantics, e.g. "aaaa" + (a,a) → [aa, aa]), the row after a
+    * merge is consumed, everything else passes through. The windows
+    * partition by word, so one exchange per iteration serves all of
+    * them. Both frames are [[materialize]]d per iteration to truncate
+    * the doubling lineage (k-means precedent).
+    *
+    * The formulation is deliberately relational so the DuckDB oracle
+    * ([[bpeOracleSql]]) replays it CTE-for-CTE: DuckDB 1.0's
+    * `list_reduce` has no initial-accumulator form, so a fold-based
+    * merge could not be mirrored — the islands-and-parity form runs
+    * identically in both engines. */
+  def bpeTrain(docs: DataFrame, steps: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = graft.ops.Spread.fanout(docs)
+      .select(explode(toks($"text")).as("word"))
+      .filter(length($"word") >= 1)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    // working frame: one row per (word, symbol position); pos is only
+    // ordered, never dense — each iteration re-derives a dense index
+    var cur = materialize(words.select($"word", $"freq",
+      posexplode(expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+        .as(Seq("pos", "sym"))))
+    val rules = Seq.newBuilder[DataFrame]
+    for (k <- 1 to steps) {
+      val byPos = Window.partitionBy($"word").orderBy($"pos")
+      // NOT materialized: the rule is a deterministic 1-row argmax over
+      // the checkpointed `cur`, so recomputing it lazily inside the next
+      // frame's job (and once more in the final union) is cheaper than
+      // an extra eager checkpoint action per iteration
+      val rule = cur
+        .withColumn("nxt", lead($"sym", 1).over(byPos))
+        .filter($"nxt".isNotNull)
+        .groupBy($"sym".as("lhs"), $"nxt".as("rhs"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"lhs".asc, $"rhs".asc)
+        .limit(1)
+        .withColumn("step", lit(k))
+      rules += rule
+      val byI = Window.partitionBy($"word").orderBy($"i")
+      val stepped = cur
+        .withColumn("i", row_number().over(byPos))
+        .crossJoin(broadcast(rule.select($"lhs", $"rhs")))
+        .withColumn("nxt", lead($"sym", 1).over(byI))
+        .withColumn("marked",
+          coalesce($"sym" === $"lhs" && $"nxt" === $"rhs", lit(false)))
+        .withColumn("mcnt", sum(when($"marked", 1L).otherwise(0L))
+          .over(byI.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("isl", when($"marked", $"i" - $"mcnt"))
+        .withColumn("rkisl", when($"marked",
+          $"mcnt" - min($"mcnt").over(Window.partitionBy($"word", $"isl")) + 1))
+        .withColumn("domerge", coalesce($"marked" && $"rkisl" % 2 === 1, lit(false)))
+        .withColumn("consumed", coalesce(lag($"domerge", 1).over(byI), lit(false)))
+      cur = materialize(stepped
+        .filter(!$"consumed")
+        .select($"word", $"freq", $"i".as("pos"),
+          when($"domerge", concat($"lhs", $"rhs")).otherwise($"sym").as("sym")))
+    }
+    rules.result().reduce(_ unionByName _)
+      .select($"step", $"lhs", $"rhs", $"cnt")
+      .orderBy($"step")
+  }
+
+  /** CTE-unrolled DuckDB replay of [[bpeTrain]] — one r/a..h/c block per
+    * merge step, windows and tie-breaks identical to the Spark side. */
+  private def bpeOracleSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+        |  ) WHERE length(word) >= 1 GROUP BY word
+        |),
+        |c0 AS (
+        |  SELECT word, freq, pos, substring(word, CAST(pos AS INT), 1) AS sym FROM (
+        |    SELECT word, freq, unnest(range(1, length(word)+1)) AS pos FROM w
+        |  )
+        |)""".stripMargin)
+    for (k <- 1 to steps) {
+      val prev = s"c${k - 1}"
+      sb.append(s""",
+        |r$k AS (
+        |  SELECT sym AS lhs, nxt AS rhs, SUM(freq) AS cnt, $k AS step FROM (
+        |    SELECT sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, freq
+        |    FROM $prev
+        |  ) WHERE nxt IS NOT NULL
+        |  GROUP BY sym, nxt ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+        |),
+        |a$k AS (
+        |  SELECT word, freq, sym,
+        |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS i
+        |  FROM $prev
+        |),
+        |b$k AS (
+        |  SELECT a.*, r.lhs, r.rhs, COALESCE(
+        |    a.sym = r.lhs AND
+        |    LEAD(a.sym) OVER (PARTITION BY a.word ORDER BY a.i) = r.rhs,
+        |    FALSE) AS marked
+        |  FROM a$k a CROSS JOIN r$k r
+        |),
+        |d$k AS (
+        |  SELECT *, SUM(CASE WHEN marked THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY i ROWS UNBOUNDED PRECEDING) AS mcnt
+        |  FROM b$k
+        |),
+        |e$k AS (SELECT *, CASE WHEN marked THEN i - mcnt END AS isl FROM d$k),
+        |f$k AS (
+        |  SELECT *, CASE WHEN marked
+        |    THEN mcnt - MIN(mcnt) OVER (PARTITION BY word, isl) + 1 END AS rkisl
+        |  FROM e$k
+        |),
+        |g$k AS (
+        |  SELECT *, COALESCE(marked AND rkisl % 2 = 1, FALSE) AS domerge FROM f$k
+        |),
+        |h$k AS (
+        |  SELECT *, COALESCE(LAG(domerge) OVER (PARTITION BY word ORDER BY i),
+        |    FALSE) AS consumed
+        |  FROM g$k
+        |),
+        |c$k AS (
+        |  SELECT word, freq, i AS pos,
+        |    CASE WHEN domerge THEN lhs || rhs ELSE sym END AS sym
+        |  FROM h$k WHERE NOT consumed
+        |)""".stripMargin)
+    }
+    sb.append((1 to steps)
+      .map(k => s"SELECT step, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM r$k")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY step"))
+    sb.toString
+  }
+
   /** 60-bit SimHash fingerprint per document — one vote-array buffer per
     * doc via [[graft.functions.SimHashAgg]] (single aggregation pass, no
     * per-bit shuffle rows). */
@@ -896,9 +1043,10 @@ object LlmPipeline {
 
     // first BPE training iteration: corpus-wide adjacent character-pair
     // frequencies inside word boundaries (the statistic whose argmax is
-    // the first merge rule). One explode chain to (pair) rows, a count
-    // agg with map-side partials, and a global top-20 — vocabulary-
-    // bounded, no shuffle of the corpus itself.
+    // the first merge rule — t18 below iterates this into the full
+    // trainer). One explode chain to (pair) rows, a count agg with
+    // map-side partials, and a global top-20 — vocabulary-bounded, no
+    // shuffle of the corpus itself.
     "b1_bpe_pair_stats" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Spread.fanout(Tables.documents(s, dir))
@@ -910,6 +1058,14 @@ object LlmPipeline {
         .orderBy($"n".desc, $"pair".asc)
         .limit(20)
     }),
+
+    // REAL BPE training loop (the iterative extension of b1's first-merge
+    // statistic): BpeSteps argmax-merge iterations over the corpus
+    // word-frequency table, emitting the learned merge table — see
+    // [[bpeTrain]] for the distributed design and the windows-only
+    // greedy-merge formulation the oracle replays CTE-for-CTE.
+    "t18_bpe_train" -> ((s, dir) =>
+      bpeTrain(Tables.documents(s, dir), BpeSteps)),
 
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
@@ -1289,7 +1445,11 @@ object LlmPipeline {
           lit(1.0) - graft.functions.DistinctBigrams($"toks").cast("double") /
             (size($"toks") - 1))
         .filter($"rep_ratio" <= 0.8)
-      // identical text ⇒ identical toks; min() picks the representative
+      // identical text ⇒ identical toks/n_tokens/text, so those mins are
+      // exact; lang and source are minimized INDEPENDENTLY across the
+      // identical-text copies (the kept lang can come from a different
+      // duplicate than the kept doc_id — a whole-row min would need a
+      // struct-min or window; the oracle mirrors the per-column form)
       val dedup = scored
         .groupBy(md5($"text").as("fp"))
         .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"),
@@ -1713,6 +1873,8 @@ object LlmPipeline {
         |)
         |SELECT pair, COUNT(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "t18_bpe_train" -> bpeOracleSql(BpeSteps),
 
     "t13_mixture_weights" ->
       """WITH n AS (

@@ -30,9 +30,14 @@ object Streams {
       s"${System.getProperty("java.io.tmpdir")}/graft_stream_$key")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
+    // exists() FOLLOWS links, so a dangling one left by a prior run
+    // (target since removed) reads as absent and createSymbolicLink
+    // would throw FileAlreadyExistsException — clear it first
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
     val raw = spark.readStream.schema(batch.schema)
       .parquet(streamDir.toString)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -131,9 +136,12 @@ object Streams {
       s"${System.getProperty("java.io.tmpdir")}/graft_docstream_$key")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link))
+    // clear a dangling leftover link first — see eventsStream
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    }
     spark.readStream.schema(batch.schema).parquet(streamDir.toString)
   }
 

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.queries.LlmPipeline
+
+/** Unit semantics for the distributed BPE trainer (t18): greedy
+  * left-to-right merge parity, frequency weighting, and the
+  * (cnt DESC, lhs ASC, rhs ASC) tie rule — each against hand-computed
+  * merge tables on corpora small enough to verify on paper. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def train(texts: Seq[String], steps: Int): Seq[(Int, String, String, Long)] =
+    LlmPipeline.bpeTrain(texts.toDF("text"), steps)
+      .collect().toSeq.map {
+        case Row(step: Int, l: String, r: String, c: Long) => (step, l, r, c)
+      }
+
+  test("greedy non-overlapping merge: 'aaaa' yields (a,a)x3 then (aa,aa)x1") {
+    // naive overlapping counting would see (aa,a)/(a,aa) pairs after
+    // step 1 instead of (aa,aa) — this pins the [aa,aa] segmentation
+    assert(train(Seq("aaaa"), 2) ==
+      Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
+  test("frequency weighting and lhs-asc tie-break on 'the the cat'") {
+    // step 1: th=2 he=2 ca=1 at=1 — tie between (t,h) and (h,e) breaks
+    // to the lexicographically smaller lhs 'h'; step 2 merges t+he;
+    // step 3 ties (c,a)/(a,t) -> (a,t)
+    assert(train(Seq("the the cat"), 3) ==
+      Seq((1, "h", "e", 2L), (2, "t", "he", 2L), (3, "a", "t", 1L)))
+  }
+
+  test("word-boundary isolation: pairs never span words") {
+    // 'ab' + 'ba': pairs are only (a,b) and (b,a), each cnt 1; the
+    // cross-word 'b a' junction must not count. Tie-break picks (a,b).
+    assert(train(Seq("ab ba"), 1) == Seq((1, "a", "b", 1L)))
+  }
+
+  test("merged symbols participate in later pair statistics") {
+    // 'abab abab': step 1 (a,b) cnt 4 (two per word, two words);
+    // step 2 (ab,ab) cnt 2
+    assert(train(Seq("abab abab"), 2) ==
+      Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L)))
+  }
+
+  test("steps beyond pair exhaustion emit no further merge rows") {
+    // single two-char word: one merge exists; extra steps add nothing
+    assert(train(Seq("ab"), 3) == Seq((1, "a", "b", 1L)))
+  }
+}
