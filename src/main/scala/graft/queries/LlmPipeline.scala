@@ -129,6 +129,23 @@ object LlmPipeline {
     * merge could not be mirrored — the islands-and-parity form runs
     * identically in both engines. */
   def bpeTrain(docs: DataFrame, steps: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    bpeLoop(docs, steps)._1.reduce(_ unionByName _)
+      .select($"step", $"lhs", $"rhs", $"cnt")
+      .orderBy($"step")
+  }
+
+  /** The fully-merged per-word symbol table after `steps` BPE merges —
+    * one row per (word, symbol); t19 joins the per-word symbol COUNTS
+    * back onto the corpus to tokenize it (application is vocab-bounded:
+    * segmenting the vocabulary once and joining on `word` replaces
+    * re-segmenting every document occurrence). */
+  def bpeSegment(docs: DataFrame, steps: Int): DataFrame =
+    bpeLoop(docs, steps)._2
+
+  /** Shared trainer loop: (per-step 1-row rule frames, final symbol
+    * frame). */
+  private def bpeLoop(docs: DataFrame, steps: Int): (Seq[DataFrame], DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val words = graft.ops.Spread.fanout(docs)
@@ -175,14 +192,38 @@ object LlmPipeline {
         .select($"word", $"freq", $"i".as("pos"),
           when($"domerge", concat($"lhs", $"rhs")).otherwise($"sym").as("sym")))
     }
-    rules.result().reduce(_ unionByName _)
-      .select($"step", $"lhs", $"rhs", $"cnt")
-      .orderBy($"step")
+    (rules.result(), cur)
   }
 
   /** CTE-unrolled DuckDB replay of [[bpeTrain]] — one r/a..h/c block per
     * merge step, windows and tie-breaks identical to the Spark side. */
-  private def bpeOracleSql(steps: Int): String = {
+  private def bpeOracleSql(steps: Int): String =
+    bpeCtes(steps) + (1 to steps)
+      .map(k => s"SELECT step, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM r$k")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY step")
+
+  /** DuckDB replay of [[bpeSegment]]-based tokenization (t19): the same
+    * CTE chain, finished with per-word symbol counts joined back onto
+    * the corpus word stream. */
+  private def bpeTokenizeOracleSql(steps: Int): String =
+    bpeCtes(steps) + s""",
+      |wt AS (SELECT word, COUNT(*) AS n_sym FROM c$steps GROUP BY word),
+      |dw AS (
+      |  SELECT doc_id, n_chars,
+      |    unnest(string_split_regex(lower(text), '\\s+')) AS word
+      |  FROM documents
+      |)
+      |SELECT doc_id, COUNT(*) AS ws_tokens,
+      |  CAST(SUM(wt.n_sym) AS BIGINT) AS bpe_tokens,
+      |  CAST(n_chars AS DOUBLE) / CAST(SUM(wt.n_sym) AS BIGINT) AS chars_per_token
+      |FROM dw JOIN wt USING (word)
+      |WHERE length(word) >= 1
+      |GROUP BY doc_id, n_chars
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain: word table, char-split c0, and one
+    * rule/merge block per step ending at c`steps`. */
+  private def bpeCtes(steps: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w AS (
@@ -242,9 +283,6 @@ object LlmPipeline {
         |  FROM h$k WHERE NOT consumed
         |)""".stripMargin)
     }
-    sb.append((1 to steps)
-      .map(k => s"SELECT step, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM r$k")
-      .mkString("\n", "\nUNION ALL ", "\nORDER BY step"))
     sb.toString
   }
 
@@ -1067,6 +1105,29 @@ object LlmPipeline {
     "t18_bpe_train" -> ((s, dir) =>
       bpeTrain(Tables.documents(s, dir), BpeSteps)),
 
+    // BPE APPLICATION (tokenize with the learned merges — the inference
+    // half of t18): the vocabulary is segmented ONCE ([[bpeSegment]]),
+    // per-word symbol counts join back onto the corpus word stream, and
+    // per-document BPE token counts + chars-per-token compression fall
+    // out of one aggregation. Tokenizing via the vocabulary join is the
+    // scale design: segmentation cost is vocab-bounded, the corpus pays
+    // only an explode + a word-keyed join (vocab side broadcast-small
+    // here; shuffle-by-word when a 100 TB vocab outgrows that).
+    "t19_bpe_tokenize" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val wordTok = bpeSegment(docs, BpeSteps)
+        .groupBy($"word").agg(count(lit(1)).as("n_sym"))
+      docs.select($"doc_id", $"n_chars", explode(toks($"text")).as("word"))
+        .filter(length($"word") >= 1)
+        .join(wordTok, "word")
+        .groupBy($"doc_id", $"n_chars")
+        .agg(count(lit(1)).as("ws_tokens"), sum($"n_sym").as("bpe_tokens"))
+        .select($"doc_id", $"ws_tokens", $"bpe_tokens",
+          ($"n_chars".cast("double") / $"bpe_tokens").as("chars_per_token"))
+        .orderBy($"doc_id")
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -1875,6 +1936,8 @@ object LlmPipeline {
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     "t18_bpe_train" -> bpeOracleSql(BpeSteps),
+
+    "t19_bpe_tokenize" -> bpeTokenizeOracleSql(BpeSteps),
 
     "t13_mixture_weights" ->
       """WITH n AS (

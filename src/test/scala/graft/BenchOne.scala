@@ -65,6 +65,13 @@ object BenchOne {
         println(f"[benchone] stage $id%4d ${dur}%6d ms $nt%4d tasks  $nm")
       }
       println(f"[benchone] stage total: ${stages.map(_._3).sum} ms over ${stages.size} stages")
+    } else if (name.startsWith("_rdd:")) {
+      // the bench main's plan-preserving action, for apples-to-apples
+      val q = name.stripPrefix("_rdd:")
+      val fn = SparkEntry.queries(q)
+      (1 to 3).foreach { i =>
+        time(s"$q rdd run$i")(fn(spark, sfDir).queryExecution.toRdd.count())
+      }
     } else {
       val fn = SparkEntry.queries(name)
       (1 to 3).foreach { i =>

@@ -49,4 +49,13 @@ class BpeSpec extends SparkTestBase {
     // single two-char word: one merge exists; extra steps add nothing
     assert(train(Seq("ab"), 3) == Seq((1, "a", "b", 1L)))
   }
+
+  test("bpeSegment: merged vocab symbol counts drive tokenization (t19)") {
+    // 'ab ab cd': step 1 merges (a,b) [cnt 2 beats (c,d) cnt 1], so
+    // 'ab' segments to one symbol and 'cd' stays two
+    val counts = LlmPipeline.bpeSegment(Seq("ab ab cd").toDF("text"), 1)
+      .groupBy($"word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("ab" -> 1L, "cd" -> 2L))
+  }
 }
