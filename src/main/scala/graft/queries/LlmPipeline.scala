@@ -1267,6 +1267,45 @@ object LlmPipeline {
         .orderBy($"d1", $"d2")
     }),
 
+    // DSIR-SHAPED importance weighting: score each document by how much
+    // its hashed-unigram distribution resembles a TARGET sample (src0 —
+    // the corpus's benchmark/quality source, as in d10/d12) relative to
+    // the corpus at large: the data-SELECTION op behind importance
+    // resampling (Xie et al., "Data Selection for Language Models via
+    // Importance Resampling"). Features are md5-bucketed unigrams
+    // (B=64, the d16 hex-fold hash both engines compute identically);
+    // per-bucket importance ratio = target share / corpus share; a doc
+    // scores the MEAN ratio over its token stream. (Mean-ratio variant,
+    // not the classical log-likelihood sum: libm log is not
+    // bit-portable across engines, and the decimal-stabilized mean
+    // keeps the oracle hash-exact.) Scale shape: both distributions are
+    // B-row aggregates with map-side partials; the ratio table
+    // broadcasts; the corpus pays one explode + map-side join + one
+    // doc_id-keyed aggregation — never reshuffled by bucket.
+    "d18_importance_weights" -> ((s, dir) => {
+      import s.implicits._
+      def dsumL(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+      val words = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", $"source", explode(toks($"text")).as("word"))
+        .filter(length($"word") >= 1)
+        .withColumn("b",
+          expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT) % 64"))
+      val rDist = words.groupBy($"b").agg(count(lit(1)).as("rcnt"))
+      val tDist = words.filter($"source" === "src0")
+        .groupBy($"b").agg(count(lit(1)).as("tcnt"))
+      val whole = Window.partitionBy(lit(1))
+      val ratio = rDist.join(tDist, Seq("b"), "left")
+        .select($"b",
+          ((coalesce($"tcnt", lit(0L)).cast("double") /
+              sum(coalesce($"tcnt", lit(0L))).over(whole)) /
+            ($"rcnt".cast("double") / sum($"rcnt").over(whole))).as("r"))
+      words.join(broadcast(ratio), "b")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          (dsumL($"r") / count(lit(1))).as("score"))
+        .orderBy($"doc_id")
+    }),
+
     // FIXED-BUDGET per-stratum sampling: exactly k=10 docs per language,
     // chosen by md5 rank (deterministic, no RNG — the reproducible
     // "give me k examples per stratum" op for eval sets and mixture
@@ -1938,6 +1977,34 @@ object LlmPipeline {
     "t18_bpe_train" -> bpeOracleSql(BpeSteps),
 
     "t19_bpe_tokenize" -> bpeTokenizeOracleSql(BpeSteps),
+
+    "d18_importance_weights" ->
+      """WITH words AS (
+        |  SELECT doc_id, source, word FROM (
+        |    SELECT doc_id, source,
+        |      unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents
+        |  ) WHERE length(word) >= 1
+        |),
+        |wb AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef', substr(md5(word), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT % 64 AS b
+        |  FROM words
+        |),
+        |rd AS (SELECT b, COUNT(*) AS rcnt FROM wb GROUP BY b),
+        |td AS (SELECT b, COUNT(*) AS tcnt FROM wb WHERE source = 'src0' GROUP BY b),
+        |ratio AS (
+        |  SELECT rd.b,
+        |    (COALESCE(td.tcnt, 0)::DOUBLE / SUM(COALESCE(td.tcnt, 0)) OVER ()) /
+        |    (rd.rcnt::DOUBLE / SUM(rd.rcnt) OVER ()) AS r
+        |  FROM rd LEFT JOIN td ON rd.b = td.b
+        |)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS score
+        |FROM wb JOIN ratio USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t13_mixture_weights" ->
       """WITH n AS (
