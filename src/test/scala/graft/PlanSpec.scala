@@ -190,4 +190,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d18 importance weighting: B-row ratio table broadcasts, no cartesian") {
+    // the corpus word stream must meet the 64-row ratio table through a
+    // broadcast hash join — a shuffle-by-bucket (64 keys) would cap
+    // parallelism at B and reshuffle the corpus
+    val p = finalPlan("d18_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t19 BPE tokenization: vocab join is hash-equi, corpus never crossed") {
+    val p = finalPlan("t19_bpe_tokenize")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
 }
