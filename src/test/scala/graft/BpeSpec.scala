@@ -50,6 +50,49 @@ class BpeSpec extends SparkTestBase {
     assert(train(Seq("ab"), 3) == Seq((1, "a", "b", 1L)))
   }
 
+  test("random corpora match an in-memory reference BPE trainer") {
+    // adversarial check of the windows-only greedy-merge formulation
+    // (islands + rank parity) against a direct sequential scan
+    def refBpe(texts: Seq[String], steps: Int): Seq[(Int, String, String, Long)] = {
+      val freq = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var syms: Map[String, Vector[String]] =
+        freq.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val rules = Seq.newBuilder[(Int, String, String, Long)]
+      for (k <- 1 to steps) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        syms.foreach { case (w, ss) =>
+          ss.indices.dropRight(1).foreach { i =>
+            val p = (ss(i), ss(i + 1))
+            counts(p) = counts.getOrElse(p, 0L) + freq(w)
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          rules += ((k, l, r, c))
+          syms = syms.map { case (w, ss) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < ss.length) {
+              if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += ss(i); i += 1 }
+            }
+            w -> out.result()
+          }
+        }
+      }
+      rules.result()
+    }
+    for (seed <- Seq(7, 23, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = Seq.fill(2)(
+        Seq.fill(12)(Seq.fill(1 + rnd.nextInt(6))(
+          ('a' + rnd.nextInt(3)).toChar).mkString).mkString(" "))
+      assert(train(corpus, 4) == refBpe(corpus, 4), s"seed $seed: $corpus")
+    }
+  }
+
   test("bpeSegment: merged vocab symbol counts drive tokenization (t19)") {
     // 'ab ab cd': step 1 merges (a,b) [cnt 2 beats (c,d) cnt 1], so
     // 'ab' segments to one symbol and 'cd' stays two
