@@ -1306,6 +1306,34 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // SNAPSHOT DIFF: the crawl-ops audit between two corpus snapshots —
+    // per-(lang, status) counts of added / removed / changed / unchanged
+    // documents. Snapshots are simulated deterministically from the one
+    // fixture (old = doc_id%3≠0, new = doc_id%3≠1, with every 7th new
+    // doc's text perturbed so the changed class is non-empty); content
+    // identity is md5(text). Scale shape: ONE co-partitioned FULL OUTER
+    // join on doc_id (the only full-outer in the surface — no row
+    // multiplication, both sides pruned to (id, lang, hash)), then a
+    // map-side classification and a (lang,status)-bounded aggregation.
+    "d19_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter($"doc_id" % 3 =!= 0)
+        .select($"doc_id", $"lang", md5($"text").as("h_old"))
+      val nw = docs.filter($"doc_id" % 3 =!= 1)
+        .select($"doc_id", $"lang".as("lang_new"),
+          md5(when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text")).as("h_new"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(coalesce($"lang", $"lang_new").as("lang"),
+          when($"h_old".isNull, "added")
+            .when($"h_new".isNull, "removed")
+            .when($"h_old" === $"h_new", "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy($"lang", $"status").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"status")
+    }),
+
     // FIXED-BUDGET per-stratum sampling: exactly k=10 docs per language,
     // chosen by md5 rank (deterministic, no RNG — the reproducible
     // "give me k examples per stratum" op for eval sets and mixture
@@ -1977,6 +2005,25 @@ object LlmPipeline {
     "t18_bpe_train" -> bpeOracleSql(BpeSteps),
 
     "t19_bpe_tokenize" -> bpeTokenizeOracleSql(BpeSteps),
+
+    "d19_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, lang, md5(text) AS h_old
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |),
+        |nw AS (
+        |  SELECT doc_id, lang AS lang_new,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 3 <> 1
+        |)
+        |SELECT COALESCE(o.lang, n.lang_new) AS lang,
+        |  CASE WHEN o.h_old IS NULL THEN 'added'
+        |       WHEN n.h_new IS NULL THEN 'removed'
+        |       WHEN o.h_old = n.h_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  COUNT(*) AS n
+        |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        |GROUP BY 1, 2 ORDER BY lang, status""".stripMargin,
 
     "d18_importance_weights" ->
       """WITH words AS (
