@@ -88,6 +88,35 @@ object Streaming {
       Streams.dedupIngest(docs.filter($"source" === "src1"), idx)
         .orderBy($"lang")
     }),
+
+    // STREAMING EXPORT: a genuine readStream driven through the [REF]
+    // sink surface — each micro-batch of the filtered document stream
+    // is exported by the distributed NDJSON sink inside foreachBatch
+    // (the canonical Structured-Streaming→batch-writer bridge), and the
+    // query's result is the exported directory read back under an
+    // EXPLICIT schema. The oracle is the plain batch SQL, so the gate
+    // checks the whole stream → export → interchange loop, not just
+    // the stream compute. Fresh temp checkpoint per invocation → the
+    // single-file source replays fully and batch ids restart at 0, so
+    // the per-batch output dirs overwrite idempotently.
+    "s8_stream_export" -> ((s, dir) => {
+      import s.implicits._
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sexport_$key"
+      val shape = Tables.documents(s, dir)
+        .filter($"n_chars" >= 200).select($"doc_id", $"lang", $"n_chars")
+      val q = Streams.documentsStream(s, dir)
+        .filter($"n_chars" >= 200).select($"doc_id", $"lang", $"n_chars")
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sinks.JsonSink.writeDir(b, s"$out/b$id",
+            graft.sinks.JsonOptions(newlineDelimited = true))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.schema(shape.schema).json(s"$out/b*").orderBy($"doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,5 +193,10 @@ object Streaming {
         |SELECT lang, COUNT(*) AS n_novel FROM documents
         |WHERE source = 'src1' AND md5(text) NOT IN (SELECT fp FROM idx)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the streamed NDJSON export read back must equal the batch filter
+    "s8_stream_export" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars >= 200 ORDER BY doc_id""".stripMargin,
   )
 }
