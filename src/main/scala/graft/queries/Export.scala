@@ -55,6 +55,35 @@ object Export {
         graft.sinks.JsonOptions(newlineDelimited = true))
       s.read.schema(src.schema).json(tmp).orderBy($"doc_id")
     }),
+
+    // DSv2 WRITE roundtrip: the reference's global JSON-ARRAY format
+    // written DISTRIBUTED through the custom BatchWrite
+    // ([[graft.sinks.v2.JsonArraySink]] — commit protocol lays the
+    // [ , ] framing down as name-interleaved files; built-in sinks
+    // cannot express global framing). Rows are range-partitioned so
+    // file-name order == global order; the read-back concatenates the
+    // non-hidden files (tiny, driver-side — the array spans files, so
+    // no per-file reader can parse it) and parses the single JSON array
+    // under an explicit schema.
+    "g3_dsv2_array_sink" -> ((s, dir) => {
+      import s.implicits._
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_v2arr_$key"
+      val src = Tables.documents(s, dir).orderBy($"doc_id").limit(100)
+        .repartitionByRange(4, $"doc_id").sortWithinPartitions($"doc_id")
+      graft.sinks.JsonSink.objects(src)
+        .write.format("graft-json-array").mode("overwrite").save(out)
+      val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .sortBy(_.getName)
+      val whole = files.map(f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+      import org.apache.spark.sql.Dataset
+      val oneDoc: Dataset[String] = Seq(whole).toDS()
+      s.read.schema(src.schema).option("multiLine", "true").json(oneDoc)
+        .orderBy($"doc_id")
+    }),
   )
 
   /** Shared render-to-SQL fragment for the lineitem columns. */
@@ -80,6 +109,11 @@ object Export {
       (renderedLineitemSql + "ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS INT)"),
     // typed roundtrip: the NDJSON read-back must equal the source rows
     "q43_export_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    // the distributed JSON-ARRAY roundtrip must also equal the source
+    "g3_dsv2_array_sink" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id LIMIT 100""".stripMargin,
   )

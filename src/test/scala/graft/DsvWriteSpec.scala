@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.JsonSink
+import graft.sources.Tables
+
+/** DSv2 write path (graft-json-array): the reference's global-array
+  * framing produced distributedly must match the single-writer driver
+  * path byte for byte, including the zero-rows → empty-output law. */
+class DsvWriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def outDir(tag: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dsvw_$tag"
+
+  /** The directory's NON-HIDDEN files concatenated in name order ARE
+    * the output byte stream (framing files interleave with data files
+    * by name; `.`/`_`-prefixed entries are Hadoop metadata — local-FS
+    * `.crc` sidecars, `_SUCCESS`). */
+  private def concatenated(dir: String): String = {
+    val d = new java.io.File(dir)
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+    fs.filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString
+  }
+
+  test("distributed JSON-array write is byte-identical to the driver path") {
+    val src = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id").limit(50)
+    // range-partition + in-partition sort: partition order == global
+    // order, so the concatenated distributed bytes can be compared to
+    // the globally-ordered driver render
+    val parts = src.repartitionByRange(3, $"doc_id").sortWithinPartitions($"doc_id")
+    val dir = outDir("parity")
+    JsonSink.objects(parts).write.format("graft-json-array")
+      .mode("overwrite").save(dir)
+    assert(concatenated(dir) == JsonSink.writeString(src))
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+  }
+
+  test("zero rows produce EMPTY output (reference empty->empty law)") {
+    val none = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").filter(lit(false))
+    val dir = outDir("empty")
+    JsonSink.objects(none).write.format("graft-json-array")
+      .mode("overwrite").save(dir)
+    assert(concatenated(dir) == "")
+    assert(JsonSink.writeString(none) == "")
+  }
+
+  test("overwrite truncates prior contents") {
+    val dir = outDir("trunc")
+    val big = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").orderBy($"doc_id").limit(40)
+    val small = big.limit(7)
+    JsonSink.objects(big).write.format("graft-json-array").mode("overwrite").save(dir)
+    JsonSink.objects(small).write.format("graft-json-array").mode("overwrite").save(dir)
+    // parse the concatenation: exactly the 7 rows of the second write
+    val rows = spark.read.json(Seq(concatenated(dir)).toDS())
+    assert(rows.count() == 7)
+  }
+
+  test("non-string or multi-column input is rejected up front") {
+    val bad = Tables.documents(spark, sf0001).select($"doc_id", $"lang")
+    val e = intercept[Exception] {
+      bad.write.format("graft-json-array").mode("overwrite").save(outDir("bad"))
+    }
+    assert(e.getMessage.contains("one string column"), e.getMessage)
+  }
+}
