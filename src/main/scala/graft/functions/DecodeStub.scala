@@ -1,10 +1,13 @@
 package graft.functions
 
-/** Multimodal decode STUBS. The container has no image/audio libraries,
-  * so the decode step is a deterministic fake — the Spark-side plumbing
-  * (binary columns, typed metadata, partition-wise batch decode via
-  * `mapPartitions`) is real and tested; swap these bodies for a real
-  * codec (e.g. javax.imageio / ffmpeg bindings) in production. */
+/** Multimodal decode STUBS for codecs the environment lacks (audio,
+  * video). The decode step here is a deterministic fake — the Spark-side
+  * plumbing (binary columns, typed metadata, partition-wise batch decode
+  * via `mapPartitions`) is real and tested; swap these bodies for a real
+  * codec (ffmpeg bindings etc.) in production. For IMAGES the pipeline
+  * does NOT need a stub: m4_png_decode runs a genuine pure-JDK
+  * `javax.imageio` PNG encode→decode roundtrip through the same
+  * batch-shaped kernel, oracle-gated against the painted pixels. */
 object DecodeStub {
 
   /** Fake image-dimension probe: derived deterministically from the

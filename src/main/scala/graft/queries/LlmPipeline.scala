@@ -1391,6 +1391,49 @@ object LlmPipeline {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // REAL image decode (no stub): per document a genuine PNG is
+    // synthesized in the executors (pure-JDK BufferedImage + ImageIO —
+    // dimensions and fill color are arithmetic functions of doc_id),
+    // then REALLY decoded back through the batch-shaped mapPartitions
+    // kernel (same access pattern as m1's stub). The oracle recomputes
+    // the painted width/height/center-pixel arithmetically, so a fake
+    // or broken decoder cannot stay green — this is the decode m1's
+    // DecodeStub stands in for with exotic codecs. Encoded byte length
+    // is encoder-dependent and deliberately NOT in the output.
+    "m4_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      // fanout: the single-file scan would otherwise run every PNG
+      // encode+decode (the CPU cost here) on one core
+      val pngs = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 11).toInt
+          val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+          finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }).toDF("doc_id", "png")
+      pngs.as[(Long, Array[Byte])]
+        .mapPartitions(_.grouped(64).flatMap { batch =>
+          // batch-shaped like m1: a vectorized decoder amortizes setup
+          // across a chunk of payloads, not per row
+          batch.iterator.map { case (id, bytes) =>
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            (id, im.getWidth, im.getHeight,
+              (im.getRGB(im.getWidth / 2, im.getHeight / 2) & 0xffffff).toLong)
+          }
+        })
+        .toDF("doc_id", "width", "height", "center_rgb")
+        .orderBy($"doc_id")
+    }),
+
     // multimodal plumbing: opaque binary payload + typed metadata with a
     // deterministic decode STUB (no image libs in env) over mapPartitions
     "m1_multimodal_meta" -> ((s, dir) => {
@@ -2175,6 +2218,15 @@ object LlmPipeline {
         |  md5(text) AS digest,
         |  64 + (ascii(substr(text, 1, 1)) % 64) AS width,
         |  64 + (octet_length(encode(text)) % 64) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the decoded dims/pixel must equal what the painter put in — pure
+    // arithmetic on doc_id (the PNG codec roundtrip is the thing tested)
+    "m4_png_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + doc_id % 11 AS INT) AS height,
+        |  (doc_id * 2654435761) % 16777216 AS center_rgb
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t10_pii_scrub" ->
