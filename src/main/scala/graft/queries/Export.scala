@@ -58,7 +58,7 @@ object Export {
 
     // DSv2 WRITE roundtrip: the reference's global JSON-ARRAY format
     // written DISTRIBUTED through the custom BatchWrite
-    // ([[graft.sinks.v2.JsonArraySink]] — commit protocol lays the
+    // ([[graft.sinks.v2.FramedTextSink]] — commit protocol lays the
     // [ , ] framing down as name-interleaved files; built-in sinks
     // cannot express global framing). Rows are range-partitioned so
     // file-name order == global order; the read-back concatenates the
@@ -73,7 +73,7 @@ object Export {
       val src = Tables.documents(s, dir).orderBy($"doc_id").limit(100)
         .repartitionByRange(4, $"doc_id").sortWithinPartitions($"doc_id")
       graft.sinks.JsonSink.objects(src)
-        .write.format("graft-json-array").mode("overwrite").save(out)
+        .write.format("graft-framed").mode("overwrite").save(out)
       val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
         .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
         .sortBy(_.getName)

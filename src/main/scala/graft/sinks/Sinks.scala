@@ -382,6 +382,20 @@ object XmlSink {
 
   def writeFile(df: DataFrame, path: String, opts: XmlOptions = XmlOptions()): Unit =
     SinkIO.writeFile(path, contentIterator(df, opts))
+
+  /** Distributed write WITH the reference's global framing (declaration
+    * + `<data>` root + empty→empty law), via the DSv2
+    * [[graft.sinks.v2.FramedTextSink]] commit protocol — the directory's
+    * non-hidden files concatenated in name order are byte-identical to
+    * [[writeString]] when the input's partition order is its global
+    * order (see DsvWriteSpec). Use this instead of `rows().write.text`
+    * when the consumer expects a well-formed XML document. */
+  def writeDirFramed(df: DataFrame, path: String, opts: XmlOptions = XmlOptions()): Unit =
+    rows(df, opts).write.format("graft-framed")
+      .option("open", Format.xmlDeclaration + "\n<data>\n")
+      .option("sep", "\n")
+      .option("close", "\n</data>\n")
+      .mode("overwrite").save(path)
 }
 
 // ---------------------------------------------------------------------------

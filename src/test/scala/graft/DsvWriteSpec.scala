@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sinks.JsonSink
 import graft.sources.Tables
 
-/** DSv2 write path (graft-json-array): the reference's global-array
+/** DSv2 write path (graft-framed): the reference's global-array
   * framing produced distributedly must match the single-writer driver
   * path byte for byte, including the zero-rows → empty-output law. */
 class DsvWriteSpec extends SparkTestBase {
@@ -36,7 +36,7 @@ class DsvWriteSpec extends SparkTestBase {
     // the globally-ordered driver render
     val parts = src.repartitionByRange(3, $"doc_id").sortWithinPartitions($"doc_id")
     val dir = outDir("parity")
-    JsonSink.objects(parts).write.format("graft-json-array")
+    JsonSink.objects(parts).write.format("graft-framed")
       .mode("overwrite").save(dir)
     assert(concatenated(dir) == JsonSink.writeString(src))
     assert(new java.io.File(dir, "_SUCCESS").exists())
@@ -46,7 +46,7 @@ class DsvWriteSpec extends SparkTestBase {
     val none = Tables.documents(spark, sf0001)
       .select($"doc_id", $"lang").filter(lit(false))
     val dir = outDir("empty")
-    JsonSink.objects(none).write.format("graft-json-array")
+    JsonSink.objects(none).write.format("graft-framed")
       .mode("overwrite").save(dir)
     assert(concatenated(dir) == "")
     assert(JsonSink.writeString(none) == "")
@@ -57,17 +57,34 @@ class DsvWriteSpec extends SparkTestBase {
     val big = Tables.documents(spark, sf0001)
       .select($"doc_id", $"lang").orderBy($"doc_id").limit(40)
     val small = big.limit(7)
-    JsonSink.objects(big).write.format("graft-json-array").mode("overwrite").save(dir)
-    JsonSink.objects(small).write.format("graft-json-array").mode("overwrite").save(dir)
+    JsonSink.objects(big).write.format("graft-framed").mode("overwrite").save(dir)
+    JsonSink.objects(small).write.format("graft-framed").mode("overwrite").save(dir)
     // parse the concatenation: exactly the 7 rows of the second write
     val rows = spark.read.json(Seq(concatenated(dir)).toDS())
     assert(rows.count() == 7)
   }
 
+  test("XML framed write matches the driver path byte for byte") {
+    import graft.sinks.XmlSink
+    val src = Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey").limit(30)
+    val parts = src.repartitionByRange(3, $"c_custkey").sortWithinPartitions($"c_custkey")
+    val dir = outDir("xml")
+    XmlSink.writeDirFramed(parts, dir)
+    assert(concatenated(dir) == XmlSink.writeString(src))
+    // and the empty→empty law holds for the XML framing too
+    val none = src.filter(lit(false))
+    val dirE = outDir("xml_empty")
+    XmlSink.writeDirFramed(none, dirE)
+    assert(concatenated(dirE) == "")
+    assert(XmlSink.writeString(none) == "")
+  }
+
   test("non-string or multi-column input is rejected up front") {
     val bad = Tables.documents(spark, sf0001).select($"doc_id", $"lang")
     val e = intercept[Exception] {
-      bad.write.format("graft-json-array").mode("overwrite").save(outDir("bad"))
+      bad.write.format("graft-framed").mode("overwrite").save(outDir("bad"))
     }
     assert(e.getMessage.contains("one string column"), e.getMessage)
   }
