@@ -78,15 +78,15 @@ object Bench {
     }
 
     // ms precision keeps the line short, and the headline total goes LAST:
-    // the round artifact stores only the tail of this process's output, so
+    // the round artifact stores only the TAIL of this process's output, so
     // a long queries map must not push the total out of the window. The
-    // per-query map is sorted by DESCENDING cost so that if the artifact
-    // truncates the head of the line, the entries that vanish are the
-    // cheap ones — every expensive query's number survives.
+    // per-query map is sorted by ASCENDING cost: truncation cuts the HEAD
+    // of the line, so the entries that vanish are the cheap ones and
+    // every expensive query's number sits near the preserved tail.
     // Locale.ROOT: the default-locale f-interpolator renders "1,234" on
     // comma-decimal locales, which is invalid JSON.
     def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.sortBy(-_._2).map { case (k, v, _) => s""""${esc(k)}":${r(v)}""" }
+    val qs = results.sortBy(_._2).map { case (k, v, _) => s""""${esc(k)}":${r(v)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")

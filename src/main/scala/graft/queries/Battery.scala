@@ -34,11 +34,8 @@ object Battery {
   // invocation — a fresh createTempDirectory per closure call would leak
   // a corpus copy every bench/verify run (warmup + timed passes) and
   // accumulate across rounds.
-  private def scratchDir(tag: String, sfDir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"${System.getProperty("java.io.tmpdir")}/${tag}_$key/out"
-  }
+  private def scratchDir(tag: String, sfDir: String): String =
+    graft.ops.Scratch.dir(tag, sfDir) + "/out"
 
   // Layout-demo outputs (q42's clustered copy, q49's bucketed tables) are
   // content-stable for a given source dir: rewriting them on every
@@ -564,8 +561,7 @@ object Battery {
     // a fact-fact join becomes a per-bucket local merge.
     "q49_bucketed_join" -> ((s, dir) => {
       import s.implicits._
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = graft.ops.Scratch.key8(dir)
       val (liT, oT) = (s"li_q49_$key", s"o_q49_$key")
       // The bucketed tables are content-stable per dir key: reuse them if
       // this JVM already wrote them and the catalog still has both.

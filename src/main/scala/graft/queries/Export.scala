@@ -29,12 +29,10 @@ object Export {
       import s.implicits._
       val src = Tables.lineitem(s, dir)
         .orderBy($"l_orderkey", $"l_linenumber").limit(100)
-      // fixed per-source-dir scratch path, overwritten per invocation —
-      // a fresh createTempDirectory per closure call would leak a copy
-      // every bench/verify run (same posture as Battery.scratchDir)
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$key/out"
+      // fixed per-source-dir scratch path, overwritten per invocation
+      // (graft.ops.Scratch — a fresh createTempDirectory per closure
+      // call would leak a copy every bench/verify run)
+      val tmp = graft.ops.Scratch.dir("graft_csv", dir) + "/out"
       CsvSink.writeDir(src, tmp, CsvOptions())
       s.read.option("header", "true").csv(tmp)
         .orderBy($"l_orderkey".cast("long"), $"l_linenumber".cast("int"))
@@ -48,9 +46,7 @@ object Export {
     "q43_export_jsonl_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val src = Tables.documents(s, dir).orderBy($"doc_id").limit(100)
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_$key/out"
+      val tmp = graft.ops.Scratch.dir("graft_jsonl", dir) + "/out"
       graft.sinks.JsonSink.writeDir(src, tmp,
         graft.sinks.JsonOptions(newlineDelimited = true))
       s.read.schema(src.schema).json(tmp).orderBy($"doc_id")
@@ -67,9 +63,7 @@ object Export {
     // under an explicit schema.
     "g3_dsv2_array_sink" -> ((s, dir) => {
       import s.implicits._
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_v2arr_$key"
+      val out = graft.ops.Scratch.dir("graft_v2arr", dir)
       val src = Tables.documents(s, dir).orderBy($"doc_id").limit(100)
         .repartitionByRange(4, $"doc_id").sortWithinPartitions($"doc_id")
       graft.sinks.JsonSink.objects(src)

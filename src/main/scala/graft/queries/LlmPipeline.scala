@@ -174,9 +174,15 @@ object LlmPipeline {
         .withColumn("step", lit(k))
       rules += rule
       val byI = Window.partitionBy($"word").orderBy($"i")
+      // LEFT join on a true condition, not a crossJoin: when the corpus
+      // exhausts its pairs before `steps`, the rule frame is EMPTY and a
+      // crossJoin would collapse the symbol table to zero rows for every
+      // remaining iteration (poisoning bpeSegment/t19); the left join
+      // yields NULL lhs/rhs instead, marked coalesces to false, and the
+      // symbols pass through unchanged
       val stepped = cur
         .withColumn("i", row_number().over(byPos))
-        .crossJoin(broadcast(rule.select($"lhs", $"rhs")))
+        .join(broadcast(rule.select($"lhs", $"rhs")), lit(true), "left")
         .withColumn("nxt", lead($"sym", 1).over(byI))
         .withColumn("marked",
           coalesce($"sym" === $"lhs" && $"nxt" === $"rhs", lit(false)))
@@ -256,7 +262,7 @@ object LlmPipeline {
         |    a.sym = r.lhs AND
         |    LEAD(a.sym) OVER (PARTITION BY a.word ORDER BY a.i) = r.rhs,
         |    FALSE) AS marked
-        |  FROM a$k a CROSS JOIN r$k r
+        |  FROM a$k a LEFT JOIN r$k r ON TRUE
         |),
         |d$k AS (
         |  SELECT *, SUM(CASE WHEN marked THEN 1 ELSE 0 END)
@@ -1278,10 +1284,12 @@ object LlmPipeline {
     // scores the MEAN ratio over its token stream. (Mean-ratio variant,
     // not the classical log-likelihood sum: libm log is not
     // bit-portable across engines, and the decimal-stabilized mean
-    // keeps the oracle hash-exact.) Scale shape: both distributions are
-    // B-row aggregates with map-side partials; the ratio table
-    // broadcasts; the corpus pays one explode + map-side join + one
-    // doc_id-keyed aggregation — never reshuffled by bucket.
+    // keeps the oracle hash-exact.) Scale shape: ONE conditional B-row
+    // aggregation yields both distributions (map-side partials); the
+    // ratio table broadcasts; the corpus word stream is scanned twice
+    // (distribution pass + scoring pass — recomputing the compact
+    // explode beats checkpointing a corpus-sized intermediate) and is
+    // never reshuffled by bucket.
     "d18_importance_weights" -> ((s, dir) => {
       import s.implicits._
       def dsumL(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
@@ -1290,14 +1298,15 @@ object LlmPipeline {
         .filter(length($"word") >= 1)
         .withColumn("b",
           expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT) % 64"))
-      val rDist = words.groupBy($"b").agg(count(lit(1)).as("rcnt"))
-      val tDist = words.filter($"source" === "src0")
-        .groupBy($"b").agg(count(lit(1)).as("tcnt"))
+      // ONE conditional aggregation yields both distributions (separate
+      // target/corpus groupBys would re-run the corpus explode twice)
+      val dist = words.groupBy($"b").agg(
+        count(lit(1)).as("rcnt"),
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("tcnt"))
       val whole = Window.partitionBy(lit(1))
-      val ratio = rDist.join(tDist, Seq("b"), "left")
+      val ratio = dist
         .select($"b",
-          ((coalesce($"tcnt", lit(0L)).cast("double") /
-              sum(coalesce($"tcnt", lit(0L))).over(whole)) /
+          (($"tcnt".cast("double") / sum($"tcnt").over(whole)) /
             ($"rcnt".cast("double") / sum($"rcnt").over(whole))).as("r"))
       words.join(broadcast(ratio), "b")
         .groupBy($"doc_id")
@@ -2083,13 +2092,16 @@ object LlmPipeline {
         |      (acc, v) -> acc*16 + v)::BIGINT % 64 AS b
         |  FROM words
         |),
-        |rd AS (SELECT b, COUNT(*) AS rcnt FROM wb GROUP BY b),
-        |td AS (SELECT b, COUNT(*) AS tcnt FROM wb WHERE source = 'src0' GROUP BY b),
+        |dist AS (
+        |  SELECT b, COUNT(*) AS rcnt,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tcnt
+        |  FROM wb GROUP BY b
+        |),
         |ratio AS (
-        |  SELECT rd.b,
-        |    (COALESCE(td.tcnt, 0)::DOUBLE / SUM(COALESCE(td.tcnt, 0)) OVER ()) /
-        |    (rd.rcnt::DOUBLE / SUM(rd.rcnt) OVER ()) AS r
-        |  FROM rd LEFT JOIN td ON rd.b = td.b
+        |  SELECT b,
+        |    (tcnt::DOUBLE / SUM(tcnt) OVER ()) /
+        |    (rcnt::DOUBLE / SUM(rcnt) OVER ()) AS r
+        |  FROM dist
         |)
         |SELECT doc_id, COUNT(*) AS n_terms,
         |  CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS score

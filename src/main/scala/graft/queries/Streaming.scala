@@ -101,9 +101,7 @@ object Streaming {
     // the per-batch output dirs overwrite idempotently.
     "s8_stream_export" -> ((s, dir) => {
       import s.implicits._
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sexport_$key"
+      val out = graft.ops.Scratch.dir("graft_sexport", dir)
       val shape = Tables.documents(s, dir)
         .filter($"n_chars" >= 200).select($"doc_id", $"lang", $"n_chars")
       val q = Streams.documentsStream(s, dir)

@@ -95,19 +95,38 @@ private case class PartCommit(pid: Int, rows: Long) extends WriterCommitMessage
 private class FramedBatchWrite(dir: String, frame: Frame, truncate: Boolean)
     extends BatchWrite {
 
+  // the SESSION'S Hadoop configuration (fs.defaultFS, s3a credentials,
+  // spark.hadoop.* overrides) — a bare `new Configuration()` would only
+  // see classpath defaults and silently resolve scheme-less paths to
+  // each JVM's LOCAL filesystem on a real cluster. Driver-side here;
+  // shipped to executors as a plain Map (Configuration itself is not
+  // Java-serializable and Spark's SerializableConfiguration is
+  // spark-private).
+  private def driverConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // file names zero-pad to 5 digits; beyond that, lexicographic order
+    // would no longer equal partition order and the concatenation
+    // contract silently breaks — fail loudly instead
+    require(info.numPartitions <= 99999,
+      s"graft-framed supports at most 99999 partitions (got ${info.numPartitions}): " +
+        "the name-interleaved framing relies on fixed-width lexicographic order")
     // driver-side, before any task runs: clear prior contents on
     // overwrite; always ensure the directory exists
+    val conf = driverConf
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new FramedWriterFactory(dir, frame.sep)
+    import scala.jdk.CollectionConverters._
+    val confMap = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toMap
+    new FramedWriterFactory(dir, frame.sep, confMap)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(driverConf)
     def put(name: String, content: String): Unit = {
       val out = fs.create(new Path(p, name), true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -123,38 +142,56 @@ private class FramedBatchWrite(dir: String, frame: Frame, truncate: Boolean)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(driverConf)
     messages.collect { case PartCommit(pid, n) if n > 0 =>
       fs.delete(new Path(p, f"b-$pid%05d-rows"), false)
     }
   }
 }
 
-private class FramedWriterFactory(dir: String, sep: String) extends DataWriterFactory {
+private class FramedWriterFactory(dir: String, sep: String, confMap: Map[String, String])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FramedWriter(dir, sep, partitionId)
+    new FramedWriter(dir, sep, partitionId, taskId, confMap)
 }
 
-/** Per-task writer: `b-<pid>-rows`, rows sep-joined, opened lazily so
-  * an empty partition leaves no file (the framing never has to account
-  * for it). Deterministic name + overwrite(true) makes a task retry
-  * idempotent. */
-private class FramedWriter(dir: String, sep: String, pid: Int)
+/** Per-task writer with attempt-unique staging: rows stream sep-joined
+  * into the HIDDEN `.b-<pid>-rows.<taskId>.tmp` (opened lazily — an
+  * empty partition stages nothing), and the task-level commit() —
+  * granted to exactly ONE attempt per partition by Spark's commit
+  * coordinator — renames it to the final `b-<pid>-rows`. A speculative
+  * or zombie attempt therefore never touches a committed file, and its
+  * abort() drops only its own staging file. */
+private class FramedWriter(dir: String, sep: String, pid: Int, taskId: Long,
+                           confMap: Map[String, String])
     extends DataWriter[InternalRow] {
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private var rows = 0L
+  private lazy val fs: FileSystem = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    new Path(dir).getFileSystem(conf)
+  }
+  private def tmpPath = new Path(dir, f".b-$pid%05d-rows.$taskId.tmp")
+  private def finalPath = new Path(dir, f"b-$pid%05d-rows")
 
   override def write(record: InternalRow): Unit = {
-    if (out == null) {
-      val p = new Path(dir)
-      out = p.getFileSystem(new Configuration())
-        .create(new Path(p, f"b-$pid%05d-rows"), true)
-    } else out.write(sep.getBytes("UTF-8"))
+    if (out == null) out = fs.create(tmpPath, true)
+    else out.write(sep.getBytes("UTF-8"))
     out.write(record.getUTF8String(0).getBytes)
     rows += 1
   }
 
-  override def commit(): WriterCommitMessage = { close(); PartCommit(pid, rows) }
-  override def abort(): Unit = close()
+  override def commit(): WriterCommitMessage = {
+    close()
+    if (rows > 0) {
+      fs.delete(finalPath, false) // stale file from a prior append job
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
+    }
+    PartCommit(pid, rows)
+  }
+
+  override def abort(): Unit = { close(); fs.delete(tmpPath, false); () }
   override def close(): Unit = if (out != null) { out.close(); out = null }
 }

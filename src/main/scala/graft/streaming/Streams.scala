@@ -24,10 +24,8 @@ object Streams {
     // parquet fixture through a FIXED per-source temp dir (symlink — no
     // copy; idempotent so repeated bench/verify invocations reuse it
     // instead of leaking a fresh dir per call)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val streamDir = java.nio.file.Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_stream_$key")
+      graft.ops.Scratch.dir("graft_stream", dir))
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
     // exists() FOLLOWS links, so a dangling one left by a prior run
@@ -130,10 +128,8 @@ object Streams {
     * mechanism as [[eventsStream]]). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {
     val batch = spark.read.parquet(s"$dir/documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val streamDir = java.nio.file.Paths.get(
-      s"${System.getProperty("java.io.tmpdir")}/graft_docstream_$key")
+      graft.ops.Scratch.dir("graft_docstream", dir))
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("documents.parquet")
     // clear a dangling leftover link first — see eventsStream

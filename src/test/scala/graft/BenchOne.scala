@@ -53,7 +53,7 @@ object BenchOne {
           // RDD scope names identify the physical operators in the stage
           // (the stage name itself is just the AQE callsite)
           val ops = si.rddInfos.flatMap(_.scope).map(_.name)
-            .filterNot(_.startsWith("Wholestage")).distinct.mkString("|").take(90)
+            .filterNot(_.startsWith("WholeStageCodegen")).distinct.mkString("|").take(90)
           stages += ((si.stageId, ops, dur, si.numTasks))
         }
       }

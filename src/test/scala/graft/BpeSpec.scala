@@ -50,6 +50,16 @@ class BpeSpec extends SparkTestBase {
     assert(train(Seq("ab"), 3) == Seq((1, "a", "b", 1L)))
   }
 
+  test("pair exhaustion leaves the symbol table intact (not empty)") {
+    // regression: an empty rule frame once crossJoined the symbol table
+    // down to zero rows, so bpeSegment after exhaustion returned nothing
+    // and tokenization dropped every document
+    val counts = LlmPipeline.bpeSegment(Seq("ab").toDF("text"), 3)
+      .groupBy($"word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("ab" -> 1L))
+  }
+
   test("random corpora match an in-memory reference BPE trainer") {
     // adversarial check of the windows-only greedy-merge formulation
     // (islands + rank parity) against a direct sequential scan

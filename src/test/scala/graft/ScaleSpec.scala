@@ -135,7 +135,7 @@ class ScaleSpec extends SparkTestBase {
     // queries and require bit-identical output vs the default branch.
     def canon(name: String, s: org.apache.spark.sql.SparkSession): Seq[String] =
       SparkEntry.queries(name)(s, sf0001).collect()
-        .map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+        .map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toSeq
     val baseline = Seq("d2_dedup_ngram_jaccard", "cc1_dup_clusters")
       .map(q => q -> canon(q, spark)).toMap
     val s = spark.newSession()
@@ -153,6 +153,11 @@ class ScaleSpec extends SparkTestBase {
       assert(wrote, s"no reliable checkpoint data written under $ckpt")
     } finally {
       s.conf.unset("graft.checkpoint.reliable")
+      // drop the checkpoint payload (full RDD data); the dir setting
+      // left on the shared context is inert while the flag is off
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }
