@@ -571,15 +571,16 @@ object Battery {
         // idempotent across JVMs: a fresh in-memory catalog has no table
         // entry, but the managed LOCATION from a previous run survives in
         // the warehouse dir and saveAsTable refuses it — drop both. The
-        // location cleanup is best-effort: a warehouse.dir value that is
-        // not a parseable file URI must not fail the query (DROP TABLE +
+        // location is resolved by the CATALOG (defaultTablePath), not
+        // hand-derived from warehouse.dir; cleanup stays best-effort so
+        // an unusual warehouse value cannot fail the query (DROP TABLE +
         // mode(overwrite) remain the primary path).
         Seq(liT, oT).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
           try {
-            val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
             val loc = java.nio.file.Paths.get(
-              if (wh.getScheme == null) wh.toString else java.nio.file.Paths.get(wh).toString, t)
+              s.sessionState.catalog.defaultTablePath(
+                org.apache.spark.sql.catalyst.TableIdentifier(t)))
             if (java.nio.file.Files.exists(loc)) {
               import scala.jdk.CollectionConverters._
               java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse

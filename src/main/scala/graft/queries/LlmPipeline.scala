@@ -1596,9 +1596,12 @@ object LlmPipeline {
           lit(1.0) - graft.functions.DistinctBigrams($"toks").cast("double") /
             (size($"toks") - 1))
       val kept = scored.filter($"rep_ratio" <= 0.8)
+      // lang comes from the min-doc_id row (min_by; doc_id unique) so the
+      // per-lang accounting below counts real representative rows
       val dedup = kept
         .groupBy(md5($"text").as("fp"))
-        .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"),
+        .agg(min($"doc_id").as("doc_id"),
+          min_by($"lang", $"doc_id").as("lang"),
           min($"n_tokens").as("n_tokens"))
       dedup.groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
@@ -1626,15 +1629,15 @@ object LlmPipeline {
             (size($"toks") - 1))
         .filter($"rep_ratio" <= 0.8)
       // identical text ⇒ identical toks/n_tokens/text, so those mins are
-      // exact; lang and source are minimized INDEPENDENTLY across the
-      // identical-text copies (the kept lang can come from a different
-      // duplicate than the kept doc_id — a whole-row min would need a
-      // struct-min or window; the oracle mirrors the per-column form)
+      // exact; lang and source are taken FROM THE MIN-doc_id ROW via
+      // min_by (doc_id is unique, so the pick is deterministic) — the
+      // representative is a real row, never a cross-duplicate frankenrow
       val dedup = scored
         .groupBy(md5($"text").as("fp"))
-        .agg(min($"doc_id").as("doc_id"), min($"lang").as("lang"),
-          min($"source").as("source"), min($"n_tokens").as("n_tokens"),
-          min($"text").as("text"))
+        .agg(min($"doc_id").as("doc_id"),
+          min_by($"lang", $"doc_id").as("lang"),
+          min_by($"source", $"doc_id").as("source"),
+          min($"n_tokens").as("n_tokens"), min($"text").as("text"))
       val grams8 = (df: DataFrame) => df
         .select(col("doc_id"), toks(col("text")).as("toks"))
         .filter(size(col("toks")) >= 8)
@@ -2311,7 +2314,8 @@ object LlmPipeline {
         |    AND 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) <= 0.8
         |),
         |dedup AS (
-        |  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_tokens) AS n_tokens
+        |  SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang,
+        |    min(n_tokens) AS n_tokens
         |  FROM kept GROUP BY md5(text)
         |)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
@@ -2331,7 +2335,8 @@ object LlmPipeline {
         |    AND 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) <= 0.8
         |),
         |dedup AS (
-        |  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(source) AS source,
+        |  SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang,
+        |    min_by(source, doc_id) AS source,
         |    min(n_tokens) AS n_tokens, min(text) AS text
         |  FROM kept GROUP BY md5(text)
         |),

@@ -28,10 +28,13 @@ object Streams {
       graft.ops.Scratch.dir("graft_stream", dir))
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    // exists() FOLLOWS links, so a dangling one left by a prior run
-    // (target since removed) reads as absent and createSymbolicLink
-    // would throw FileAlreadyExistsException — clear it first
-    if (!java.nio.file.Files.exists(link)) {
+    // check the LINK ITSELF (NOFOLLOW), not its target: plain exists()
+    // follows links, so a dangling one left by a prior run (target since
+    // removed) reads as absent and createSymbolicLink would throw
+    // FileAlreadyExistsException. A present-but-dangling link is
+    // repointed.
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) ||
+        !java.nio.file.Files.exists(link)) {
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -132,8 +135,9 @@ object Streams {
       graft.ops.Scratch.dir("graft_docstream", dir))
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("documents.parquet")
-    // clear a dangling leftover link first — see eventsStream
-    if (!java.nio.file.Files.exists(link)) {
+    // NOFOLLOW check + dangling-link repoint — see eventsStream
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) ||
+        !java.nio.file.Files.exists(link)) {
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
