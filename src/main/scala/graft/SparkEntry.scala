@@ -16,6 +16,7 @@ object SparkEntry {
       (q.Battery.queries, q.Battery.oracleSql),
       (q.Export.queries, q.Export.oracleSql),
       (q.LlmPipeline.queries, q.LlmPipeline.oracleSql),
+      (q.Retrieval.queries, q.Retrieval.oracleSql),
       (q.Graph.queries, q.Graph.oracleSql),
       (q.Clustering.queries, q.Clustering.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql),

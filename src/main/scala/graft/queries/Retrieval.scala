@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Retrieval / corpus-scoring operators over `documents` (the [EXT]
+  * LLM-pipeline surface, next to [[LlmPipeline]]): BM25 ranking, a
+  * Gopher-style multi-rule quality gate with per-rule accounting, and a
+  * smoothed bigram language-model score — the three score families a
+  * training-data pipeline runs between dedup and mixture weighting.
+  *
+  * Determinism conventions (same as [[LlmPipeline]]): no libm `log`/`exp`
+  * (not bit-portable across engines — BM25's idf and the LM score use
+  * rational forms with identical ranking behavior), every order-sensitive
+  * double sum is DECIMAL(38,6)-stabilized, corpus-level scalars reach the
+  * plan as SCALAR SUBQUERIES (never a driver collect), and double
+  * formulas are written with the exact same literal/association shape on
+  * the Spark and DuckDB sides so results hash bit-identically.
+  */
+object Retrieval {
+
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 ranking of the corpus against a fixed query-term set — the
+    // classic sparse retrieval scorer (Robertson/Spärck Jones), used in
+    // pipelines to pull topical subsets out of a crawl. idf is the
+    // rational (N - df + 0.5)/(df + 0.5) form (no log — bit-portability;
+    // same ordering). Scale shape: the token explode is pre-filtered to
+    // the query terms BEFORE the (doc, term) aggregation, so the shuffle
+    // carries only matching occurrences (a 3-term query touches a tiny
+    // corpus slice); the 3-row df table broadcasts back; N and avgdl are
+    // scalar subqueries. Docs with no query term never enter the plan.
+    "t20_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qterms = Seq("spark", "join", "window")
+      val base = Tables.documents(s, dir)
+      val n = base.agg(count(lit(1)).cast("double").as("n")).scalar()
+      val avgdl = base
+        .agg((sum(size(toks($"text"))).cast("double") / count(lit(1))).as("a"))
+        .scalar()
+      val matched = graft.ops.Spread.fanout(base)
+        .select($"doc_id", toks($"text").as("toks"))
+        .select($"doc_id", size($"toks").cast("double").as("dl"),
+          explode($"toks").as("t"))
+        .filter($"t".isin(qterms: _*))
+        .groupBy($"doc_id", $"dl", $"t")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = matched.groupBy($"t")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val scored = matched.join(broadcast(dfreq), "t")
+        .withColumn("idf", (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+        // k1=1.2, b=0.75; (1-b) pre-folded to 0.25 — the SAME literal
+        // shape as the oracle so the doubles match bit-for-bit
+        .withColumn("tscore",
+          $"idf" * ($"tf" * lit(2.2)) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / avgdl))))
+      scored.groupBy($"doc_id")
+        .agg(dsum($"tscore").as("bm25"),
+          count(lit(1)).as("n_terms_matched"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(100)
+    }),
+
+    // Gopher-style QUALITY-RULE GATE with per-rule accounting (Rae et
+    // al., "Scaling Language Models" §A1.1, word-level subset — the
+    // fixture has no line structure): five independent rules per doc,
+    // aggregated to how many docs each rule rejects per language plus
+    // the all-rules-pass count. The artifact a pipeline actually
+    // reviews before committing a filter config — per-rule rejection
+    // shares, not just a kept count. Scale shape: the per-doc metrics
+    // are one projection (no shuffle) except top-token share, which is
+    // one (doc, token)-keyed agg chained into a doc-keyed max — both
+    // map-side-combining; the final per-lang rollup is 5 rows.
+    "t21_quality_rules" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", $"lang", toks($"text").as("toks"))
+      val flat = base.select($"doc_id", $"lang",
+        size($"toks").cast("double").as("n"),
+        size(array_distinct($"toks")).cast("double").as("n_distinct"),
+        expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
+          .cast("double").as("sum_len"),
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double")
+          .as("n_stop"))
+      val topShare = base
+        .select($"doc_id", explode($"toks").as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").cast("double").as("top_c"))
+      flat.join(topShare, "doc_id")
+        .select($"lang",
+          ($"n" < 15.0 || $"n" > 500.0).as("f_len"),
+          ($"sum_len" / $"n" < 3.0 || $"sum_len" / $"n" > 10.0).as("f_wordlen"),
+          ($"top_c" / $"n" > 0.15).as("f_toptoken"),
+          ($"n_distinct" / $"n" < 0.4).as("f_ttr"),
+          ($"n_stop" / $"n" < 0.02).as("f_stop"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"f_len", 1L).otherwise(0L)).as("n_fail_len"),
+          sum(when($"f_wordlen", 1L).otherwise(0L)).as("n_fail_wordlen"),
+          sum(when($"f_toptoken", 1L).otherwise(0L)).as("n_fail_toptoken"),
+          sum(when($"f_ttr", 1L).otherwise(0L)).as("n_fail_ttr"),
+          sum(when($"f_stop", 1L).otherwise(0L)).as("n_fail_stop"),
+          sum(when(!$"f_len" && !$"f_wordlen" && !$"f_toptoken" &&
+            !$"f_ttr" && !$"f_stop", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"lang")
+    }),
+
+    // smoothed BIGRAM-LM scoring: train add-k bigram counts on the
+    // corpus itself, score every document by its mean transition
+    // probability — the cheap in-engine stand-in for perplexity
+    // filtering (KenLM-style): low-probability docs are the quality
+    // outliers. Mean-of-probabilities, not log-perplexity (libm log is
+    // not bit-portable; the ordering of documents is preserved for any
+    // monotone use). Scale shape: counts are two (hash-keyed) aggs over
+    // the token stream; the doc's bigram stream joins the count tables
+    // on xxhash64 keys (compact shuffle — d17's convention; the oracle
+    // joins on the raw strings, counts identical barring a 2^-64
+    // collision); V is a scalar subquery. Nothing is collected, the
+    // corpus is never reshuffled except by bigram/unigram key.
+    "t22_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", toks($"text").as("toks"))
+      val words = docs.select($"doc_id", explode($"toks").as("w"))
+      val vocab = words.agg(
+        count_distinct($"w").cast("double").as("v")).scalar()
+      // unigram counts as CONTEXT counts: c1(w1) over positions that
+      // HAVE a successor (all but the last token) so probabilities per
+      // context sum to 1 under add-k smoothing
+      val ctx = docs.filter(size($"toks") >= 2)
+        .select(explode(expr("slice(toks, 1, size(toks)-1)")).as("w1"))
+        .groupBy(xxhash64($"w1").as("k1"))
+        .agg(count(lit(1)).cast("double").as("c1"))
+      val bigrams = docs.filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
+          .as("bg"),
+          lit(1).as("one"))
+      val c2 = bigrams.groupBy(xxhash64($"bg").as("k2"))
+        .agg(count(lit(1)).cast("double").as("c2"))
+      val stream = docs.filter(size($"toks") >= 2)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, size(toks)-2), i -> slice(toks, i+1, 2))"))
+          .as(Seq("pos", "pair")))
+        .select($"doc_id",
+          xxhash64(element_at($"pair", 1)).as("k1"),
+          xxhash64(concat_ws(" ", $"pair")).as("k2"))
+      stream
+        .join(c2, "k2").join(ctx, "k1")
+        .select($"doc_id",
+          (($"c2" + lit(0.5)) / ($"c1" + lit(0.5) * vocab)).as("p"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (dsum($"p") / count(lit(1))).as("lm_score"))
+        .orderBy($"doc_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "t20_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS dl,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |),
+        |consts AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+        |  WHERE t IN ('spark', 'join', 'window')
+        |  GROUP BY doc_id, dl, t
+        |),
+        |dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM m GROUP BY t),
+        |sc AS (
+        |  SELECT m.doc_id,
+        |    ((c.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * (m.tf * 2.2) /
+        |      (m.tf + 1.2 * (0.25 + 0.75 * (m.dl / c.avgdl))) AS tscore
+        |  FROM m JOIN dfreq USING (t) CROSS JOIN consts c
+        |)
+        |SELECT doc_id, CAST(SUM(CAST(tscore AS DECIMAL(38,6))) AS DOUBLE) AS bm25,
+        |  COUNT(*) AS n_terms_matched
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin,
+
+    "t21_quality_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |),
+        |flat AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+        |    CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+        |      (acc, x) -> acc + x) AS DOUBLE) AS sum_len,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop
+        |  FROM base
+        |),
+        |tops AS (
+        |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) AS top_c FROM (
+        |    SELECT doc_id, t, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        |    GROUP BY doc_id, t
+        |  ) GROUP BY doc_id
+        |),
+        |rules AS (
+        |  SELECT lang,
+        |    (n < 15.0 OR n > 500.0) AS f_len,
+        |    (sum_len / n < 3.0 OR sum_len / n > 10.0) AS f_wordlen,
+        |    (top_c / n > 0.15) AS f_toptoken,
+        |    (n_distinct / n < 0.4) AS f_ttr,
+        |    (n_stop / n < 0.02) AS f_stop
+        |  FROM flat JOIN tops USING (doc_id)
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+        |  CAST(SUM(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+        |  CAST(SUM(CASE WHEN f_toptoken THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_toptoken,
+        |  CAST(SUM(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ttr,
+        |  CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+        |  CAST(SUM(CASE WHEN NOT f_len AND NOT f_wordlen AND NOT f_toptoken
+        |           AND NOT f_ttr AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM rules GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t22_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(toks) AS w FROM docs)
+        |),
+        |ctx AS (
+        |  SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1
+        |  FROM (SELECT unnest(toks[1:len(toks)-1]) AS w1 FROM docs WHERE len(toks) >= 2)
+        |  GROUP BY w1
+        |),
+        |c2 AS (
+        |  SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2
+        |  FROM (SELECT unnest(list_transform(range(len(toks)-1),
+        |          i -> array_to_string(toks[i+1:i+2], ' '))) AS bg
+        |        FROM docs WHERE len(toks) >= 2)
+        |  GROUP BY bg
+        |),
+        |stream AS (
+        |  SELECT doc_id, toks[i+1] AS w1, array_to_string(toks[i+1:i+2], ' ') AS bg
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i
+        |        FROM docs WHERE len(toks) >= 2)
+        |)
+        |SELECT s.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CAST((c2.c2 + 0.5) / (ctx.c1 + 0.5 * (SELECT v FROM vocab)) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(*) AS lm_score
+        |FROM stream s JOIN c2 ON s.bg = c2.bg JOIN ctx ON s.w1 = ctx.w1
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+  )
+}
