@@ -67,6 +67,44 @@ object Clustering {
       .agg(count(lit(1)).as("n_members"), dsum(col("dist")).as("wss"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * Lloyd-cluster the embedding space, then look for near-duplicate
+    * pairs ONLY within a cluster. The cluster equi-join is what turns
+    * the global O(n²) pair space into Σ|c|² — pairs meet via a shuffle
+    * keyed on cluster id, never a global cross join. Known recall gap,
+    * accepted as THE SemDeDup tradeoff: a near-dup pair split across a
+    * cluster boundary generates no candidate (planted near-identical
+    * copies land in the same cluster; only borderline pairs split). At
+    * 100 TB k grows with the corpus (SemDeDup uses ~10⁵ clusters for
+    * 10⁸ docs) so per-cluster membership — and the pair expansion —
+    * stays bounded; k=8 here only because the fixture is small.
+    *
+    * Returns the DROP LIST: each vector that has a lower-id semantic
+    * near-duplicate in its cluster, with the keeper (min such id) and
+    * the duplicate-edge count. Integer-only output; cosine (computed
+    * exactly as d8: fold-from-zero dot, sqrt norms) only gates. */
+  def semDedup(embeddings: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val e = prep(embeddings)
+    val asg = assign(e, centroids(embeddings, k, iters))
+      .select(col("vec_id"), col("cid"))
+    val n = e.join(asg, "vec_id")
+      .select(col("vec_id"), col("cid"), col("v"),
+        sqrt(graft.functions.VecDot(col("v"), col("v"))).as("norm"))
+    val pairs = n.as("a")
+      .join(n.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"),
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (graft.functions.VecDot(col("a.v"), col("b.v")) /
+          (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= tau)
+    pairs.groupBy(col("v2").as("vec_id"))
+      .agg(min(col("cid")).as("cid"), // v2's own cluster on every edge
+        min(col("v1")).as("keeper"),
+        count(lit(1)).as("n_dups"))
+  }
+
   private def prep(embeddings: DataFrame): DataFrame =
     graft.ops.Spread.fanout(embeddings)
       .select(col("vec_id"),
@@ -148,56 +186,84 @@ object Clustering {
     "ml1_linear_probe" -> ((s, dir) =>
       linearProbe(Tables.embeddings(s, dir), iters = 2, lr = 0.5)
         .orderBy(col("d"))),
+
+    "d20_semdedup" -> ((s, dir) =>
+      semDedup(Tables.embeddings(s, dir), k = 8, iters = 2, tau = 0.45)
+        .orderBy(col("vec_id"))),
   )
 
+  // two Lloyd iterations unrolled as CTEs, shared by c1 and d20;
+  // distances fold left from the first element (0.0 + x1 == x1, so
+  // identical to the Spark side's fold from 0.0) and the mean sums are
+  // DECIMAL(38,6)-stabilized on both sides. Ends at a2 — the final
+  // (vec_id, cid, dist) assignment.
+  private val kmeansCte =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |s1 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_reduce(list_transform(range(len(e.v)),
+      |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+      |  FROM e CROSS JOIN c0 c
+      |),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM s1) WHERE rn = 1
+      |),
+      |x1 AS (
+      |  SELECT a1.cid, e.v, unnest(range(len(e.v))) AS d
+      |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+      |),
+      |u1 AS (
+      |  SELECT cid, d,
+      |    CAST(SUM(CAST(v[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM x1 GROUP BY cid, d
+      |),
+      |c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM u1 GROUP BY cid),
+      |s2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_reduce(list_transform(range(len(e.v)),
+      |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+      |  FROM e CROSS JOIN c1 c
+      |),
+      |a2 AS (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT vec_id, cid, dist,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM s2) WHERE rn = 1
+      |)
+      |""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // the same two Lloyd iterations unrolled as CTEs; distances fold
-    // left from the first element (0.0 + x1 == x1, so identical to the
-    // Spark side's fold from 0.0) and the mean/WSS sums are
-    // DECIMAL(38,6)-stabilized on both sides
     "c1_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-        |s1 AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_reduce(list_transform(range(len(e.v)),
-        |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
-        |  FROM e CROSS JOIN c0 c
-        |),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-        |    FROM s1) WHERE rn = 1
-        |),
-        |x1 AS (
-        |  SELECT a1.cid, e.v, unnest(range(len(e.v))) AS d
-        |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
-        |),
-        |u1 AS (
-        |  SELECT cid, d,
-        |    CAST(SUM(CAST(v[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
-        |  FROM x1 GROUP BY cid, d
-        |),
-        |c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM u1 GROUP BY cid),
-        |s2 AS (
-        |  SELECT e.vec_id, c.cid,
-        |    list_reduce(list_transform(range(len(e.v)),
-        |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
-        |  FROM e CROSS JOIN c1 c
-        |),
-        |a2 AS (
-        |  SELECT vec_id, cid, dist FROM (
-        |    SELECT vec_id, cid, dist,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
-        |    FROM s2) WHERE rn = 1
-        |)
-        |SELECT cid AS cluster_id, COUNT(*) AS n_members,
+      (kmeansCte +
+      """SELECT cid AS cluster_id, COUNT(*) AS n_members,
         |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS wss
-        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
+
+    // within-cluster cosine exactly as d8's oracle (fold-from-first
+    // dot, sqrt norms); the pair join is gated on a2's cluster id
+    "d20_semdedup" ->
+      (kmeansCte.dropRight(1) + """,
+        |n AS (
+        |  SELECT a2.vec_id, a2.cid, e.v,
+        |    sqrt(list_reduce(list_transform(e.v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM a2 JOIN e USING (vec_id)
+        |),
+        |p AS (
+        |  SELECT a.cid, a.vec_id AS v1, b.vec_id AS v2,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |)
+        |SELECT v2 AS vec_id, MIN(cid) AS cid, MIN(v1) AS keeper, COUNT(*) AS n_dups
+        |FROM p WHERE cos >= 0.45
+        |GROUP BY v2 ORDER BY vec_id""".stripMargin),
 
     // two GD steps unrolled; residual dot products fold left (0.0 + x1
     // == x1, so Spark's fold-from-zero and list_reduce agree) and the

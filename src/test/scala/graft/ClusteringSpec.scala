@@ -40,4 +40,24 @@ class ClusteringSpec extends SparkTestBase {
     assert(out.agg(org.apache.spark.sql.functions.sum("n_members"))
       .head().getLong(0) == n)
   }
+
+  test("semDedup: every drop edge is a genuine global near-dup pair") {
+    import org.apache.spark.sql.functions._
+    val tau = 0.45
+    val e = Tables.embeddings(spark, sf0001)
+    val dropped = Clustering.semDedup(e, k = 8, iters = 2, tau = tau)
+    assert(dropped.count() > 0, "fixture plants near-dups; drop list must be non-empty")
+    // recompute each (keeper, vec_id) cosine from scratch, ignoring the
+    // clusters — the reported edges must clear tau globally
+    val v = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val checked = dropped
+      .join(v.select(col("vec_id"), col("v").as("va")), "vec_id")
+      .join(v.select(col("vec_id").as("keeper"), col("v").as("vb")), "keeper")
+      .select((graft.functions.VecDot(col("va"), col("vb")) /
+        (sqrt(graft.functions.VecDot(col("va"), col("va"))) *
+         sqrt(graft.functions.VecDot(col("vb"), col("vb"))))).as("cos"),
+        (col("keeper") < col("vec_id")).as("ordered"))
+    assert(checked.filter(col("cos") < tau || !col("ordered")).count() == 0)
+  }
 }
