@@ -115,6 +115,19 @@ object Streaming {
       try q.processAllAvailable() finally q.stop()
       s.read.schema(shape.schema).json(s"$out/b*").orderBy($"doc_id")
     }),
+
+    // CUSTOM-STATE sessionization (flatMapGroupsWithState): imperative
+    // per-user state logic — the operator family for semantics
+    // session_window can't express. Batch posture emits every session
+    // (incl. the trailing open one); the incremental two-micro-batch
+    // state carry is proven in StreamingSpec. 30-minute gap, same
+    // boundary rule as s3 (gap >= 30 min opens a new session).
+    "s9_sessionize_state" -> ((s, dir) => {
+      import s.implicits._
+      Streams.sessionizeEvents(Tables.events(s, dir), 1800000000L,
+          emitOpen = true)
+        .orderBy($"user_id", $"session_start_us")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -196,5 +209,27 @@ object Streaming {
     "s8_stream_export" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars >= 200 ORDER BY doc_id""".stripMargin,
+
+    "s9_sessionize_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1 AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |),
+        |sessions AS (
+        |  SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
   )
 }

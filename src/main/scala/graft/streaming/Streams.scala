@@ -127,6 +127,55 @@ object Streams {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_novel"))
 
+  /** Custom-state sessionization via the typed
+    * `flatMapGroupsWithState` API — the ARBITRARY-STATE operator behind
+    * per-key semantics `session_window` can't express (session-derived
+    * metrics, custom merge/eviction rules). State per user is the open
+    * session `(start_us, last_us, n_events)`; each invocation folds the
+    * batch's events (sorted by event time, event_id tiebreak) into it,
+    * emitting a session row whenever a >= `gapUs` gap closes one.
+    *
+    * `emitOpen = true` is the BATCH posture (one invocation per group,
+    * state starts empty and is discarded — the still-open session must
+    * be emitted to be seen; oracle-gated as `s9_sessionize_state`).
+    * `emitOpen = false` is the INCREMENTAL posture: only closed
+    * sessions append, the open one carries in `GroupState` to the next
+    * micro-batch (proven across a two-batch file stream in
+    * StreamingSpec). Scale: state is 3 longs per active user —
+    * watermark-free here because session close is driven by the data
+    * gap; a production stream would add an event-time timeout to expire
+    * idle users. Per-group sort is bounded by a user's events per
+    * micro-batch, not the corpus. */
+  def sessionizeEvents(events: DataFrame, gapUs: Long,
+                       emitOpen: Boolean): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    val ds = events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) => {
+          val evs = rows.toArray.sortBy(r => (r._2, r._3))
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          for ((_, us, _) <- evs) open match {
+            case None => open = Some((us, us, 1L))
+            case Some((st, last, n)) =>
+              if (us - last >= gapUs) {
+                out += ((user, st, last, n)); open = Some((us, us, 1L))
+              } else open = Some((st, math.max(last, us), n + 1))
+          }
+          open.foreach(state.update)
+          if (emitOpen)
+            open.foreach { case (st, last, n) => out += ((user, st, last, n)) }
+          out.iterator
+        })
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+  }
+
   /** `readStream` documents source over a fixed symlink dir (same
     * mechanism as [[eventsStream]]). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {

@@ -83,6 +83,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("sessionizeEvents: GroupState carries an open session across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    def write(name: String, rows: (Long, String, Long)*): Unit = {
+      rows.map { case (u, t, id) =>
+        (u, java.sql.Timestamp.valueOf(t), id)
+      }.toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.parquet(s"$dir/$name")
+      // force file-source ordering (it sorts by modification time)
+      val f = new java.io.File(s"$dir/$name")
+      f.setLastModified(if (name == "b0") 1000000L else 2000000L)
+      f.listFiles().foreach(c => c.setLastModified(f.lastModified()))
+    }
+    // batch 0 leaves user 1's session OPEN (2 events, 5 min apart);
+    // batch 1 first CONTINUES it (+5 min — state must still hold the
+    // open session for n_events to reach 3), then a 2 h gap closes it
+    write("b0", (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:05:00", 2L))
+    write("b1", (1L, "2024-01-01 10:10:00", 3L), (1L, "2024-01-01 12:10:00", 4L))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", org.apache.spark.sql.types.LongType)
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+      .add("event_id", org.apache.spark.sql.types.LongType)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+    val sessions = Streams.sessionizeEvents(src, 1800000000L, emitOpen = false)
+    val q = sessions.writeStream.format("memory").queryName("sess_state_test")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_state_test")
+      .select("user_id", "n_events").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly ONE closed session, spanning both micro-batches (n=3);
+    // the trailing open session (1 event) stays in state, never emitted
+    assert(got.toSeq == Seq((1L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("streaming export: foreachBatch drives the CSV sink per micro-batch") {
     import graft.sinks.{CsvOptions, CsvSink}
     val outDir = java.nio.file.Files.createTempDirectory("graft_sexp").toString
