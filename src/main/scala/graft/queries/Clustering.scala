@@ -88,9 +88,11 @@ object Clustering {
     val e = prep(embeddings)
     val asg = assign(e, centroids(embeddings, k, iters))
       .select(col("vec_id"), col("cid"))
-    val n = e.join(asg, "vec_id")
+    // materialized: both sides of the pair join consume it — without
+    // this the full Lloyd assignment would be recomputed twice
+    val n = Materialize(e.join(asg, "vec_id")
       .select(col("vec_id"), col("cid"), col("v"),
-        sqrt(graft.functions.VecDot(col("v"), col("v"))).as("norm"))
+        sqrt(graft.functions.VecDot(col("v"), col("v"))).as("norm")))
     val pairs = n.as("a")
       .join(n.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))

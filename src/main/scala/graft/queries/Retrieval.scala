@@ -41,17 +41,27 @@ object Retrieval {
       import s.implicits._
       val qterms = Seq("spark", "join", "window")
       val base = Tables.documents(s, dir)
-      val n = base.agg(count(lit(1)).cast("double").as("n")).scalar()
-      val avgdl = base
-        .agg((sum(size(toks($"text"))).cast("double") / count(lit(1))).as("a"))
+      // ONE corpus pass yields both scalars (struct-valued subquery)
+      val consts = base
+        .agg(struct(
+          count(lit(1)).cast("double").as("n"),
+          (sum(size(toks($"text"))).cast("double") / count(lit(1))).as("avgdl"))
+          .as("c"))
         .scalar()
+      val n = consts.getField("n")
+      val avgdl = consts.getField("avgdl")
+      val inList = qterms.map(t => s"'$t'").mkString(", ")
       val matched = graft.ops.Spread.fanout(base)
         .select($"doc_id", toks($"text").as("toks"))
+        // filter INSIDE the array, before the explode: the generator
+        // only ever emits query-term occurrences, not the token stream
         .select($"doc_id", size($"toks").cast("double").as("dl"),
-          explode($"toks").as("t"))
-        .filter($"t".isin(qterms: _*))
+          explode(expr(s"filter(toks, t -> t IN ($inList))")).as("t"))
         .groupBy($"doc_id", $"dl", $"t")
         .agg(count(lit(1)).cast("double").as("tf"))
+        // materialized: feeds both the df table and the scoring join —
+        // without it the tokenize+explode+agg runs twice
+        .transform(graft.ops.Materialize(_))
       val dfreq = matched.groupBy($"t")
         .agg(count(lit(1)).cast("double").as("df"))
       val scored = matched.join(broadcast(dfreq), "t")
