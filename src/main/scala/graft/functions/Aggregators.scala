@@ -84,3 +84,85 @@ object SimHashAgg extends Aggregator[String, Array[Int], Long] {
 
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** Count-Min Sketch (Cormode & Muthukrishnan, "An improved data stream
+  * summary: the count-min sketch and its applications") as a NATIVE
+  * Catalyst aggregate (`TypedImperativeAggregate`): the whole token
+  * stream of a partition reduces to one d×w long matrix, partials merge
+  * by elementwise addition at the exchange, and the final buffer is the
+  * sketch — the single-pass frequency summary a 100 TB pipeline keeps
+  * when exact per-term counts would need a corpus-wide shuffle.
+  *
+  * The input is the PRE-HASHED bucket vector (one bucket per sketch
+  * row, computed by codegen'd md5 expressions in the query — the repo's
+  * hex-fold hash family both engines evaluate identically), so the
+  * aggregate itself only counts: update is d array increments. The
+  * sketch is exact-deterministic (pure integer counting), which is what
+  * lets a DuckDB oracle replicate estimates bit-for-bit.
+  */
+case class CountMinAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    d: Int,
+    w: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val bs = child.eval(input).asInstanceOf[ArrayData]
+    if (bs != null) {
+      var j = 0
+      while (j < d) { buf(j * w + bs.getInt(j)) += 1L; j += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]): CountMinAgg =
+    copy(child = c.head)
+}
+
+object CountMin {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** `count_min(bucketVector) -> ARRAY<BIGINT>[d*w]` over an
+    * `ARRAY<INT>` column of per-row bucket indices. */
+  def apply(buckets: Column, d: Int, w: Int): Column =
+    ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(buckets), d, w).toAggregateExpression())
+}

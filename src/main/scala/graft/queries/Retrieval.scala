@@ -171,6 +171,41 @@ object Retrieval {
           (dsum($"p") / count(lit(1))).as("lm_score"))
         .orderBy($"doc_id")
     }),
+
+    // HEAVY HITTERS via a Count-Min Sketch built by the native
+    // [[graft.functions.CountMinAgg]] TypedImperativeAggregate: one
+    // pass over the token stream reduces each partition to a 4×256
+    // long matrix, partials merge by addition at the exchange (the
+    // whole corpus crosses the wire as a few KB), and every DISTINCT
+    // term probes the broadcast 1-row sketch for its min-over-rows
+    // estimate. Terms whose estimate clears 1% of the stream are the
+    // heavy hitters. Bucket hashing is the repo's md5 hex-fold family
+    // (d9/d16), computed in codegen'd expressions on BOTH the build
+    // and probe side; the sketch arithmetic is pure counting, so the
+    // DuckDB replica is bit-identical (estimates may exceed true
+    // counts on collision — identically in both engines).
+    "t24_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val (d, w) = (4, 256)
+      def bucket(j: String, t: String) =
+        s"CAST(CAST(conv(substr(md5(concat($j, ':', $t)), 1, 8), 16, 10) AS BIGINT) % $w AS INT)"
+      val tokens = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select(explode(toks($"text")).as("t"))
+      val sketch = tokens
+        .select(expr(
+          s"transform(sequence(0, ${d - 1}), j -> ${bucket("CAST(j AS STRING)", "t")})")
+          .as("bs"))
+        .agg(graft.functions.CountMin($"bs", d, w).as("cms"),
+          count(lit(1)).as("total"))
+      tokens.distinct()
+        .crossJoin(broadcast(sketch))
+        .select($"t", array_min(expr(
+          s"transform(sequence(0, ${d - 1}), j -> element_at(cms, j*$w + ${bucket("CAST(j AS STRING)", "t")} + 1))"))
+          .as("est"), $"total")
+        .filter($"est" * 100 >= $"total")
+        .select($"t", $"est")
+        .orderBy($"t")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -274,5 +309,40 @@ object Retrieval {
         |    / COUNT(*) AS lm_score
         |FROM stream s JOIN c2 ON s.bg = c2.bg JOIN ctx ON s.w1 = ctx.w1
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // the same 4×256 sketch rebuilt relationally: per-(row, bucket)
+    // counts, probes via the identical md5 hex-fold bucket
+    "t24_cms_heavy_hitters" ->
+      """WITH tokens AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents
+        |),
+        |rows_ AS (SELECT unnest(range(4)) AS j),
+        |cells AS (
+        |  SELECT j,
+        |    CAST(list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef',
+        |             substr(md5(CAST(j AS VARCHAR) || ':' || t), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM tokens CROSS JOIN rows_
+        |  GROUP BY 1, 2
+        |),
+        |total AS (SELECT COUNT(*) AS total FROM tokens),
+        |probes AS (
+        |  SELECT dt.t, rows_.j,
+        |    CAST(list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef',
+        |             substr(md5(CAST(rows_.j AS VARCHAR) || ':' || dt.t), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v) AS BIGINT) % 256 AS b
+        |  FROM (SELECT DISTINCT t FROM tokens) dt CROSS JOIN rows_
+        |),
+        |est AS (
+        |  SELECT p.t, MIN(c.c) AS est
+        |  FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
+        |  GROUP BY p.t
+        |)
+        |SELECT t, est FROM est
+        |WHERE est * 100 >= (SELECT total FROM total)
+        |ORDER BY t""".stripMargin,
   )
 }

@@ -41,4 +41,33 @@ class TextKernelSpec extends SparkTestBase {
     val df = Seq(Seq("a", "a", "a", "a")).toDF("toks")
     assert(df.select(DistinctBigrams($"toks")).head().getLong(0) === 1L)
   }
+
+  test("CountMin sketch: estimates dominate true counts and merge across partitions") {
+    import spark.implicits._
+    val (d, w) = (4, 64)
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "spark", "join", "the", "x", "heavy")
+    val toks = Seq.fill(5000)(words(rnd.nextInt(words.size))) ++ Seq.fill(2000)("heavy")
+    // 16 partitions force real partial-buffer merges at the exchange
+    val df = toks.toDF("t").repartition(16)
+    def bucket(j: String) =
+      s"CAST(CAST(conv(substr(md5(concat($j, ':', t)), 1, 8), 16, 10) AS BIGINT) % $w AS INT)"
+    val sketch = df
+      .select(expr(s"transform(sequence(0, ${d - 1}), j -> ${bucket("CAST(j AS STRING)")})").as("bs"))
+      .agg(graft.functions.CountMin($"bs", d, w).as("cms"))
+    val est = df.distinct()
+      .crossJoin(broadcast(sketch))
+      .select($"t", array_min(expr(
+        s"transform(sequence(0, ${d - 1}), j -> element_at(cms, j*$w + ${bucket("CAST(j AS STRING)")} + 1))"))
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    words.foreach { t =>
+      assert(est(t) >= truth(t), s"CMS must never underestimate: $t ${est(t)} < ${truth(t)}")
+    }
+    // total mass is conserved per sketch row: sum of any row == stream size
+    val row0 = sketch.select(expr(s"aggregate(slice(cms, 1, $w), 0L, (a, x) -> a + x)"))
+      .head().getLong(0)
+    assert(row0 == toks.size.toLong)
+  }
 }
