@@ -160,4 +160,39 @@ class ScaleSpec extends SparkTestBase {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("d20 semDedup pairs meet via a cid equi-join, never a global cross join") {
+    val df = SparkEntry.queries("d20_semdedup")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "semDedup pair join must be cid-keyed, not cartesian: " + plan)
+    // the kmeans assignment crossJoin against the broadcast centroid set
+    // is the only sanctioned non-equi join; it must be broadcast-nested,
+    // with the centroids (small side) broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "centroid scoring must broadcast the k-row side: " + plan)
+  }
+
+  test("t20 BM25: the df table joins broadcast; the corpus is scanned, not crossed") {
+    val df = SparkEntry.queries("t20_bm25")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "3-row df table must broadcast onto the tf frame: " + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("t24 CMS: the sketch is a single-group aggregate probed via broadcast") {
+    val df = SparkEntry.queries("t24_cms_heavy_hitters")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the sketch side reaches the probe join as a broadcast (1 row);
+    // the probe join itself must not shuffle the distinct-terms side
+    // against the sketch
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "1-row sketch must broadcast to the probes: " + plan)
+    assert(plan.contains("CountMinAgg") || plan.contains("countminagg"),
+      "the native TypedImperativeAggregate must appear in the plan: " + plan)
+  }
 }
