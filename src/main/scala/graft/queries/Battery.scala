@@ -739,9 +739,98 @@ object Battery {
         .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
         .orderBy($"l_returnflag")
     }),
+
+    // SCD TYPE-2 dimension build (gaps-and-islands): collapse each
+    // user's event-type stream into validity intervals
+    // [valid_from, valid_to) — the slowly-changing-dimension history a
+    // warehouse maintains for point-in-time joins. Two windows over the
+    // same user-keyed sort (one shuffle): lag() marks run starts,
+    // lead() over the run starts closes each interval; the open current
+    // row keeps a NULL valid_to. The anchoring event_id makes the
+    // output order total (ts ties can start two runs at one timestamp).
+    "q51_scd2_intervals" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+      val marked = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts)").as("us"),
+          $"event_id", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+      marked
+        .withColumn("valid_to_us", lead($"us", 1).over(w))
+        .select($"user_id", $"event_type".as("status"),
+          $"us".as("valid_from_us"), $"event_id".as("anchor_event_id"),
+          $"valid_to_us")
+        .orderBy($"user_id", $"valid_from_us", $"anchor_event_id")
+    }),
+
+    // time-grid RESAMPLE + forward fill: one row per (user, day) over
+    // each user's observed span, value = last observation carried
+    // forward — the standard gap-filling step before time-series
+    // features. All stages key on user_id (one shuffle family): last
+    // observation per day via a row_number window, the daily grid via
+    // a sequence() generator off the per-user span (the resample
+    // fanout), the fill via last(ignoreNulls) over an unbounded-
+    // preceding frame. Values are copied, never recomputed — bit-exact
+    // across engines by construction.
+    "q52_resample_ffill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("unix_micros(ts)").as("us"), $"event_id", $"value")
+      val wLast = Window.partitionBy($"user_id", $"day")
+        .orderBy($"us".desc, $"event_id".desc)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .filter($"rn" === 1).select($"user_id", $"day", $"value")
+      val grid = ev.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(expr("sequence(d0, d1)")).as("day"))
+      val wFill = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("value_ffill", last($"value", ignoreNulls = true).over(wFill))
+        .select($"user_id", $"day", $"value_ffill")
+        .orderBy($"user_id", $"day")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q51_scd2_intervals" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1 AS us, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |),
+        |runs AS (
+        |  SELECT user_id, event_type, us, event_id FROM marked
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type AS status, us AS valid_from_us,
+        |  event_id AS anchor_event_id,
+        |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        |FROM runs
+        |ORDER BY user_id, valid_from_us, anchor_event_id""".stripMargin,
+
+    "q52_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) // 1 AS us, event_id, value
+        |  FROM events
+        |),
+        |daily AS (
+        |  SELECT user_id, day, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1
+        |),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.value IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS value_ffill
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+
     "q3_join_broadcast" ->
       """SELECT r_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
