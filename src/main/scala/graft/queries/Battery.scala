@@ -792,6 +792,66 @@ object Battery {
         .select($"user_id", $"day", $"value_ffill")
         .orderBy($"user_id", $"day")
     }),
+
+    // LATERAL correlated subquery: top-2 lineitems per qualifying order
+    // through the SQL LATERAL surface — Catalyst decorrelates the
+    // per-row ORDER BY/LIMIT into a window-rank join (no driver loop,
+    // no per-order re-scan). The per-group limit semantics are the same
+    // family as q25's TopKPerKey operator, reached from SQL instead of
+    // the DataFrame API. Deterministic: unique (orderkey, linenumber)
+    // tiebreak inside the LIMIT's ORDER BY.
+    "q53_lateral_topk" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+          |FROM orders_v o, LATERAL (
+          |  SELECT l_linenumber, l_extendedprice FROM lineitem_v
+          |  WHERE l_orderkey = o.o_orderkey
+          |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+          |WHERE o.o_totalprice > 400000
+          |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin)
+    }),
+
+    // ordered string aggregation + FILTER-clause conditional aggregates:
+    // listagg-style concatenation is made deterministic by sorting the
+    // DISTINCT set before joining (collect_set order is partition-
+    // dependent — never concatenate it raw), and FILTER moves the
+    // predicate inside the aggregate so one pass yields all the
+    // conditional counts (no self-join per condition).
+    "q54_listagg_filter" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag,
+          |  concat_ws(',', array_sort(collect_set(l_linestatus))) AS statuses,
+          |  count(*) FILTER (WHERE l_quantity > 45) AS n_big,
+          |  count(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+          |  CAST(median(l_quantity) AS DOUBLE) AS med_qty
+          |FROM lineitem_v
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // observe(): data-quality metrics PIGGYBACKED on a pass the
+    // pipeline already makes — CollectMetrics accumulates per-task
+    // during the filter scan itself, so the counters cost zero extra
+    // scans (vs a separate .agg() pass doubling the read at 100 TB).
+    // The query executes the observed plan once and returns the
+    // metric row; the oracle recomputes the same aggregates in SQL.
+    "q55_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val observed = Tables.lineitem(s, dir)
+        .filter($"l_quantity" >= 30)
+        .observe("gate_metrics",
+          count(lit(1)).as("n_rows"),
+          sum($"l_quantity".cast(DecimalType(38, 6))).cast("double").as("sum_qty"),
+          // l_shipdate is TIMESTAMP_NTZ; the UTC-pinned session makes
+          // the cast epoch match DuckDB's epoch_us of the naive value
+          max(expr("unix_micros(cast(l_shipdate as timestamp))")).as("max_ship_us"))
+      observed.queryExecution.toRdd.count()
+      val m = observed.queryExecution.observedMetrics("gate_metrics")
+      Seq((m.getLong(0), m.getDouble(1), m.getLong(2)))
+        .toDF("n_rows", "sum_qty", "max_ship_us")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -830,6 +890,30 @@ object Battery {
         |    ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS value_ffill
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "q53_lateral_topk" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM orders o, LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        |WHERE o.o_totalprice > 400000
+        |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin,
+
+    "q54_listagg_filter" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  COUNT(*) FILTER (WHERE l_quantity > 45) AS n_big,
+        |  COUNT(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+        |  CAST(median(l_quantity) AS DOUBLE) AS med_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q55_observe_metrics" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  MAX(epoch_us(l_shipdate) // 1) AS max_ship_us
+        |FROM lineitem WHERE l_quantity >= 30""".stripMargin,
 
     "q3_join_broadcast" ->
       """SELECT r_name, COUNT(*) AS n_cust,

@@ -1184,6 +1184,33 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // graded CONTAMINATION SCORE: d10 reports hit counts for hit docs;
+    // this yields the thresholdable per-doc fraction of distinct
+    // 8-grams found in the benchmark — INCLUDING the zero-hit docs
+    // (LEFT join), which is what lets a pipeline pick a cutoff
+    // (e.g. drop > 0.1) instead of binary-dropping any overlap. Same
+    // bipartite xxhash64 posting join as d10; the extra cost over d10
+    // is only that every corpus doc reaches the rollup. score = one
+    // integer-derived division, bit-portable.
+    "d23_contamination_score" -> ((s, dir) => {
+      import s.implicits._
+      val grams = Tables.documents(s, dir)
+        .select($"doc_id", $"source", toks($"text").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", $"source", explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          .as("g"))
+        .select($"doc_id", $"source", xxhash64($"g").as("g"))
+      val bench = grams.filter($"source" === "src0").select($"g").distinct()
+        .withColumn("hit", lit(1))
+      grams.filter($"source" =!= "src0")
+        .join(bench, Seq("g"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"), count($"hit").as("n_hits"))
+        .withColumn("score", $"n_hits".cast("double") / $"n_grams")
+        .orderBy($"doc_id")
+    }),
+
     // repetition quality (Gopher-style): fraction of duplicate word
     // bigrams per doc — high rep_ratio marks boilerplate/spam for
     // filtering before training
@@ -2134,6 +2161,22 @@ object LlmPipeline {
         |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
         |SELECT s.doc_id, COUNT(*) AS n_hits
         |FROM sh s JOIN bench b ON s.g = b.g
+        |WHERE s.source <> 'src0'
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "d23_contamination_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(len(toks)-7), i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |  FROM docs WHERE len(toks) >= 8
+        |),
+        |bench AS (SELECT DISTINCT g, 1 AS hit FROM sh WHERE source = 'src0')
+        |SELECT s.doc_id, COUNT(*) AS n_grams, COUNT(b.hit) AS n_hits,
+        |  CAST(COUNT(b.hit) AS DOUBLE) / COUNT(*) AS score
+        |FROM sh s LEFT JOIN bench b ON s.g = b.g
         |WHERE s.source <> 'src0'
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 

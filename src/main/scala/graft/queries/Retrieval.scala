@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -8,9 +9,11 @@ import graft.sources.Tables
 
 /** Retrieval / corpus-scoring operators over `documents` (the [EXT]
   * LLM-pipeline surface, next to [[LlmPipeline]]): BM25 ranking, a
-  * Gopher-style multi-rule quality gate with per-rule accounting, and a
+  * Gopher-style multi-rule quality gate with per-rule accounting, a
   * smoothed bigram language-model score — the three score families a
-  * training-data pipeline runs between dedup and mixture weighting.
+  * training-data pipeline runs between dedup and mixture weighting —
+  * plus corpus-level analytics (winnowing fingerprints, source-pair
+  * vocabulary overlap) and blocked fuzzy entity resolution.
   *
   * Determinism conventions (same as [[LlmPipeline]]): no libm `log`/`exp`
   * (not bit-portable across engines — BM25's idf and the LM score use
@@ -25,6 +28,34 @@ object Retrieval {
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
   private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Winnowing selection core (t23): 3-token-gram hashes, w=4 sliding
+    * windows, RIGHTMOST MINIMAL hash per window — both selections folded
+    * into one doc-keyed window min over key = h*2^21 + (2^21-1-pos)
+    * (orders by hash, then by descending position). Input needs
+    * (doc_id, text); output is one row per selected fingerprint:
+    * (doc_id, m = #grams, wmin) with wmin div 2^21 = the selected hash.
+    * Exposed for the NearDupSpec reference-implementation property. */
+  def winnowSelect(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", toks($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", (size($"toks") - 2).as("m"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))"))
+          .as(Seq("i", "g")))
+      .select($"doc_id", $"m", $"i",
+        expr("cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)").as("h"))
+      .withColumn("wmin",
+        min($"h" * lit(2097152L) + (lit(2097151L) - $"i"))
+          .over(Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, 3)))
+      // full windows only (start i <= m-w); a short doc (m < w) still
+      // contributes its single truncated window at i = 0
+      .filter($"i" <= greatest($"m" - 4, lit(0)))
+      .select($"doc_id", $"m", $"wmin").distinct()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -206,6 +237,86 @@ object Retrieval {
         .select($"t", $"est")
         .orderBy($"t")
     }),
+
+    // WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    // MOSS scheme): hash every 3-token gram, slide a w=4 window over the
+    // hash sequence, select the RIGHTMOST MINIMAL hash of each window.
+    // Guarantees a fingerprint in every w-gram span (coverage) with an
+    // expected 2/(w+1) selection density — the local, position-robust
+    // alternative to d3's MinHash for substring-level matching. The
+    // rightmost-min tiebreak is folded into ONE window min: key =
+    // h*2^21 + (2^21-1-pos) orders by hash then by DESCENDING position,
+    // so min(key) yields both the selected hash (div) and its position
+    // — one doc_id-keyed window pass, no per-window explode. Hash is
+    // the repo's md5 hex-fold family (bit-identical in DuckDB). Scale:
+    // everything keys on doc_id (gram window never crosses documents);
+    // the distinct + rollup shuffle carries ~2 fingerprints per 5 grams.
+    "t23_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      winnowSelect(graft.ops.Spread.fanout(Tables.documents(s, dir)))
+        .groupBy($"doc_id")
+        .agg(max($"m").as("n_grams"), count(lit(1)).as("n_selected"),
+          sum(expr("wmin div 2097152")).as("fp_sum"))
+        .orderBy($"doc_id")
+    }),
+
+    // source-pair VOCABULARY OVERLAP: exact Jaccard between the distinct
+    // token sets of every source pair — the dataset-overlap audit run
+    // before mixing corpora (near-identical sources inflate effective
+    // epochs). Scale shape: the corpus reduces to the distinct
+    // (source, term) VOCABULARY table first (one shuffle, corpus-sized
+    // input but vocabulary-sized output); pairs then meet via a
+    // term-keyed self-join whose per-term fanout is bounded by
+    // #sources^2 BY CONSTRUCTION (a term occurs in at most all 20
+    // sources) — no hot-key cap needed, unlike document-level d2; the
+    // 20-row size table broadcasts back. Jaccard = one integer-derived
+    // division, bit-portable.
+    "d21_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val v = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"source", explode(toks($"text")).as("t"))
+        .distinct()
+        .transform(graft.ops.Materialize(_))
+      val sizes = v.groupBy($"source").agg(count(lit(1)).as("nv"))
+      v.as("a").join(v.as("b"),
+          $"a.t" === $"b.t" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes).as("x"), $"s1" === $"x.source")
+        .join(broadcast(sizes).as("y"), $"s2" === $"y.source")
+        .select($"s1", $"s2", $"n_common",
+          $"x.nv".as("n1"), $"y.nv".as("n2"),
+          ($"n_common".cast("double") / ($"x.nv" + $"y.nv" - $"n_common"))
+            .as("jaccard"))
+        .orderBy($"s1", $"s2")
+    }),
+
+    // blocked FUZZY ENTITY RESOLUTION over part names: the textbook ER
+    // pipeline shape — canonicalize to the DISTINCT-name dictionary
+    // (vocabulary-sized, not row-sized: 64 names stand for 20k rows
+    // here, and a 100 TB catalog still has a dictionary that fits in
+    // one executor), generate candidates inside noun BLOCKS (same
+    // second token), verify with exact Levenshtein <= 3, then map the
+    // surviving pairs back to row counts via a broadcast join. The
+    // all-pairs comparison only ever happens within a block of the
+    // dictionary — never on the base table.
+    "d22_fuzzy_match" -> ((s, dir) => {
+      import s.implicits._
+      val part = Tables.part(s, dir)
+      val names = part.select($"p_name").distinct()
+        .withColumn("noun", element_at(split($"p_name", " "), 2))
+      val counts = part.groupBy($"p_name").agg(count(lit(1)).as("n"))
+      names.as("a").join(names.as("b"),
+          $"a.noun" === $"b.noun" && $"a.p_name" < $"b.p_name")
+        .select($"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+          levenshtein($"a.p_name", $"b.p_name").as("dist"))
+        .filter($"dist" <= 3)
+        .join(broadcast(counts).as("ca"), $"name_a" === $"ca.p_name")
+        .join(broadcast(counts).as("cb"), $"name_b" === $"cb.p_name")
+        .select($"name_a", $"name_b", $"dist",
+          $"ca.n".as("n_rows_a"), $"cb.n".as("n_rows_b"))
+        .orderBy($"name_a", $"name_b")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -344,5 +455,67 @@ object Retrieval {
         |SELECT t, est FROM est
         |WHERE est * 100 >= (SELECT total FROM total)
         |ORDER BY t""".stripMargin,
+
+    // the same keyed-min winnowing: list_reduce replicates the md5
+    // hex-fold, // is floor division (non-negative keys here)
+    "t23_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 3
+        |),
+        |grams AS (
+        |  SELECT doc_id, len(toks) - 2 AS m, i,
+        |    CAST(list_reduce(list_transform(range(8),
+        |      dd -> strpos('0123456789abcdef',
+        |             substr(md5(array_to_string(toks[i+1:i+3], ' ')), dd+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i FROM d)
+        |),
+        |keyed AS (
+        |  SELECT doc_id, m, i,
+        |    MIN(h * 2097152 + (2097151 - i)) OVER
+        |      (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM grams
+        |),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, m, wmin FROM keyed
+        |  WHERE i <= CASE WHEN m >= 4 THEN m - 4 ELSE 0 END
+        |)
+        |SELECT doc_id, MAX(m) AS n_grams, COUNT(*) AS n_selected,
+        |  CAST(SUM(wmin // 2097152) AS BIGINT) AS fp_sum
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d21_source_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, t FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |    FROM documents)
+        |),
+        |sizes AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_common
+        |  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s1, s2, n_common, x.nv AS n1, y.nv AS n2,
+        |  CAST(n_common AS DOUBLE) / (x.nv + y.nv - n_common) AS jaccard
+        |FROM pairs JOIN sizes x ON s1 = x.source JOIN sizes y ON s2 = y.source
+        |ORDER BY s1, s2""".stripMargin,
+
+    "d22_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM names),
+        |cand AS (
+        |  SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |    levenshtein(a.p_name, c.p_name) AS dist
+        |  FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+        |  WHERE levenshtein(a.p_name, c.p_name) <= 3
+        |),
+        |counts AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name)
+        |SELECT name_a, name_b, dist, ca.n AS n_rows_a, cb.n AS n_rows_b
+        |FROM cand
+        |JOIN counts ca ON name_a = ca.p_name
+        |JOIN counts cb ON name_b = cb.p_name
+        |ORDER BY name_a, name_b""".stripMargin,
   )
 }

@@ -128,6 +128,22 @@ object Streaming {
           emitOpen = true)
         .orderBy($"user_id", $"session_start_us")
     }),
+
+    // stream-stream LEFT OUTER join: clicks with no purchase within 30
+    // minutes surface as null-padded rows — the harder outer form of s6
+    // (unmatched rows can only emit once the watermark closes their
+    // window; incremental emission proven in StreamingSpec). Batch
+    // posture aggregates matched/unmatched attribution per user.
+    "s10_stream_left_outer" -> ((s, dir) => {
+      import s.implicits._
+      Streams.clickPurchaseLeftOuter(Tables.events(s, dir), watermarked = false)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"buy_ts").as("n_matched"),
+          sum(when($"buy_ts".isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          dsum(coalesce($"value", lit(0.0))).as("sum_val"))
+        .orderBy($"user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -231,5 +247,21 @@ object Streaming {
         |  COUNT(*) AS n_events
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "s10_stream_left_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 1 AS cus FROM events WHERE event_type = 'click'
+        |),
+        |p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) // 1 AS pus, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, COUNT(*) AS n_rows,
+        |  COUNT(p.pus) AS n_matched,
+        |  CAST(SUM(CASE WHEN p.pus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+        |  CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+        |FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
   )
 }

@@ -112,6 +112,32 @@ object Streams {
       .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
   }
 
+  /** Click→purchase LEFT OUTER attribution within 30 minutes — the
+    * OUTER stream-stream join, strictly harder than s6's inner form:
+    * an unmatched click can only emit its null-padded row once the
+    * PURCHASE-side watermark has passed `click_ts + 30min` (before
+    * that, a matching purchase could still arrive), so output is
+    * watermark-delayed, not just state-bounded. `watermarked = false`
+    * is the batch posture (oracle-gated as `s10_stream_left_outer`);
+    * `watermarked = true` runs incrementally — StreamingSpec proves
+    * the null-padded rows appear only after a later micro-batch
+    * advances the watermark. Both sides carry a watermark and the
+    * join condition is two-sided on event time, which is exactly what
+    * makes outer stream-stream joins legal in Structured Streaming. */
+  def clickPurchaseLeftOuter(events: DataFrame, watermarked: Boolean): DataFrame = {
+    def side(f: DataFrame) =
+      if (watermarked) f.withWatermark("ts", "10 minutes") else f
+    val c = side(events).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = side(events).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("buy_ts"), col("value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
+  }
+
   /** Streaming dedup-ingest — the continuous form of the d14
     * daily-crawl posture: an arriving document stream is fingerprinted
     * (md5) and LEFT-ANTI joined against the STATIC corpus index, so

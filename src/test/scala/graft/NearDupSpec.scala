@@ -173,4 +173,63 @@ class NearDupSpec extends SparkTestBase {
       }
     }
   }
+
+  /** In-memory winnowing reference: per window of 4 consecutive 3-gram
+    * hashes, select the rightmost minimal hash — the textbook O(n·w)
+    * loop, independent of the keyed-window-min encoding the query uses. */
+  private def winnowReference(text: String): Set[(Long, Int)] = {
+    val t = text.toLowerCase.split("\\s+").toIndexedSeq
+    if (t.length < 3) return Set.empty
+    val hashes = t.sliding(3).map { g =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.mkString(" ").getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }.toIndexedSeq
+    val m = hashes.length
+    val starts = if (m >= 4) 0 to (m - 4) else Seq(0)
+    starts.map { i =>
+      val win = (i until math.min(i + 4, m))
+      // rightmost index achieving the window minimum
+      val p = win.maxBy(p => (-hashes(p), p))
+      (hashes(p), p)
+    }.toSet
+  }
+
+  test("winnowSelect equals the textbook rightmost-min reference; coverage holds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    // lengths straddle every edge: <3 tokens (no grams), 3..6 (single
+    // truncated window), and long docs; small vocab forces hash TIES
+    // inside windows so the rightmost tiebreak is actually exercised
+    val docs: Seq[(Long, String)] = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (id, t) => Row(id, t) }),
+      schema)
+    val got = graft.queries.Retrieval.winnowSelect(df).collect()
+      .map(r => r.getLong(0) -> {
+        val wmin = r.getLong(2)
+        (wmin / 2097152L, (2097151L - wmin % 2097152L).toInt)
+      })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, text) <- docs) {
+      val want = winnowReference(text)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"doc $id: spark=${got.getOrElse(id, Set.empty)} ref=$want text='$text'")
+      // the winnowing guarantee: every full window contains a selection
+      val m = math.max(0, text.split("\\s+").length - 2)
+      if (m >= 4) {
+        val positions = want.map(_._2)
+        for (i <- 0 to m - 4)
+          assert(positions.exists(p => p >= i && p < i + 4),
+            s"doc $id: window $i has no fingerprint")
+      }
+    }
+  }
 }

@@ -195,4 +195,32 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("CountMinAgg") || plan.contains("countminagg"),
       "the native TypedImperativeAggregate must appear in the plan: " + plan)
   }
+
+  test("q53 LATERAL decorrelates to a rank join with map-side group-limit pruning") {
+    val df = SparkEntry.queries("q53_lateral_topk")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "LATERAL must decorrelate, not nest-loop the outer table: " + plan)
+    // Catalyst rewrites the correlated ORDER BY/LIMIT into a window rank;
+    // WindowGroupLimit prunes to top-2 per order BEFORE the exchange
+    assert(plan.contains("WindowGroupLimit"),
+      "per-order LIMIT must run as a group-limit, not a full sort: " + plan)
+  }
+
+  test("t23 winnowing window is doc-keyed; d21 overlap joins by term, never cross") {
+    val t23 = SparkEntry.queries("t23_winnowing")(spark, sf0001)
+    t23.collect()
+    val p23 = t23.queryExecution.executedPlan.toString
+    // the fingerprint-selection window must partition by doc_id — a
+    // global (unpartitioned) window would serialize the corpus through
+    // one task
+    assert(p23.contains("windowspecdefinition(doc_id"),
+      "winnowing window must be doc_id-partitioned: " + p23)
+    val d21 = SparkEntry.queries("d21_source_overlap")(spark, sf0001)
+    d21.collect()
+    val p21 = d21.queryExecution.executedPlan.toString
+    assert(!p21.contains("CartesianProduct"),
+      "vocabulary self-join must be term-keyed: " + p21)
+  }
 }

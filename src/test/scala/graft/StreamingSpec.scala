@@ -206,6 +206,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 100.0)))
   }
 
+  test("clickPurchaseLeftOuter: streamed rows are exactly the watermark-closed batch rows") {
+    // the s10 shape run as a genuine watermarked stream: matched pairs
+    // emit immediately; null-padded rows only for clicks whose 30-minute
+    // window the final watermark has closed. So the stream's output must
+    // be a sub-multiset of the batch posture containing ALL matched rows
+    // — the tail clicks the watermark never closed are the only legal
+    // difference (fixture is one file = one batch, so the watermark ends
+    // at max(ts) - 10min and the last ~40min of unmatched clicks stay
+    // buffered).
+    val batch = rowsOf(Streams.clickPurchaseLeftOuter(
+      Tables.events(spark, sf0001), watermarked = false))
+    val stream = rowsOf(Streams.runToMemory(spark,
+      Streams.clickPurchaseLeftOuter(
+        Streams.eventsStream(spark, sf0001), watermarked = true),
+      "loj_s10_test", "append"))
+    assert(stream.nonEmpty)
+    val batchCounts = batch.groupBy(identity).view.mapValues(_.size).toMap
+    val streamCounts = stream.groupBy(identity).view.mapValues(_.size).toMap
+    for ((row, n) <- streamCounts)
+      assert(batchCounts.getOrElse(row, 0) >= n,
+        s"stream emitted a row the batch posture lacks: $row")
+    val batchMatched = rowsOf(Streams.clickPurchaseLeftOuter(
+      Tables.events(spark, sf0001), watermarked = false)
+      .filter(col("buy_ts").isNotNull))
+    val streamMatched = stream.filter(!_.endsWith(",null,null]"))
+    assert(streamMatched.sorted == batchMatched.sorted,
+      s"matched-pair multisets differ: ${streamMatched.size} vs ${batchMatched.size}")
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows on watermark expiry") {
     // outer stream-stream semantics: an unmatched left row can only be
     // emitted once the watermark proves no matching right row can still
