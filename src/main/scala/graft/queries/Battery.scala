@@ -852,6 +852,27 @@ object Battery {
       Seq((m.getLong(0), m.getDouble(1), m.getLong(2)))
         .toDF("n_rows", "sum_qty", "max_ship_us")
     }),
+
+    // UNPIVOT (wide → long melt): Spark's unpivot lowers to ONE Expand
+    // pass — each scanned row emits 4 (measure, val) rows in-task and
+    // the map-side combine collapses them to 4 rows per task before the
+    // exchange. The naive UNION ALL of four per-column selects (the
+    // oracle's formulation) scans the table FOUR times — at 100 TB
+    // that's the difference between one pass and four.
+    "q56_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+        // no id columns: the rollup keys on the measure name alone, so
+        // carrying one would just widen every Expand row
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "measure", "val")
+        .groupBy($"measure")
+        .agg(count(lit(1)).as("n"), dsum($"val").as("sum_val"),
+          min($"val").as("min_val"), max($"val").as("max_val"))
+        .orderBy($"measure")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -914,6 +935,18 @@ object Battery {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
         |  MAX(epoch_us(l_shipdate) // 1) AS max_ship_us
         |FROM lineitem WHERE l_quantity >= 30""".stripMargin,
+
+    "q56_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |)
+        |SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS sum_val,
+        |  MIN(val) AS min_val, MAX(val) AS max_val
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
 
     "q3_join_broadcast" ->
       """SELECT r_name, COUNT(*) AS n_cust,

@@ -431,6 +431,63 @@ object LlmPipeline {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directional CONTAINMENT near-dup (the d24 core): containment(a→b)
+    * = |A∩B| / |A| — the asymmetric overlap that catches EXCERPTS and
+    * quoted subsets, which symmetric Jaccard (d2) misses entirely: a
+    * 50-shingle excerpt fully contained in a 500-shingle doc scores
+    * jaccard ≈ 0.1 but containment 1.0 (Broder's resemblance vs
+    * containment distinction). Candidate generation and the gathered-set
+    * exact verify are d2's (hot-capped inverted index, bounded pair
+    * expansion); only the prune bound and the emission differ: a pair
+    * survives pruning when its BEST-DIRECTION containment upper bound
+    * (ri + min(h1,h2)) / min(n1,n2) clears `tau` (sound: inter ≤ ri +
+    * min(h), and the best direction divides by the smaller set), and
+    * the verify emits up to TWO DIRECTED rows via one generator — never
+    * a union of two copies of the verify subtree (that would execute
+    * the whole candidate pipeline twice). */
+  def containmentPairs(sh: DataFrame, maxDf: Int, tau: Double): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"), lit(1L).as("hot1"))
+    val fl = materialize(sh.join(hot, Seq("shingle"), "left")
+      .select(col("doc_id"), col("shingle"),
+        coalesce(col("hot1"), lit(0L)).as("is_hot")))
+    val st = fl.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("is_hot")).as("h"))
+    val bk = fl.filter(col("is_hot") === 0L)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+    val ri = bucketPairs(bk)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("ri"))
+    val pruned = ri
+      .join(st.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(st.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("ubi", col("ri") + least(col("s1.h"), col("s2.h")))
+      .filter(col("ubi").cast("double") /
+        least(col("s1.n"), col("s2.n")) >= tau)
+      .select(col("d1"), col("d2"))
+    val ids = pruned.select(col("d1").as("doc_id"))
+      .union(pruned.select(col("d2").as("doc_id"))).distinct()
+    val sets = fl.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("shs"), count(lit(1)).as("n"))
+    pruned
+      .join(sets.select(col("doc_id").as("d1"), col("shs").as("sa"), col("n").as("na")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shs").as("sb"), col("n").as("nb")), "d2")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(explode(array(
+        struct(col("d1").as("contained"), col("d2").as("container"),
+          (col("inter").cast("double") / col("na")).as("containment")),
+        struct(col("d2").as("contained"), col("d1").as("container"),
+          (col("inter").cast("double") / col("nb")).as("containment"))))
+        .as("r"))
+      .select(col("r.contained").as("contained"),
+        col("r.container").as("container"),
+        col("r.containment").as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
   /** Exact Jaccard for candidate pairs, scored on the FULL shingle sets
     * (capping above affects only which pairs are considered, never the
     * reported similarity). The index is first semi-join-restricted to
@@ -580,6 +637,16 @@ object LlmPipeline {
       val sh = materialize(shingleIndex(Tables.documents(s, dir))
         .select($"doc_id", xxhash64($"shingle").as("shingle")))
       nearDupJaccard(sh, MaxShingleDf, 0.5).orderBy($"d1", $"d2")
+    }),
+
+    // directional containment ≥ 0.5 — the EXCERPT detector (Broder's
+    // containment vs resemblance); see [[containmentPairs]]
+    "d24_containment_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val sh = materialize(shingleIndex(Tables.documents(s, dir))
+        .select($"doc_id", xxhash64($"shingle").as("shingle")))
+      containmentPairs(sh, MaxShingleDf, 0.5)
+        .orderBy($"contained", $"container")
     }),
 
     // near-dup at scale: banded MinHash (16 affine hashes over one md5
@@ -1725,6 +1792,32 @@ object LlmPipeline {
         |SELECT c.d1, c.d2, j.jaccard
         |FROM cand c JOIN jacc j ON c.d1 = j.d1 AND c.d2 = j.d2
         |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin),
+
+    "d24_containment_dedup" ->
+      (docsCte.dropRight(1) + s""",
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $MaxShingleDf),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i,
+        |    any_value(s1.n) AS n1, any_value(s2.n) AS n2
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN sizes s1 ON a.doc_id = s1.doc_id
+        |  JOIN sizes s2 ON b.doc_id = s2.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |directed AS (
+        |  SELECT c.d1 AS contained, c.d2 AS container, CAST(i.i AS DOUBLE) / i.n1 AS containment
+        |  FROM cand c JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+        |  UNION ALL
+        |  SELECT c.d2, c.d1, CAST(i.i AS DOUBLE) / i.n2
+        |  FROM cand c JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+        |)
+        |SELECT contained, container, containment FROM directed
+        |WHERE containment >= 0.5 ORDER BY contained, container""".stripMargin),
 
     "d3_dedup_minhash_lsh" -> {
       // generated from the SAME MinHashParams as the Spark plan

@@ -174,6 +174,68 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  /** Independent containment brute-force (d24 semantics): directed
+    * emission, denominator = the CONTAINED side's full shingle count. */
+  private def bruteForceContainment(docs: Seq[(Long, String)], maxDf: Int,
+      tau: Double): Set[(Long, Long, Double)] = {
+    val sh = docs.map { case (id, txt) => id -> shingleSet(txt) }.toMap
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rare = df.collect { case (g, n) if n <= maxDf => g }.toSet
+    val ids = docs.map(_._1).sorted
+    (for {
+      i <- ids; j <- ids if i < j
+      si = sh(i); sj = sh(j)
+      if (si & sj & rare).nonEmpty
+      inter = (si & sj).size
+      (a, b) <- Seq((i, j), (j, i))
+      c = inter.toDouble / sh(a).size
+      if c >= tau
+    } yield (a, b, c)).toSet
+  }
+
+  private def runContainment(docs: Seq[(Long, String)], maxDf: Int, tau: Double)
+      : Set[(Long, Long, Double)] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (id, t) => Row(id, t) }),
+      schema)
+    LlmPipeline.containmentPairs(LlmPipeline.shingleIndex(df), maxDf, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("containmentPairs equals brute force; catches excerpts Jaccard misses") {
+    // planted EXCERPT: doc 901 is a strict prefix slice of doc 900 —
+    // containment(901→900) = 1.0 while jaccard stays far below 0.5
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
+    for (seed <- Seq(3, 19)) {
+      val docs = corpus(seed) ++ Seq(900L -> long, 901L -> excerpt)
+      for (maxDf <- Seq(3, 100); tau <- Seq(0.5, 0.8)) {
+        val want = bruteForceContainment(docs, maxDf, tau)
+        val got = runContainment(docs, maxDf, tau)
+        assert(got.map(p => (p._1, p._2)) == want.map(p => (p._1, p._2)),
+          s"seed=$seed maxDf=$maxDf tau=$tau\n" +
+            s"only-spark=${got.map(p => (p._1, p._2)) -- want.map(p => (p._1, p._2))}\n" +
+            s"only-brute=${want.map(p => (p._1, p._2)) -- got.map(p => (p._1, p._2))}")
+        val wantMap = want.map(p => (p._1, p._2) -> p._3).toMap
+        got.foreach { case (a, b, c) =>
+          assert(c == wantMap((a, b)), s"containment mismatch for ($a,$b)")
+        }
+        // the excerpt is found whenever its shingles stay under the cap
+        if (maxDf == 100)
+          assert(got.exists(p => p._1 == 901L && p._2 == 900L),
+            s"planted excerpt missed: $got")
+      }
+      // the SAME planted pair is invisible to symmetric Jaccard at 0.5
+      val jac = bruteForce(docs, 100, 0.5)
+      assert(!jac.exists(p => p._1 == 900L && p._2 == 901L),
+        "excerpt should be a containment-only catch")
+    }
+  }
+
   /** In-memory winnowing reference: per window of 4 consecutive 3-gram
     * hashes, select the rightmost minimal hash — the textbook O(n·w)
     * loop, independent of the keyed-window-min encoding the query uses. */
