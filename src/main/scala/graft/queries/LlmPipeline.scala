@@ -1509,6 +1509,15 @@ object LlmPipeline {
       // encode+decode (the CPU cost here) on one core
       val pngs = graft.ops.Spread.fanout(
           Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          // ImageIO's default stream cache is FILE-backed: every
+          // encode/decode round-trips through a temp file, so the
+          // "CPU-bound" codec pass was actually bound by /tmp disk
+          // latency (2-3x, worse under contention). These are in-memory
+          // byte arrays — cache in memory. JVM-static, set per partition.
+          javax.imageio.ImageIO.setUseCache(false)
+          it
+        }
         .mapPartitions(_.map { id =>
           val w = 8 + (id % 16).toInt
           val h = 8 + (id % 11).toInt
