@@ -75,7 +75,53 @@ object Graph {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+
+    // PAGERANK over the near-dup similarity graph (3 power iterations,
+    // damping 0.85): the centrality pass a dedup pipeline runs to pick
+    // CANONICAL representatives — the highest-rank member of a dup
+    // cluster is the best-connected (most-duplicated) variant, a
+    // smarter keeper policy than cc2's min-id. Iteration shape at
+    // scale: ranks live node-keyed, each step is one edges⋈ranks join
+    // (edge-keyed shuffle) + one dst-keyed map-side-combining sum —
+    // never an adjacency matrix. The symmetric edge set means no
+    // dangling-mass correction (every node has out-degree ≥ 1). Per-
+    // iteration contributions are DECIMAL(38,18)-stabilized (rank
+    // magnitudes ~1/N; (38,6) would quantize), so each iteration is
+    // bit-identical to the oracle's unrolled CTE and errors cannot
+    // compound. N reaches the plan as a scalar subquery.
+    "pr1_pagerank" -> ((s, dir) => {
+      val pairs = sharedShingleEdges(Tables.documents(s, dir), minShared = 5, maxDf = 100)
+      val sym = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      pageRank(sym, iters = 3)
+        .select(col("node").as("doc_id"), col("r").as("pagerank"))
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** Power-iteration PageRank core (damping 0.85) over a SYMMETRIC
+    * (a, b) edge frame — every node must have out-degree ≥ 1 (no
+    * dangling-mass term; a symmetric edge set guarantees it). Returns
+    * (node, r). See `pr1_pagerank` for the per-iteration scale shape;
+    * GraphSpec asserts rank-mass conservation and hub dominance. */
+  def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = Materialize(edges0)
+    val n = edges.select(col("a")).distinct()
+      .agg(count(lit(1)).cast("double").as("n")).scalar()
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val withDeg = Materialize(edges.join(deg, "a"))
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
+    var rank = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), (lit(1.0) / n).as("r"))
+    for (_ <- 1 to iters)
+      rank = withDeg.join(rank, col("a") === col("node"))
+        .select(col("b"), (col("r") / col("deg")).as("contrib"))
+        .groupBy(col("b"))
+        .agg((lit(0.15) / n + lit(0.85) * dsum18(col("contrib"))).as("r"))
+        .select(col("b").as("node"), col("r"))
+    rank
+  }
 
   val oracleSql: Map[String, String] = Map(
     "cc1_dup_clusters" ->
@@ -132,5 +178,48 @@ object Graph {
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT node FROM losers)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the same 3 power iterations unrolled; DECIMAL(38,18)-stabilized
+    // contribution sums keep every iteration bit-identical to Spark's
+    "pr1_pagerank" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+        |r1 AS (
+        |  SELECT e.b AS node, 0.15 / (SELECT n FROM nn) +
+        |    0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |  FROM edges e JOIN r0 r ON e.a = r.node JOIN deg d ON e.a = d.a
+        |  GROUP BY e.b
+        |),
+        |r2 AS (
+        |  SELECT e.b AS node, 0.15 / (SELECT n FROM nn) +
+        |    0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |  FROM edges e JOIN r1 r ON e.a = r.node JOIN deg d ON e.a = d.a
+        |  GROUP BY e.b
+        |),
+        |r3 AS (
+        |  SELECT e.b AS node, 0.15 / (SELECT n FROM nn) +
+        |    0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |  FROM edges e JOIN r2 r ON e.a = r.node JOIN deg d ON e.a = d.a
+        |  GROUP BY e.b
+        |)
+        |SELECT node AS doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin,
   )
 }

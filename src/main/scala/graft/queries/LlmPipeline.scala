@@ -1546,6 +1546,51 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // image FEATURE EXTRACTION over a real decode: every pixel of a
+    // deterministic GRADIENT (not m4's solid fill) is painted, PNG-coded,
+    // decoded, and reduced to per-channel sums — the oracle recomputes
+    // the sums arithmetically over the full pixel grid, so a decoder
+    // that mangles ANY pixel (stride bugs, channel swaps, row order)
+    // goes red, not just the center sample. Same batch-shaped
+    // mapPartitions kernel + in-memory ImageIO cache as m4.
+    "m5_image_channel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = 8 + (id % 16).toInt
+            val h = 8 + (id % 11).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (x <- 0 until w; y <- 0 until h)
+              img.setRGB(x, y,
+                ((id * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "png")
+      pngs.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (im.getWidth, im.getHeight)
+            val px = im.getRGB(0, 0, w, h, null, 0, w)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            px.foreach { p =>
+              sr += (p >> 16) & 255; sg += (p >> 8) & 255; sb += p & 255
+            }
+            (id, w, h, sr, sg, sb)
+          })
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy($"doc_id")
+    }),
+
     // multimodal plumbing: opaque binary payload + typed metadata with a
     // deterministic decode STUB (no image libs in env) over mapPartitions
     "m1_multimodal_meta" -> ((s, dir) => {
@@ -2388,6 +2433,25 @@ object LlmPipeline {
         |  CAST(8 + doc_id % 11 AS INT) AS height,
         |  (doc_id * 2654435761) % 16777216 AS center_rgb
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the painter's gradient recomputed over the full per-row pixel grid
+    "m5_image_channel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        |    CAST(8 + doc_id % 11 AS INT) AS height
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    (doc_id * 2654435761 + x * 31 + y * 17) & 16777215 AS v
+        |  FROM (SELECT doc_id, width, height, unnest(range(width)) AS x FROM dims)
+        |  CROSS JOIN LATERAL (SELECT unnest(range(height)) AS y)
+        |)
+        |SELECT doc_id, ANY_VALUE(width) AS width, ANY_VALUE(height) AS height,
+        |  CAST(SUM((v >> 16) & 255) AS BIGINT) AS sum_r,
+        |  CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
+        |  CAST(SUM(v & 255) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t10_pii_scrub" ->
       """SELECT c_custkey,

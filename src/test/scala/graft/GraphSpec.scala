@@ -109,4 +109,22 @@ class GraphSpec extends SparkTestBase {
       assert(members.map(_._1).contains(cid))
     }
   }
+
+  test("pageRank conserves rank mass; hubs dominate; symmetric nodes tie") {
+    import spark.implicits._
+    // star 0-(1..10) plus an isolated symmetric pair (20, 21)
+    val pairs = (1L to 10L).map(l => (0L, l)) :+ (20L, 21L)
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("a", "b")
+    val ranks = graft.queries.Graph.pageRank(sym, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size === 13)
+    // no dangling nodes -> total rank mass stays 1 every iteration
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9, s"mass=${ranks.values.sum}")
+    // the star center out-ranks every leaf
+    (1L to 10L).foreach(l => assert(ranks(0L) > ranks(l),
+      s"center ${ranks(0L)} vs leaf $l ${ranks(l)}"))
+    // structurally identical nodes get bit-identical ranks
+    assert(ranks(20L) == ranks(21L))
+    assert(ranks(1L) == ranks(10L))
+  }
 }
