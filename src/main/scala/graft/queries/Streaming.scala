@@ -144,6 +144,32 @@ object Streaming {
           dsum(coalesce($"value", lit(0.0))).as("sum_val"))
         .orderBy($"user_id")
     }),
+
+    // EXACTLY-ONCE streaming upsert into a keyed SERVING TABLE: the
+    // event stream maintains latest-state-per-user through foreachBatch
+    // with batchId-versioned idempotent writes (replays are no-ops —
+    // the contract exactly-once foreachBatch sinks must implement).
+    // The query streams the fixture through the upsert and returns the
+    // final serving table; the oracle is the batch latest-per-user.
+    // StreamingSpec proves two-batch accumulation AND replay idempotence.
+    "s11_serving_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val out = graft.ops.Scratch.dir("graft_serving", dir)
+      // fresh temp checkpoint per invocation → batch ids restart at 0;
+      // clear the previous marker/versions so the replay guard doesn't
+      // no-op the rerun
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val q = Streams.eventsStream(s, dir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Streams.upsertServing(b, out, id)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Streams.readServing(s, out)
+        .select($"user_id", $"us", $"event_id", $"event_type", $"value")
+        .orderBy($"user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -263,5 +289,13 @@ object Streaming {
         |FROM c LEFT JOIN p ON c.user_id = p.p_user
         |  AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "s11_serving_upsert" ->
+      """SELECT user_id, us, event_id, event_type, value FROM (
+        |  SELECT user_id, epoch_us(ts) // 1 AS us, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 }

@@ -202,6 +202,49 @@ object Streams {
       .toDF("user_id", "session_start_us", "session_end_us", "n_events")
   }
 
+  /** Exactly-once UPSERT of a micro-batch into a keyed parquet
+    * "serving table" (latest event per user) — the foreachBatch →
+    * serving-store maintenance pattern. Plain parquet has no MERGE, so
+    * atomicity comes from VERSIONED DIRECTORIES: read the version the
+    * marker names, merge latest-wins by (us, event_id), write version
+    * `batchId` (deterministic!), then repoint the marker. A replayed
+    * micro-batch (restart before the checkpoint commit) is recognized
+    * by the marker already naming a version >= its batchId and becomes
+    * a no-op — idempotent by construction, which is exactly the
+    * contract foreachBatch requires for exactly-once sinks
+    * (batchId-keyed idempotent writes). On a real
+    * cluster the marker flip is a rename on a DFS; a transactional
+    * table format (MERGE INTO) replaces the whole dance unchanged. */
+  def upsertServing(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val latest = batch
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type"), col("value"))
+    val base =
+      if (java.nio.file.Files.exists(marker)) {
+        val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+        // replay guard: merging v>=batchId would double-apply this batch
+        if (v.toLong >= batchId) return
+        Some(spark.read.parquet(s"$dir/v$v"))
+      } else None
+    val merged = base.map(_.unionByName(latest)).getOrElse(latest)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    merged.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+      .write.mode("overwrite").parquet(s"$dir/v$batchId")
+    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+  }
+
+  /** Current contents of an [[upsertServing]] serving table. */
+  def readServing(spark: SparkSession, dir: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+    spark.read.parquet(s"$dir/v$v")
+  }
+
   /** `readStream` documents source over a fixed symlink dir (same
     * mechanism as [[eventsStream]]). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {

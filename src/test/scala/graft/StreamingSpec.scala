@@ -298,6 +298,50 @@ class StreamingSpec extends SparkTestBase {
       s"c2 must emit null-extended after watermark expiry: $rows")
   }
 
+  test("serving-table upsert accumulates across micro-batches; replays are no-ops") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_sv_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sv_out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(rows: (Long, java.sql.Timestamp, Long, String, Double)*): Unit =
+      rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    write((1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "click", 2.0),
+      (2L, ts("2024-01-01 10:30:00"), 3L, "view", 3.0))
+    val schema = spark.read.parquet(src).schema
+    def state(): Map[Long, (Long, String)] =
+      Streams.readServing(spark, out).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("event_id"), r.getAs[String]("event_type"))).toMap
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.upsertServing(b, out, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(state() == Map(1L -> (2L, "click"), 2L -> (3L, "view")))
+      // batch 2: newer event for user 1, brand-new user 3 — the upsert
+      // must MERGE with version 0, not replace it (user 2 survives)
+      write((1L, ts("2024-01-01 12:00:00"), 4L, "purchase", 4.0),
+        (3L, ts("2024-01-01 12:30:00"), 5L, "signup", 5.0))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> (4L, "purchase"), 2L -> (3L, "view"),
+        3L -> (5L, "signup")))
+    } finally q.stop()
+    // replay: a restart that re-delivers an already-applied batch id
+    // must be a NO-OP — even with different (stale) content
+    val bogus = Seq((9L, ts("2024-01-01 09:00:00"), 99L, "error", 9.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    Streams.upsertServing(bogus, out, 1L)
+    Streams.upsertServing(bogus, out, 0L)
+    assert(state() == Map(1L -> (4L, "purchase"), 2L -> (3L, "view"),
+      3L -> (5L, "signup")), "replayed batch ids must not mutate the table")
+  }
+
   test("RocksDB state store: recovery holds on the scale-grade backend") {
     // the default (HDFSBackedStateStoreProvider) keeps state on the JVM
     // heap — at 100 TB the state store must spill off-heap, which is
