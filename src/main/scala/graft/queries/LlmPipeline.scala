@@ -942,6 +942,26 @@ object LlmPipeline {
           min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
     }),
 
+    // STORAGE-PARTITIONED scan (keyed=true): the source reports
+    // KeyGroupedPartitioning(identity(shard)) and every InputPartition
+    // carries its key, so with spark.sql.sources.v2.bucketing.enabled
+    // this shard-keyed aggregation runs with NO exchange — Catalyst
+    // trusts the storage clustering instead of re-shuffling it (the
+    // Iceberg/Delta bucket-join mechanism; audited in ScaleSpec, and
+    // DocGenSpec proves keyed == unkeyed results). Rows-only: the
+    // generator has no SQL counterpart.
+    "g4_keyed_source_agg" -> ((s, _) => {
+      import s.implicits._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft-docs")
+        .option("rows", "200000").option("partitions", "8")
+        .option("keyed", "true").load()
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"shard")
+    }),
+
     // corpus statistics per language
     "t1_lang_stats" -> ((s, dir) => {
       import s.implicits._

@@ -33,13 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
 class DocGenSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-docs"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DocGen.schema
+    if (options.getBoolean("keyed", false)) DocGen.keyedSchema else DocGen.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new DocGenTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "8").toInt,
-      properties.getOrDefault("seed", "42").toLong)
+      properties.getOrDefault("seed", "42").toLong,
+      properties.getOrDefault("keyed", "false").toBoolean)
 }
 
 object DocGen {
@@ -48,6 +49,9 @@ object DocGen {
     StructField("lang", StringType, nullable = false),
     StructField("text", StringType, nullable = false),
     StructField("n_tokens", IntegerType, nullable = false)))
+
+  /** keyed mode adds the partition key as a real column. */
+  val keyedSchema: StructType = schema.add(StructField("shard", IntegerType, nullable = false))
 
   private val langs = Array("en", "de", "fr", "es", "zh")
   private val vocab = Array("data", "table", "query", "row", "scan", "join",
@@ -80,22 +84,26 @@ object DocGen {
   }
 }
 
-class DocGenTable(rows: Long, partitions: Int, seed: Long)
+class DocGenTable(rows: Long, partitions: Int, seed: Long,
+                  keyed: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-docs($rows)"
-  override def schema(): StructType = DocGen.schema
+  override def schema(): StructType =
+    if (keyed) DocGen.keyedSchema else DocGen.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocGenScanBuilder(rows, partitions, seed)
+    new DocGenScanBuilder(rows, partitions, seed, keyed)
 }
 
-class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
+class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long,
+                        keyed: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
-  private var required: StructType = DocGen.schema
+  private var required: StructType =
+    if (keyed) DocGen.keyedSchema else DocGen.schema
   // doc_id is the consecutive range [0, rows): range predicates on it
   // are handled EXACTLY by narrowing [lo, hi) — generation never even
   // runs for pruned ids, the DSv2 analogue of partition pruning. A
@@ -139,7 +147,13 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
   override def pushedFilters(): Array[Filter] = accepted
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // keyed mode keeps `shard` in the output even if the projection
+    // drops it: the reported KeyGroupedPartitioning keys must resolve
+    // against the scan's output attributes
+    required =
+      if (keyed && !requiredSchema.fieldNames.contains("shard"))
+        requiredSchema.add(DocGen.keyedSchema("shard"))
+      else requiredSchema
 
   // COUNT(*) / MIN(doc_id) / MAX(doc_id) are pure functions of the
   // (filter-narrowed) id range [lo, hi) — answered from arithmetic,
@@ -165,7 +179,7 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
   }
 
   private def translatable(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    !keyed && agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case f => isDocId(f)
@@ -189,6 +203,8 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
 
   override def build(): Scan = aggValues match {
     case Some(vals) => new DocGenAggScan(vals, aggSchema)
+    case None if keyed =>
+      new DocGenKeyedScan(lo, math.max(lo, hi), partitions, seed, required)
     case None => new DocGenScan(lo, math.max(lo, hi), partitions, seed, required)
   }
 }
@@ -218,6 +234,68 @@ case class DocGenAggReaderFactory(values: Seq[Option[Long]])
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
+
+/** One partition per shard (ids ≡ shard mod nShards within [lo, hi)),
+  * carrying its key for storage-partitioned planning. */
+case class DocGenShardPartition(shard: Int, nShards: Int, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(shard)
+}
+
+/** KEY-GROUPED scan (`keyed=true`): data is generated already clustered
+  * by `shard = doc_id % partitions`, one InputPartition per shard, each
+  * reporting its key (`HasPartitionKey`), and the scan declares
+  * `KeyGroupedPartitioning(identity(shard))`. With
+  * `spark.sql.sources.v2.bucketing.enabled=true`, Catalyst treats the
+  * scan as ALREADY hash-clustered: a groupBy(shard) aggregates with NO
+  * exchange, and two keyed scans join storage-partitioned — the DSv2
+  * mechanism behind Iceberg/Delta bucket joins, and the 100 TB answer
+  * to "don't shuffle what the storage already clustered". */
+class DocGenKeyedScan(start: Long, end: Long, partitions: Int, seed: Long,
+                      required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity("shard")), partitions)
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until partitions)
+      .map(p => DocGenShardPartition(p, partitions, start, end): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenShardReaderFactory(seed, required)
+}
+
+class DocGenShardReaderFactory(seed: Long, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocGenShardPartition]
+    new PartitionReader[InternalRow] {
+      private val step = part.nShards.toLong
+      // first id >= lo with id % nShards == shard
+      private val first =
+        part.lo + math.floorMod(part.shard - part.lo, step)
+      private var id = first - step
+      private val gens: Array[Long => Any] = required.fields.map { f =>
+        f.name match {
+          case "doc_id"   => (i: Long) => i
+          case "lang"     => (i: Long) => UTF8String.fromString(DocGen.lang(seed, i))
+          case "text"     => (i: Long) => UTF8String.fromString(DocGen.text(seed, i))
+          case "n_tokens" => (i: Long) => DocGen.nTokens(seed, i)
+          case "shard"    => (_: Long) => part.shard
+          case other      => throw new IllegalArgumentException(other)
+        }
+      }
+      override def next(): Boolean = { id += step; id < part.hi }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(gens.toIndexedSeq.map(_(id)))
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class DocGenScan(start: Long, end: Long, partitions: Int, seed: Long,
                  required: StructType)

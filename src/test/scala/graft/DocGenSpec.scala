@@ -100,4 +100,30 @@ class DocGenSpec extends SparkTestBase {
     assert(df.filter(size(split($"text", " ")) === $"n_tokens").count() == 500,
       "n_tokens must agree with the text")
   }
+
+  test("keyed scan: shard aggregation runs exchange-free and equals unkeyed data") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def keyed(parts: Int) = spark.read.format("graft-docs")
+      .option("rows", "2000").option("partitions", parts.toString)
+      .option("keyed", "true").load()
+    // same corpus: the key column is derived, the cells are unchanged
+    val plain = gen(2000, 8).orderBy($"doc_id")
+      .select($"doc_id", $"lang", $"text", $"n_tokens").collect().toSeq
+    val viaKeyed = keyed(8).orderBy($"doc_id")
+      .select($"doc_id", $"lang", $"text", $"n_tokens").collect().toSeq
+    assert(viaKeyed == plain)
+    // shard column is consistent with the clustering contract
+    assert(keyed(8).filter($"shard" =!= ($"doc_id" % 8).cast("int")).count() == 0)
+    // the group-by on the reported key needs NO shuffle before the
+    // final aggregate: with KeyGroupedPartitioning honored, partial and
+    // final agg fuse over the scan; without it there'd be an Exchange
+    // hashpartitioning(shard) between them
+    val agg = keyed(8).groupBy($"shard")
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("s"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(shard"),
+      "storage-partitioned agg must not re-shuffle the shard key: " + plan)
+    assert(agg.collect().map(_.getLong(1)).sum == 2000)
+  }
 }
