@@ -126,4 +126,26 @@ class DocGenSpec extends SparkTestBase {
       "storage-partitioned agg must not re-shuffle the shard key: " + plan)
     assert(agg.collect().map(_.getLong(1)).sum == 2000)
   }
+
+  test("storage-partitioned JOIN: two keyed scans join without any shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    def keyed(rows: Int) = spark.read.format("graft-docs")
+      .option("rows", rows.toString).option("partitions", "8")
+      .option("keyed", "true").load()
+    // per-shard aggregates of two differently-sized keyed corpora,
+    // joined on the partition key: both sides are already clustered by
+    // shard, so the join (and both aggregations) must plan with ZERO
+    // shuffle exchanges — the full storage-partitioned-join path
+    val a = keyed(2000).groupBy($"shard").agg(count(lit(1)).as("na"))
+    val b = keyed(1600).groupBy($"shard").agg(count(lit(1)).as("nb"))
+    val j = a.join(b, "shard")
+    val rows = j.collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == 2000 && rows.map(_.getLong(2)).sum == 1600)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "storage-partitioned join must not shuffle either side: " + plan)
+    assert(!plan.contains("BroadcastExchange"),
+      "the proof must be co-partitioning, not a broadcast fallback: " + plan)
+  }
 }
