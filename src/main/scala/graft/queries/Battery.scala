@@ -873,6 +873,28 @@ object Battery {
           min($"val").as("min_val"), max($"val").as("max_val"))
         .orderBy($"measure")
     }),
+
+    // MERGEABLE-SKETCH incremental distinct counting (DataSketches HLL):
+    // stage 1 builds per-(type, day) user sketches — the compact binary
+    // a warehouse PERSISTS per partition load; stage 2 answers
+    // "distinct users per type" by UNIONING sketches, never re-reading
+    // the raw events. At 100 TB this turns every incremental distinct
+    // query from a full-corpus scan into a merge of kilobyte sketches
+    // (q11's approx_count_distinct is the one-shot form; this is the
+    // reusable-artifact form). HLL register updates are max-merges, so
+    // the estimate is partitioning- and order-insensitive —
+    // deterministic output, rows-only gate (no DuckDB datasketches),
+    // accuracy floor asserted in ScaleSpec vs exact counts.
+    "q57_hll_sketch_union" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+        .orderBy($"event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(

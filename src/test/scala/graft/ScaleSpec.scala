@@ -223,4 +223,20 @@ class ScaleSpec extends SparkTestBase {
     assert(!p21.contains("CartesianProduct"),
       "vocabulary self-join must be term-keyed: " + p21)
   }
+
+  test("q57 sketch union estimates within 5% of exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q57_hll_sketch_union")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((t, e) <- exact) {
+      val a = est(t).toDouble
+      assert(math.abs(a - e) / e <= 0.05,
+        s"$t: sketch estimate $a vs exact $e exceeds 5% error")
+    }
+  }
 }
