@@ -167,8 +167,12 @@ object Retrieval {
     // corpus is never reshuffled except by bigram/unigram key.
     "t22_lm_score" -> ((s, dir) => {
       import s.implicits._
-      val docs = graft.ops.Spread.fanout(Tables.documents(s, dir))
-        .select($"doc_id", toks($"text").as("toks"))
+      // materialized: FOUR consumers read the tokenized frame (vocab
+      // scalar, context counts, bigram counts, the scoring stream) —
+      // without the checkpoint the split() pass runs four times
+      val docs = graft.ops.Materialize(
+        graft.ops.Spread.fanout(Tables.documents(s, dir))
+          .select($"doc_id", toks($"text").as("toks")))
       val words = docs.select($"doc_id", explode($"toks").as("w"))
       val vocab = words.agg(
         count_distinct($"w").cast("double").as("v")).scalar()
