@@ -895,6 +895,37 @@ object Battery {
           hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
         .orderBy($"event_type")
     }),
+
+    // DYNAMIC partition pruning: the fact side is lang-partitioned on
+    // disk and the qualifying langs are only knowable at RUNTIME (they
+    // come from the dim's filter) — Catalyst injects a dynamicpruning
+    // subquery into the fact scan's PartitionFilters, reusing the dim's
+    // broadcast, so non-qualifying partitions are never read. q41 is
+    // the static form (literal predicate prunes at plan time); this is
+    // the join-driven form that matters at 100 TB, where the fact table
+    // is huge and the selective predicate lives on the dimension.
+    // Plan-audited in ScaleSpec (dynamicpruningexpression present).
+    "q58_dynamic_partition_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_dpp", dir)
+      Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/fact")
+      // the dim must be a real SCAN with a Filter above it: a local
+      // Seq would be constant-folded by ConvertToLocalRelation into a
+      // bare LocalRelation, and with no Filter node left on the dim
+      // side the PartitionPruning rule sees nothing selective to
+      // derive a runtime subquery from
+      Seq(("en", "major"), ("zh", "major"), ("de", "minor"),
+        ("fr", "minor"), ("es", "minor")).toDF("lang", "tier")
+        .write.mode("overwrite").parquet(s"$tmp/dim")
+      val dim = s.read.parquet(s"$tmp/dim").filter($"tier" === "major")
+      s.read.parquet(s"$tmp/fact")
+        .join(broadcast(dim), Seq("lang"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"))
+        .orderBy($"lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -957,6 +988,15 @@ object Battery {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
         |  MAX(epoch_us(l_shipdate) // 1) AS max_ship_us
         |FROM lineitem WHERE l_quantity >= 30""".stripMargin,
+
+    "q58_dynamic_partition_pruning" ->
+      """WITH dim(lang, tier) AS (VALUES ('en','major'),('zh','major'),
+        |  ('de','minor'),('fr','minor'),('es','minor'))
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN dim ON d.lang = dim.lang
+        |WHERE dim.tier = 'major'
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q56_unpivot" ->
       """WITH m AS (

@@ -224,6 +224,18 @@ class ScaleSpec extends SparkTestBase {
       "vocabulary self-join must be term-keyed: " + p21)
   }
 
+  test("q58 fact scan carries a runtime dynamicpruning partition filter") {
+    val df = SparkEntry.queries("q58_dynamic_partition_pruning")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang partitions to read are only known from the dim's filter:
+    // Catalyst must inject a dynamic pruning subquery into the fact
+    // scan's PartitionFilters (reusing the dim broadcast) — a literal
+    // pruning (q41) or none at all would read every partition
+    assert(plan.contains("dynamicpruning"),
+      "fact scan must be runtime-pruned by the dim filter: " + plan)
+  }
+
   test("q57 sketch union estimates within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions._
     val est = SparkEntry.queries("q57_hll_sketch_union")(spark, sf0001)
