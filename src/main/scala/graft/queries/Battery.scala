@@ -926,6 +926,38 @@ object Battery {
           sum($"n_chars").as("total_chars"))
         .orderBy($"lang")
     }),
+
+    // RUNTIME BLOOM-FILTER join pruning — q58's row-level sibling for
+    // when the join key is NOT a partition column: the selective side
+    // (high-value orders) builds a bloom filter at runtime that is
+    // pushed into the lineitem side as a might_contain semi-filter, so
+    // most probe rows die at the scan instead of crossing the join's
+    // shuffle. Thresholds are lowered to demonstrate the mechanism at
+    // fixture scale; at 100 TB the defaults (10 MB creation side)
+    // fire on their own. Plan-audited in ScaleSpec.
+    "q59_bloom_join_filter" -> ((s, dir) => {
+      // an ISOLATED child session scopes the demo confs: Spark reads
+      // conf at action time, so setting them on the shared session
+      // would leak (autoBroadcast=-1 would de-broadcast every later
+      // query in the same bench JVM), while a reset-in-finally would
+      // race the lazy execution. newSession() shares the context but
+      // owns its SessionState, and the returned frame executes under it.
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // bloom filters only pay on non-broadcast joins; fixture-sized
+      // dims would broadcast, hiding the mechanism
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = Tables.orders(s2, dir).filter($"o_totalprice" > 480000)
+        .select($"o_orderkey", $"o_totalprice")
+      Tables.lineitem(s2, dir)
+        .join(hot, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_extendedprice".cast(DecimalType(38, 6))).cast("double").as("sum_price"))
+        .orderBy($"l_returnflag")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -988,6 +1020,13 @@ object Battery {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
         |  MAX(epoch_us(l_shipdate) // 1) AS max_ship_us
         |FROM lineitem WHERE l_quantity >= 30""".stripMargin,
+
+    "q59_bloom_join_filter" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 480000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q58_dynamic_partition_pruning" ->
       """WITH dim(lang, tier) AS (VALUES ('en','major'),('zh','major'),

@@ -236,6 +236,14 @@ class ScaleSpec extends SparkTestBase {
       "fact scan must be runtime-pruned by the dim filter: " + plan)
   }
 
+  test("q59 probe-side scan is pruned by a runtime bloom filter") {
+    val df = SparkEntry.queries("q59_bloom_join_filter")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+      "lineitem side must carry the injected bloom-filter predicate: " + plan)
+  }
+
   test("q57 sketch union estimates within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions._
     val est = SparkEntry.queries("q57_hll_sketch_union")(spark, sf0001)
