@@ -264,6 +264,31 @@ object Retrieval {
         .orderBy($"doc_id")
     }),
 
+    // WINNOWING MATCH (the MOSS pipeline's second half): documents
+    // sharing >= 3 selected fingerprints (matched by HASH — selection
+    // position is irrelevant across documents) are substring-overlap
+    // candidates. Because t23's selection guarantees a fingerprint in
+    // every w-gram window, any sufficiently long shared passage MUST
+    // collide here — at ~2/(w+1) the index this joins is 5x smaller
+    // than d2's full shingle posting list, which is the whole point of
+    // winnowing at 100 TB. Hot fingerprints (df > 100) are capped out
+    // of candidate generation, the d2 convention.
+    "d25_winnow_match" -> ((s, dir) => {
+      import s.implicits._
+      val fps = graft.ops.Materialize(
+        winnowSelect(graft.ops.Spread.fanout(Tables.documents(s, dir)))
+          .select($"doc_id", expr("wmin div 2097152").as("fp")).distinct())
+      val ok = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 100).select($"fp")
+      val idx = fps.join(ok, Seq("fp"), "left_semi")
+      idx.as("a").join(idx.as("b"),
+          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .orderBy($"d1", $"d2")
+    }),
+
     // source-pair VOCABULARY OVERLAP: exact Jaccard between the distinct
     // token sets of every source pair — the dataset-overlap audit run
     // before mixing corpora (near-identical sources inflate effective
@@ -488,6 +513,36 @@ object Retrieval {
         |SELECT doc_id, MAX(m) AS n_grams, COUNT(*) AS n_selected,
         |  CAST(SUM(wmin // 2097152) AS BIGINT) AS fp_sum
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d25_winnow_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 3
+        |),
+        |grams AS (
+        |  SELECT doc_id, len(toks) - 2 AS m, i,
+        |    CAST(list_reduce(list_transform(range(8),
+        |      dd -> strpos('0123456789abcdef',
+        |             substr(md5(array_to_string(toks[i+1:i+3], ' ')), dd+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i FROM d)
+        |),
+        |keyed AS (
+        |  SELECT doc_id, m, i,
+        |    MIN(h * 2097152 + (2097151 - i)) OVER
+        |      (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM grams
+        |),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, wmin // 2097152 AS fp FROM keyed
+        |  WHERE i <= CASE WHEN m >= 4 THEN m - 4 ELSE 0 END
+        |),
+        |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100),
+        |idx AS (SELECT fps.doc_id, fps.fp FROM fps JOIN ok USING (fp))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY d1, d2""".stripMargin,
 
     "d21_source_overlap" ->
       """WITH v AS (
