@@ -244,6 +244,16 @@ class ScaleSpec extends SparkTestBase {
       "lineitem side must carry the injected bloom-filter predicate: " + plan)
   }
 
+  test("pr1 and d25 candidate joins are key-equi, never cartesian") {
+    for (q <- Seq("pr1_pagerank", "d25_winnow_match")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must join by key (node/fingerprint), not cross: " + plan)
+    }
+  }
+
   test("q57 sketch union estimates within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions._
     val est = SparkEntry.queries("q57_hll_sketch_union")(spark, sf0001)
