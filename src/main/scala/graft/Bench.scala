@@ -59,7 +59,11 @@ object Bench {
 
     // Per query: one untimed warmup, then two timed runs keeping the
     // faster (single-run numbers on a shared box swing 2-3x on GC/JIT
-    // noise), then drop all blocks the query pinned.
+    // noise). If the two timed runs disagree by >1.5x the query is
+    // NOISY — take a third run so one GC pause can't be the billed
+    // number, and record every run in BENCH_full.json so bimodality is
+    // visible in the artifact instead of hiding behind the min. Then
+    // drop all blocks the query pinned.
     val results = queries.map { case (name, fn) =>
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -73,8 +77,12 @@ object Bench {
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       val (t1, e1) = timed()
       val (t2, e2) = timed()
+      val extra =
+        if (e1.isEmpty && e2.isEmpty && math.max(t1, t2) > 1.5 * math.min(t1, t2))
+          Some(timed()) else None
       dropQueryState()
-      (name, math.min(t1, t2), e1.orElse(e2))
+      val runs = Seq(t1, t2) ++ extra.map(_._1)
+      (name, runs, e1.orElse(e2).orElse(extra.flatMap(_._2)))
     }
 
     // ms precision keeps the line short, and the headline total goes LAST:
@@ -86,19 +94,25 @@ object Bench {
     // Locale.ROOT: the default-locale f-interpolator renders "1,234" on
     // comma-decimal locales, which is invalid JSON.
     def r(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.sortBy(_._2).map { case (k, v, _) => s""""${esc(k)}":${r(v)}""" }
+    val mins = results.map { case (k, runs, e) => (k, runs.min, e) }
+    val qs = mins.sortBy(_._2).map { case (k, v, _) => s""""${esc(k)}":${r(v)}""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
+    val errs = mins.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
-    val failures = results.count(_._3.isDefined)
-    val total = results.map(_._2).sum
+    val failures = mins.count(_._3.isDefined)
+    val total = mins.map(_._2).sum
     val line = s"""{"queries":$qs,"errors":$errs,"failures":$failures,"sf":"${esc(sfDir)}","metric":"total","unit":"sec","value":${r(total)}}"""
     // Full artifact on disk as well: the driver's captured tail can
     // truncate long stdout lines, but BENCH_full.json always has every
-    // per-query number for regression triage.
+    // per-query number — including EVERY timed run ("runs"), so a
+    // stable 1.2s query and a bimodal 0.8s/4s one are distinguishable
+    // in the artifact even though both bill their min.
+    val runsJson = results.sortBy(_._2.min).map { case (k, runs, _) =>
+      s""""${esc(k)}":[${runs.map(r).mkString(",")}]""" }.mkString("{", ",", "}")
+    val full = s"""{"queries":$qs,"runs":$runsJson,"errors":$errs,"failures":$failures,"sf":"${esc(sfDir)}","metric":"total","unit":"sec","value":${r(total)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // read-only CWD must not fail the bench
     println(line)
     spark.stop()

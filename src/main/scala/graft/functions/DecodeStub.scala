@@ -1,13 +1,15 @@
 package graft.functions
 
-/** Multimodal decode STUBS for codecs the environment lacks (audio,
-  * video). The decode step here is a deterministic fake — the Spark-side
+/** Multimodal decode STUBS for codecs the environment lacks (now VIDEO
+  * only). The decode step here is a deterministic fake — the Spark-side
   * plumbing (binary columns, typed metadata, partition-wise batch decode
   * via `mapPartitions`) is real and tested; swap these bodies for a real
-  * codec (ffmpeg bindings etc.) in production. For IMAGES the pipeline
-  * does NOT need a stub: m4_png_decode runs a genuine pure-JDK
-  * `javax.imageio` PNG encode→decode roundtrip through the same
-  * batch-shaped kernel, oracle-gated against the painted pixels. */
+  * codec (ffmpeg bindings etc.) in production. IMAGES and AUDIO do NOT
+  * need a stub: m4/m5 run a genuine pure-JDK `javax.imageio` PNG
+  * encode→decode roundtrip and m6 a genuine `javax.sound.sampled` WAV
+  * roundtrip through the same batch-shaped kernel, each oracle-gated
+  * against the synthesized payloads ([[imageDims]] remains as the
+  * exotic-codec plumbing demo behind m1's metadata pass). */
 object DecodeStub {
 
   /** Fake image-dimension probe: derived deterministically from the

@@ -61,12 +61,18 @@ object Graph {
   private def cachedEdges(s: SparkSession, dir: String,
                           minShared: Int, maxDf: Int): DataFrame = {
     val tmp = graft.ops.Scratch.dir("graft_edges", s"$dir|$minShared|$maxDf")
-    val have = edgeCacheWritten.contains(tmp) &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))
-    if (!have) {
-      sharedShingleEdges(Tables.documents(s, dir), minShared, maxDf)
-        .write.mode("overwrite").parquet(tmp)
-      edgeCacheWritten.add(tmp)
+    // serialized per path: two queries racing on first use (cc1/cc2/pr1
+    // share one JVM in the bench) must not run concurrent overwrite
+    // writes into the same scratch dir — only one derivation ever runs,
+    // the loser of the race sees the winner's _SUCCESS and just reads
+    tmp.intern.synchronized {
+      val have = edgeCacheWritten.contains(tmp) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      if (!have) {
+        sharedShingleEdges(Tables.documents(s, dir), minShared, maxDf)
+          .write.mode("overwrite").parquet(tmp)
+        edgeCacheWritten.add(tmp)
+      }
     }
     s.read.parquet(tmp)
   }

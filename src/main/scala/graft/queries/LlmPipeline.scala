@@ -408,24 +408,27 @@ object LlmPipeline {
       .withColumn("ubi", col("ri") + least(col("s1.h"), col("s2.h")))
       .filter(col("ubi").cast("double") /
         (col("s1.n") + col("s2.n") - col("ubi")) >= threshold)
-      .select(col("d1"), col("d2"))
-    // exact verification on the FULL shingle sets (hot included): the
-    // surviving candidate set is tiny (the point of the prune), so
-    // gather each candidate doc's whole shingle set into ONE array row
-    // and score pairs with a per-row array_intersect — one aggregation
-    // + two AQE-broadcastable joins instead of the shingle-level
-    // pair-join + count + two stat joins. The gathered arrays exist
-    // only for candidate-pair docs, bounded by the prune output — never
-    // a full-corpus collect.
+      .select(col("d1"), col("d2"), col("ri"),
+        col("s1.n").as("na"), col("s2.n").as("nb"))
+    // exact verification WITHOUT touching the full shingle sets: `ri`
+    // from the posting join is already the EXACT count of shared
+    // non-hot shingles (every non-hot bucket survives the df cap by
+    // construction), so the only unknown is the HOT overlap — gather
+    // each candidate doc's hot shingles only (a handful per doc; full
+    // sets are ~doc-length) and inter = ri + |hotA ∩ hotB|. Bounded by
+    // the prune output — never a full-corpus collect; size(null)=null
+    // under ANSI so a doc with no hot shingles coalesces to 0.
     val ids = pruned.select(col("d1").as("doc_id"))
       .union(pruned.select(col("d2").as("doc_id"))).distinct()
-    val sets = fl.join(ids, Seq("doc_id"), "left_semi")
+    val hotSets = fl.filter(col("is_hot") === 1L)
+      .join(ids, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("shs"), count(lit(1)).as("n"))
+      .agg(collect_list(col("shingle")).as("hs"))
     pruned
-      .join(sets.select(col("doc_id").as("d1"), col("shs").as("sa"), col("n").as("na")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("shs").as("sb"), col("n").as("nb")), "d2")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .join(hotSets.select(col("doc_id").as("d1"), col("hs").as("sa")), Seq("d1"), "left")
+      .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("sb")), Seq("d2"), "left")
+      .withColumn("inter", col("ri") +
+        coalesce(size(array_intersect(col("sa"), col("sb"))).cast("long"), lit(0L)))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -436,7 +439,7 @@ object LlmPipeline {
     * quoted subsets, which symmetric Jaccard (d2) misses entirely: a
     * 50-shingle excerpt fully contained in a 500-shingle doc scores
     * jaccard ≈ 0.1 but containment 1.0 (Broder's resemblance vs
-    * containment distinction). Candidate generation and the gathered-set
+    * containment distinction). Candidate generation and the hot-only
     * exact verify are d2's (hot-capped inverted index, bounded pair
     * expansion); only the prune bound and the emission differ: a pair
     * survives pruning when its BEST-DIRECTION containment upper bound
@@ -446,6 +449,41 @@ object LlmPipeline {
     * a union of two copies of the verify subtree (that would execute
     * the whole candidate pipeline twice). */
   def containmentPairs(sh: DataFrame, maxDf: Int, tau: Double): DataFrame = {
+    val (fl, pruned) = containmentParts(sh, maxDf, tau)
+    // exact verification WITHOUT the full shingle sets: `ri` is already
+    // the EXACT shared non-hot count (see nearDupJaccard's verify), so
+    // only the HOT overlap is unknown — gather hot shingles per
+    // candidate doc (a handful each; the old full-set gather was
+    // ~doc-length arrays and was d24's whole cost) and
+    // inter = ri + |hotA ∩ hotB|, exactly.
+    val ids = pruned.select(col("d1").as("doc_id"))
+      .union(pruned.select(col("d2").as("doc_id"))).distinct()
+    val hotSets = fl.filter(col("is_hot") === 1L)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("hs"))
+    pruned
+      .join(hotSets.select(col("doc_id").as("d1"), col("hs").as("sa")), Seq("d1"), "left")
+      .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("sb")), Seq("d2"), "left")
+      .withColumn("inter", col("ri") +
+        coalesce(size(array_intersect(col("sa"), col("sb"))).cast("long"), lit(0L)))
+      .select(explode(array(
+        struct(col("d1").as("contained"), col("d2").as("container"),
+          (col("inter").cast("double") / col("na")).as("containment")),
+        struct(col("d2").as("contained"), col("d1").as("container"),
+          (col("inter").cast("double") / col("nb")).as("containment"))))
+        .as("r"))
+      .select(col("r.contained").as("contained"),
+        col("r.container").as("container"),
+        col("r.containment").as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
+  /** The flagged posting list and the prune-surviving candidate frame
+    * of [[containmentPairs]] — split out so ScaleSpec can audit the
+    * survivor count (pruned candidates vs emitted pairs) directly. */
+  private[graft] def containmentParts(sh: DataFrame, maxDf: Int,
+                                      tau: Double): (DataFrame, DataFrame) = {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"), lit(1L).as("hot1"))
     val fl = materialize(sh.join(hot, Seq("shingle"), "left")
@@ -466,26 +504,9 @@ object LlmPipeline {
       .withColumn("ubi", col("ri") + least(col("s1.h"), col("s2.h")))
       .filter(col("ubi").cast("double") /
         least(col("s1.n"), col("s2.n")) >= tau)
-      .select(col("d1"), col("d2"))
-    val ids = pruned.select(col("d1").as("doc_id"))
-      .union(pruned.select(col("d2").as("doc_id"))).distinct()
-    val sets = fl.join(ids, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("shs"), count(lit(1)).as("n"))
-    pruned
-      .join(sets.select(col("doc_id").as("d1"), col("shs").as("sa"), col("n").as("na")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("shs").as("sb"), col("n").as("nb")), "d2")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .select(explode(array(
-        struct(col("d1").as("contained"), col("d2").as("container"),
-          (col("inter").cast("double") / col("na")).as("containment")),
-        struct(col("d2").as("contained"), col("d1").as("container"),
-          (col("inter").cast("double") / col("nb")).as("containment"))))
-        .as("r"))
-      .select(col("r.contained").as("contained"),
-        col("r.container").as("container"),
-        col("r.containment").as("containment"))
-      .filter(col("containment") >= tau)
+      .select(col("d1"), col("d2"), col("ri"),
+        col("s1.n").as("na"), col("s2.n").as("nb"))
+    (fl, pruned)
   }
 
   /** Exact Jaccard for candidate pairs, scored on the FULL shingle sets
@@ -823,7 +844,7 @@ object LlmPipeline {
       // materialized once (consumed by both cells and probes); checkpoint
       // blocks are ContextCleaner-freed, unlike closure-local cache()
       val ranked = materialize(graft.plans.TopK.perKey(sims,
-        keys = Seq($"vec_id"), order = Seq($"sim".desc, $"cid".asc), k = 6))
+        keys = Seq($"vec_id"), order = Seq($"sim".desc, $"cid".asc), k = 8))
       val cells = graft.plans.TopK.perKey(ranked,
           keys = Seq($"vec_id"), order = Seq($"sim".desc, $"cid".asc), k = 1)
         .select($"vec_id", $"cid")
@@ -835,12 +856,12 @@ object LlmPipeline {
       // query as soon as the corpus outgrows centroids × cap
       val cappedCells = graft.plans.TopK.perKey(cells,
         keys = Seq($"cid"), order = Seq($"vec_id".asc), k = MaxBucketSize)
-      // nprobe = 6 of 16 cells (raw-seed quantizer measured recall@1 =
+      // nprobe = 8 of 16 cells (raw-seed quantizer measured recall@1 =
       // 0.33 at nprobe 2, 0.53 at 4, 0.664 at 6; Lloyd-refined seeds
-      // lift nprobe-6 to the AnnRecallSpec-recorded value) — the
-      // standard IVF quality/cost knob (at production scale the
-      // centroid count grows ~sqrt(n) and nprobe stays a small constant
-      // fraction of it)
+      // lifted nprobe-6 to 0.756, nprobe-8 to the AnnRecallSpec-recorded
+      // value) — the standard IVF quality/cost knob (at production scale
+      // the centroid count grows ~sqrt(n) and nprobe stays a small
+      // constant fraction of it)
       val probes = ranked.select($"vec_id", $"cid")
       // Explicit repartition by query id before the scoring joins: the
       // candidate set is byte-small but VecDot-heavy, so AQE's
@@ -950,7 +971,11 @@ object LlmPipeline {
     // Iceberg/Delta bucket-join mechanism; audited in ScaleSpec, and
     // DocGenSpec proves keyed == unkeyed results). Rows-only: the
     // generator has no SQL counterpart.
-    "g4_keyed_source_agg" -> ((s, _) => {
+    "g4_keyed_source_agg" -> ((s0, _) => {
+      // newSession: shares the context but gets its own SQLConf, so the
+      // bucketing flag never leaks into later queries on the shared
+      // session (same isolation idiom as q59's bloom-join confs)
+      val s = s0.newSession()
       import s.implicits._
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.read.format("graft-docs")
@@ -1608,6 +1633,61 @@ object LlmPipeline {
           })
         }
         .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy($"doc_id")
+    }),
+
+    // REAL audio decode (no stub): per document a genuine 16-bit PCM
+    // mono WAV is synthesized in the executors (pure-JDK
+    // javax.sound.sampled — sample count and every sample value are
+    // arithmetic functions of doc_id), then REALLY decoded back through
+    // the same batch-shaped mapPartitions kernel as m4. The oracle
+    // recomputes count/sum/max-abs arithmetically over the same sample
+    // function, so a decoder that drops a frame, flips endianness, or
+    // mis-parses the fmt chunk cannot stay green. Closes AUDIO the way
+    // m4 closed images; DecodeStub remains only for video.
+    "m6_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      // fanout: the single-file scan would otherwise run every WAV
+      // encode+decode (the CPU cost here) on one core
+      val wavs = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 256 + (id % 256).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + i * 17) % 65536) - 32768).toInt
+            pcm(i * 2) = (v & 0xff).toByte // 16-bit PCM little-endian
+            pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }).toDF("doc_id", "wav")
+      wavs.as[(Long, Array[Byte])]
+        .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
+          // batch-shaped like m4: a vectorized decoder amortizes setup
+          // across a chunk of payloads, not per row
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = in.getFormat
+          val data = try in.readAllBytes() finally in.close()
+          val n = data.length / f.getFrameSize
+          var sum = 0L; var maxAbs = 0L; var i = 0
+          while (i < n) {
+            val v = ((data(i * 2) & 0xff) | (data(i * 2 + 1) << 8)).toLong
+            sum += v
+            if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
+            i += 1
+          }
+          (id, f.getSampleRate.toInt, n.toLong, sum, maxAbs)
+        }))
+        .toDF("doc_id", "sample_rate", "n_samples", "amp_sum", "amp_max")
         .orderBy($"doc_id")
     }),
 
@@ -2453,6 +2533,21 @@ object LlmPipeline {
         |  CAST(8 + doc_id % 11 AS INT) AS height,
         |  (doc_id * 2654435761) % 16777216 AS center_rgb
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the synthesized samples recomputed arithmetically — count, sum and
+    // max-abs must survive the WAV codec roundtrip bit-exactly
+    "m6_wav_decode" ->
+      """WITH samp AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 31 + t.i * 17) % 65536) - 32768 AS v
+        |  FROM documents d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(256 + CAST(d.doc_id % 256 AS INT))) AS i) t
+        |)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS amp_sum,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS amp_max
+        |FROM samp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the painter's gradient recomputed over the full per-row pixel grid
     "m5_image_channel_stats" ->

@@ -31,10 +31,11 @@ object Retrieval {
 
   /** Winnowing selection core (t23): 3-token-gram hashes, w=4 sliding
     * windows, RIGHTMOST MINIMAL hash per window — both selections folded
-    * into one doc-keyed window min over key = h*2^21 + (2^21-1-pos)
-    * (orders by hash, then by descending position). Input needs
+    * into one doc-keyed window min over key = h*2^31 + (2^31-1-pos)
+    * (orders by hash, then by descending position; docs are bounded at
+    * 2^31 grams — beyond any real document). Input needs
     * (doc_id, text); output is one row per selected fingerprint:
-    * (doc_id, m = #grams, wmin) with wmin div 2^21 = the selected hash.
+    * (doc_id, m = #grams, wmin) with wmin div 2^31 = the selected hash.
     * Exposed for the NearDupSpec reference-implementation property. */
   def winnowSelect(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -48,8 +49,12 @@ object Retrieval {
           .as(Seq("i", "g")))
       .select($"doc_id", $"m", $"i",
         expr("cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)").as("h"))
+      // position packed in 31 bits: h < 2^32, so h*2^31 + (2^31-1-i)
+      // <= 2^63-1 exactly fits signed 64-bit in BOTH engines, and the
+      // per-doc gram bound is 2^31 (vs 2^21 before — a 2.1M-gram doc
+      // would have silently corrupted the min ordering in both engines)
       .withColumn("wmin",
-        min($"h" * lit(2097152L) + (lit(2097151L) - $"i"))
+        min($"h" * lit(2147483648L) + (lit(2147483647L) - $"i"))
           .over(Window.partitionBy($"doc_id").orderBy($"i").rowsBetween(0, 3)))
       // full windows only (start i <= m-w); a short doc (m < w) still
       // contributes its single truncated window at i = 0
@@ -249,7 +254,7 @@ object Retrieval {
     // expected 2/(w+1) selection density — the local, position-robust
     // alternative to d3's MinHash for substring-level matching. The
     // rightmost-min tiebreak is folded into ONE window min: key =
-    // h*2^21 + (2^21-1-pos) orders by hash then by DESCENDING position,
+    // h*2^31 + (2^31-1-pos) orders by hash then by DESCENDING position,
     // so min(key) yields both the selected hash (div) and its position
     // — one doc_id-keyed window pass, no per-window explode. Hash is
     // the repo's md5 hex-fold family (bit-identical in DuckDB). Scale:
@@ -260,7 +265,7 @@ object Retrieval {
       winnowSelect(graft.ops.Spread.fanout(Tables.documents(s, dir)))
         .groupBy($"doc_id")
         .agg(max($"m").as("n_grams"), count(lit(1)).as("n_selected"),
-          sum(expr("wmin div 2097152")).as("fp_sum"))
+          sum(expr("wmin div 2147483648")).as("fp_sum"))
         .orderBy($"doc_id")
     }),
 
@@ -277,7 +282,7 @@ object Retrieval {
       import s.implicits._
       val fps = graft.ops.Materialize(
         winnowSelect(graft.ops.Spread.fanout(Tables.documents(s, dir)))
-          .select($"doc_id", expr("wmin div 2097152").as("fp")).distinct())
+          .select($"doc_id", expr("wmin div 2147483648").as("fp")).distinct())
       val ok = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" <= 100).select($"fp")
       val idx = fps.join(ok, Seq("fp"), "left_semi")
@@ -333,7 +338,10 @@ object Retrieval {
       import s.implicits._
       val part = Tables.part(s, dir)
       val names = part.select($"p_name").distinct()
-        .withColumn("noun", element_at(split($"p_name", " "), 2))
+        // coalesce to '' so a single-token name blocks like DuckDB's
+        // split_part (which yields '' for a missing field) instead of
+        // being silently dropped by the NULL-rejecting equi-join
+        .withColumn("noun", coalesce(element_at(split($"p_name", " "), 2), lit("")))
       val counts = part.groupBy($"p_name").agg(count(lit(1)).as("n"))
       names.as("a").join(names.as("b"),
           $"a.noun" === $"b.noun" && $"a.p_name" < $"b.p_name")
@@ -502,7 +510,7 @@ object Retrieval {
         |),
         |keyed AS (
         |  SELECT doc_id, m, i,
-        |    MIN(h * 2097152 + (2097151 - i)) OVER
+        |    MIN(h * 2147483648 + (2147483647 - i)) OVER
         |      (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
         |  FROM grams
         |),
@@ -511,7 +519,7 @@ object Retrieval {
         |  WHERE i <= CASE WHEN m >= 4 THEN m - 4 ELSE 0 END
         |)
         |SELECT doc_id, MAX(m) AS n_grams, COUNT(*) AS n_selected,
-        |  CAST(SUM(wmin // 2097152) AS BIGINT) AS fp_sum
+        |  CAST(SUM(wmin // 2147483648) AS BIGINT) AS fp_sum
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d25_winnow_match" ->
@@ -529,12 +537,12 @@ object Retrieval {
         |),
         |keyed AS (
         |  SELECT doc_id, m, i,
-        |    MIN(h * 2097152 + (2097151 - i)) OVER
+        |    MIN(h * 2147483648 + (2147483647 - i)) OVER
         |      (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
         |  FROM grams
         |),
         |fps AS (
-        |  SELECT DISTINCT doc_id, wmin // 2097152 AS fp FROM keyed
+        |  SELECT DISTINCT doc_id, wmin // 2147483648 AS fp FROM keyed
         |  WHERE i <= CASE WHEN m >= 4 THEN m - 4 ELSE 0 END
         |),
         |ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100),

@@ -33,11 +33,22 @@ object Streams {
     // removed) reads as absent and createSymbolicLink would throw
     // FileAlreadyExistsException. A present-but-dangling link is
     // repointed.
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) ||
-        !java.nio.file.Files.exists(link)) {
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    // a present-but-dangling link is repointed; a present NON-link (a
+    // stale regular file/dir someone left at the path) or a symlink to
+    // the wrong target is replaced too — otherwise the stream would
+    // silently read stale non-fixture data
+    val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
+      java.nio.file.Files.readSymbolicLink(link) == target &&
+      java.nio.file.Files.exists(link)
+    if (!linkOk) {
+      if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !java.nio.file.Files.isSymbolicLink(link) &&
+          java.nio.file.Files.isDirectory(link))
+        throw new IllegalStateException(
+          s"refusing to replace non-symlink directory at $link")
       java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.createSymbolicLink(link, target)
     }
     val raw = spark.readStream.schema(batch.schema)
       .parquet(streamDir.toString)

@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
   * (d5's rank-1 row) is exactly the neighbor the approximate method
   * returns; queries the method answers not at all (no bucket-mate)
   * count as misses. Measured at sf0.01 over 500 vectors on the
-  * deterministic synthetic embeddings: d6 = 0.818, d7 = 0.756
+  * deterministic synthetic embeddings: d6 = 0.818, d7 = 0.828
   * (2026-08, both stable run-to-run — the pipelines are fully
-  * deterministic; d7 was 0.664 before its quantizer switched from raw
-  * first-16 seeds to Lloyd-refined centroids). The floors assert a
-  * margin below the measured values (d6 0.7, d7 0.7) so data
-  * regeneration noise can't flake the suite while a real blocking bug
-  * (recall collapsing) still fails loudly.
+  * deterministic; d7 was 0.664 with raw first-16 seeds, 0.756 after the
+  * quantizer switched to Lloyd-refined centroids, 0.828 at nprobe 8).
+  * The floors assert a margin below the measured values (d6 0.7,
+  * d7 0.75) so data regeneration noise can't flake the suite while a
+  * real blocking bug (recall collapsing) still fails loudly.
   */
 class AnnRecallSpec extends SparkTestBase {
 
@@ -45,7 +45,7 @@ class AnnRecallSpec extends SparkTestBase {
     truth.unpersist()
     info(f"recall@1 over $n queries: d6_ann_lsh=$d6%.3f d7_ann_ivf=$d7%.3f")
     assert(d6 >= 0.7, f"d6_ann_lsh recall@1 $d6%.3f fell below 0.7")
-    assert(d7 >= 0.7, f"d7_ann_ivf recall@1 $d7%.3f fell below 0.7")
+    assert(d7 >= 0.75, f"d7_ann_ivf recall@1 $d7%.3f fell below 0.75")
   }
 
   test("LshSignature bucket codes are the hyperplane sign bits, stable across calls") {

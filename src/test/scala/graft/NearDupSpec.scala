@@ -277,7 +277,7 @@ class NearDupSpec extends SparkTestBase {
     val got = graft.queries.Retrieval.winnowSelect(df).collect()
       .map(r => r.getLong(0) -> {
         val wmin = r.getLong(2)
-        (wmin / 2097152L, (2097151L - wmin % 2097152L).toInt)
+        (wmin / 2147483648L, (2147483647L - wmin % 2147483648L).toInt)
       })
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     for ((id, text) <- docs) {

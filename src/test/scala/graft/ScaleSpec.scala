@@ -254,6 +254,29 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("d24 containment prune keeps survivors proportional to emitted pairs") {
+    // the prune bound (ri + min(h)) / min(n) >= tau is the one place a
+    // loose bound could balloon the verify stage at scale: assert the
+    // candidate frame that reaches the exact verify is (a) a vanishing
+    // fraction of the all-pairs space and (b) within a small multiple
+    // of the pairs actually emitted — i.e. the prune does its job
+    val docs = Tables.documents(spark, sf0001)
+    val sh = graft.queries.LlmPipeline.shingleIndex(docs)
+      .select($"doc_id", xxhash64($"shingle").as("shingle"))
+    val (_, pruned) =
+      graft.queries.LlmPipeline.containmentParts(sh, maxDf = 100, tau = 0.5)
+    val survivors = pruned.count()
+    val emitted = graft.queries.LlmPipeline
+      .containmentPairs(sh, maxDf = 100, tau = 0.5)
+      .select($"contained", $"container").count()
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    assert(survivors <= allPairs / 100,
+      s"prune must kill >=99% of the pair space: $survivors of $allPairs")
+    assert(survivors <= 8 * math.max(1L, emitted),
+      s"verify volume $survivors should track emitted pairs $emitted")
+  }
+
   test("q57 sketch union estimates within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions._
     val est = SparkEntry.queries("q57_hll_sketch_union")(spark, sf0001)

@@ -45,6 +45,10 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_pass = n_fail = n_noop = 0
+    # per-query oracle wall-time: DuckDB on the same parquet is the only
+    # engine we can benchmark the 2x budget against (the reference
+    # publishes no numbers), so record its seconds per oracle query
+    oracle_secs = {}
     for d in sorted(Path(out_dir).iterdir()):
         if not d.is_dir():
             continue
@@ -57,9 +61,13 @@ def main():
             n_noop += 1
             continue
         try:
+            import time
+            t0 = time.monotonic()
             exp_rel = con.sql(oracle[name])
             exp_cols = exp_rel.columns
-            exp = canon(exp_rel.fetchall(), exp_cols)
+            exp_rows = exp_rel.fetchall()
+            oracle_secs[name] = round(time.monotonic() - t0, 3)
+            exp = canon(exp_rows, exp_cols)
         except Exception as e:
             print(f"[FAIL-oracle-sql] {name}: {e}")
             n_fail += 1
@@ -79,7 +87,10 @@ def main():
         else:
             print(f"[PASS] {name}: {len(got)} rows")
             n_pass += 1
+    Path(out_dir, "oracle_times.json").write_text(
+        json.dumps(oracle_secs, indent=1, sort_keys=True))
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noop} rows-only")
+    print(f"oracle wall-times -> {Path(out_dir, 'oracle_times.json')}")
     sys.exit(1 if n_fail else 0)
 
 
