@@ -1906,7 +1906,51 @@ object LlmPipeline {
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
         .orderBy($"split", $"lang")
     }),
+
+    // C4-style SEGMENT-level exact dedup [Raffel et al. 2020 removed any
+    // three-sentence span occurring more than once in the corpus; these
+    // documents have no sentence boundaries, so the span unit is a fixed
+    // non-overlapping 10-token segment]: a segment occurrence survives
+    // only if it is the corpus-wide FIRST (min packed (doc_id, seg_idx)
+    // key; docs bounded at 2^20 segments ≈ 10M tokens — far beyond any
+    // real document), and each doc is reassembled from its kept
+    // segments. Scale: segmentation is a pure projection; the
+    // first-occurrence rule is a partial-aggregatable MIN over the
+    // 8-byte segment hash (map-side combine absorbs boilerplate
+    // segments that repeat millions of times — no window over a skewed
+    // partition), and reassembly groups by doc_id. Two key-parallel
+    // shuffles, nothing corpus-crossed. A hash collision (~1e-8 here)
+    // would merge two segments' first-occurrence decisions — d2's
+    // accepted posture.
+    "p3_segment_dedup" -> ((s, dir) =>
+      segmentDedup(graft.ops.Spread.fanout(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
   )
+
+  /** C4-style segment dedup core (p3): input needs (doc_id, text);
+    * output one row per doc: (doc_id, n_segs, n_kept, kept_text).
+    * Exposed for the SegmentDedupSpec semantics properties. */
+  def segmentDedup(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val segs = docs
+      .select($"doc_id", toks($"text").as("toks"))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(toks)/10.0) as int) - 1)," +
+          " i -> array_join(slice(toks, i*10+1, 10), ' '))")))
+      .toDF("doc_id", "seg_idx", "seg")
+      .select($"doc_id", $"seg_idx", $"seg", xxhash64($"seg").as("k"),
+        ($"doc_id" * lit(1048576L) + $"seg_idx").as("okey"))
+    val first = segs.groupBy($"k").agg(min($"okey").as("fkey"))
+    segs.join(first, "k")
+      .withColumn("kept", $"okey" === $"fkey")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(CASE WHEN kept THEN struct(seg_idx, seg) END))," +
+          " x -> x.seg), ' ')").as("kept_text"))
+  }
 
   /** Shared oracle fragments. */
   private val docsCte =
@@ -2687,5 +2731,31 @@ object LlmPipeline {
         |            ELSE 'test' END AS split,
         |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM clean GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // first-occurrence decisions replicated on the segment STRING (the
+    // Spark side groups by xxhash64(seg) — same decisions modulo a
+    // ~1e-8 collision, and the hash never reaches the output)
+    "p3_segment_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |),
+        |segs AS (
+        |  SELECT doc_id, s.i AS seg_idx,
+        |    array_to_string(t[s.i*10+1 : s.i*10+10], ' ') AS seg
+        |  FROM d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(CAST(ceil(len(t)/10.0) AS INT))) AS i) s
+        |),
+        |firsts AS (
+        |  SELECT seg, MIN(doc_id * 1048576 + seg_idx) AS fkey FROM segs GROUP BY seg
+        |),
+        |fl AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg,
+        |    (s.doc_id * 1048576 + s.seg_idx) = f.fkey AS kept
+        |  FROM segs s JOIN firsts f USING (seg)
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

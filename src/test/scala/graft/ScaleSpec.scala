@@ -277,6 +277,25 @@ class ScaleSpec extends SparkTestBase {
       s"verify volume $survivors should track emitted pairs $emitted")
   }
 
+  test("p3 first-occurrence rule partial-aggregates; t25 joins broadcast, no cartesian") {
+    // p3's corpus-wide first-occurrence MIN must combine map-side (a
+    // boilerplate segment repeated millions of times arrives at the
+    // exchange as one partial row per task, not one row per occurrence)
+    val p3 = SparkEntry.queries("p3_segment_dedup")(spark, sf0001)
+    p3.collect()
+    val p3plan = p3.queryExecution.executedPlan.toString
+    assert(p3plan.contains("partial_min"),
+      "first-occurrence min must partial-aggregate below the exchange: " + p3plan)
+    assert(!p3plan.contains("CartesianProduct"), p3plan)
+    // t25's term statistics and query mapping are broadcast-joined; the
+    // corpus is never crossed
+    val t25 = SparkEntry.queries("t25_hybrid_rrf")(spark, sf0001)
+    t25.collect()
+    val t25plan = t25.queryExecution.executedPlan.toString
+    assert(t25plan.contains("BroadcastHashJoin"), t25plan)
+    assert(!t25plan.contains("CartesianProduct"), t25plan)
+  }
+
   test("q57 sketch union estimates within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions._
     val est = SparkEntry.queries("q57_hll_sketch_union")(spark, sf0001)
