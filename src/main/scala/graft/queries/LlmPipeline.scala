@@ -1927,18 +1927,25 @@ object LlmPipeline {
         .orderBy(col("doc_id"))),
   )
 
+  /** Fixed 10-token segmentation of a (… , text) frame — the span unit
+    * p3/s12 dedup on (C4's three-sentence span, minus sentence
+    * boundaries the synthetic docs lack). Keeps `keep`, adds
+    * (seg_idx, seg); a pure projection+generator, no shuffle. */
+  private[graft] def segmentize(docs: DataFrame, keep: Seq[String]): DataFrame =
+    docs
+      .select(keep.map(col) :+ toks(col("text")).as("toks"): _*)
+      .select(keep.map(col) :+ posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(toks)/10.0) as int) - 1)," +
+          " i -> array_join(slice(toks, i*10+1, 10), ' '))")): _*)
+      .toDF(keep ++ Seq("seg_idx", "seg"): _*)
+
   /** C4-style segment dedup core (p3): input needs (doc_id, text);
     * output one row per doc: (doc_id, n_segs, n_kept, kept_text).
     * Exposed for the SegmentDedupSpec semantics properties. */
   def segmentDedup(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val segs = docs
-      .select($"doc_id", toks($"text").as("toks"))
-      .select($"doc_id", posexplode(expr(
-        "transform(sequence(0, cast(ceil(size(toks)/10.0) as int) - 1)," +
-          " i -> array_join(slice(toks, i*10+1, 10), ' '))")))
-      .toDF("doc_id", "seg_idx", "seg")
+    val segs = segmentize(docs, Seq("doc_id"))
       .select($"doc_id", $"seg_idx", $"seg", xxhash64($"seg").as("k"),
         ($"doc_id" * lit(1048576L) + $"seg_idx").as("okey"))
     val first = segs.groupBy($"k").agg(min($"okey").as("fkey"))

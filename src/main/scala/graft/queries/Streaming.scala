@@ -170,6 +170,32 @@ object Streaming {
         .select($"user_id", $"us", $"event_id", $"event_type", $"value")
         .orderBy($"user_id")
     }),
+
+    // incremental CRAWL NOVELTY accounting: sources are crawl
+    // increments processed in rank order; a 10-token segment is NOVEL
+    // iff no earlier crawl (nor an earlier position in this one)
+    // contained it — the "how much fresh content did this crawl add"
+    // dedup-rate metric. Batch semantics = global first-occurrence by
+    // the packed (source_rank, doc_id, seg_idx) key (bounds: rank<2^23,
+    // doc_id<2^20, seg_idx<2^20); the true incremental execution —
+    // per-micro-batch anti join against an accumulating segment-hash
+    // index, one batch per crawl — is [[Streams.crawlNoveltyBatch]],
+    // proven equal in StreamingSpec.
+    "s12_crawl_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val segs = graft.queries.LlmPipeline.segmentize(
+          graft.ops.Spread.fanout(Tables.documents(s, dir)), Seq("source", "doc_id"))
+        .select($"source",
+          xxhash64($"seg").as("k"),
+          (expr("cast(substr(source, 4) as long)") * lit(1L << 40) +
+            $"doc_id" * lit(1L << 20) + $"seg_idx").as("okey"))
+      val first = segs.groupBy($"k").agg(min($"okey").as("fkey"))
+      segs.join(first, "k")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when($"okey" === $"fkey", 1L).otherwise(0L)).as("n_novel"))
+        .orderBy($"source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -297,5 +323,27 @@ object Streaming {
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // first occurrence replicated on the segment STRING (Spark groups by
+    // xxhash64 — identical decisions modulo ~1e-8 collision, hash never
+    // reaches the output); packed order key identical in both engines
+    "s12_crawl_novelty" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents
+        |),
+        |segs AS (
+        |  SELECT source, doc_id, s.i AS seg_idx,
+        |    array_to_string(t[s.i*10+1 : s.i*10+10], ' ') AS seg,
+        |    CAST(substr(source, 4) AS BIGINT) * 1099511627776
+        |      + doc_id * 1048576 + s.i AS okey
+        |  FROM d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(CAST(ceil(len(t)/10.0) AS INT))) AS i) s
+        |),
+        |firsts AS (SELECT seg, MIN(okey) AS fkey FROM segs GROUP BY seg)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN okey = fkey THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |FROM segs JOIN firsts USING (seg)
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -264,14 +264,60 @@ object Streams {
       graft.ops.Scratch.dir("graft_docstream", dir))
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("documents.parquet")
-    // NOFOLLOW check + dangling-link repoint — see eventsStream
-    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) ||
-        !java.nio.file.Files.exists(link)) {
+    // link-ness + target verified, stale non-links refused/repointed —
+    // same contract as eventsStream
+    val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
+      java.nio.file.Files.readSymbolicLink(link) == target &&
+      java.nio.file.Files.exists(link)
+    if (!linkOk) {
+      if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !java.nio.file.Files.isSymbolicLink(link) &&
+          java.nio.file.Files.isDirectory(link))
+        throw new IllegalStateException(
+          s"refusing to replace non-symlink directory at $link")
       java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      java.nio.file.Files.createSymbolicLink(link, target)
     }
     spark.readStream.schema(batch.schema).parquet(streamDir.toString)
+  }
+
+  /** One micro-batch of incremental segment-novelty accounting (the
+    * streaming posture of s12_crawl_novelty, driven from foreachBatch):
+    * count this batch's segments that were never seen in any EARLIER
+    * batch (anti join against the accumulating hash index) nor earlier
+    * WITHIN this batch (p3's min-(doc_id,seg_idx) rule, batch-locally),
+    * then append the batch's novel segment hashes to the index. When
+    * each micro-batch is one crawl increment arriving in order, the
+    * union of per-batch results equals the batch query exactly
+    * (StreamingSpec proves it). Scale: the index is an append-only
+    * hash-only parquet dir — the 100 TB posture is d14's (persisted
+    * corpus index, batch side small enough for AQE to broadcast). */
+  def crawlNoveltyBatch(batch: DataFrame, indexDir: String): Seq[(String, Long, Long)] = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val segs = graft.queries.LlmPipeline.segmentize(batch, Seq("source", "doc_id"))
+      .select($"source", $"doc_id", $"seg_idx", xxhash64($"seg").as("k"),
+        (expr("cast(substr(source, 4) as long)") * lit(1L << 40) +
+          $"doc_id" * lit(1L << 20) + $"seg_idx").as("okey"))
+    val hasIndex = Option(new java.io.File(indexDir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    val fresh =
+      if (hasIndex) segs.join(s.read.parquet(indexDir), Seq("k"), "left_anti")
+      else segs
+    val firstInBatch = fresh.groupBy($"k").agg(min($"okey").as("fkey"))
+    val novel = fresh.join(firstInBatch, "k").filter($"okey" === $"fkey")
+    // stats are COLLECTED before the index append: the novel frame is
+    // lazy, and appending first would anti-join the batch against its
+    // own keys on re-evaluation
+    val nSegs = segs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nNovel = novel.groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = nSegs.keys.toSeq.sorted
+      .map(src => (src, nSegs(src), nNovel.getOrElse(src, 0L)))
+    novel.select($"k").distinct().write.mode("append").parquet(indexDir)
+    out
   }
 
   /** Run a streaming plan to a memory sink synchronously (one batch of

@@ -393,4 +393,47 @@ class StreamingSpec extends SparkTestBase {
       .select(col("user_id"), col("event_type")).distinct().count()
     assert(n == distinctPairs, s"$n vs $distinctPairs")
   }
+
+  test("s12: per-crawl incremental novelty equals the batch first-occurrence query") {
+    import spark.implicits._
+    // one parquet file per source, modification times forcing arrival
+    // in source-rank order — each micro-batch is one crawl increment
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_crawl_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crawl_ckpt").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_crawl_idx").toString + "/idx"
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("text")).cache()
+    // numeric crawl order (src2 before src10) — the rank the batch
+    // query's packed okey encodes; plain string sort would misorder
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sortBy(_.drop(3).toInt)
+    sources.zipWithIndex.foreach { case (src, i) =>
+      docs.filter(col("source") === src).coalesce(1)
+        .write.parquet(s"$srcDir/b$i")
+      val f = new java.io.File(s"$srcDir/b$i")
+      f.setLastModified(1000000L * (i + 1))
+      f.listFiles().foreach(_.setLastModified(f.lastModified()))
+    }
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/b*")
+    val results = scala.collection.mutable.Buffer[(String, Long, Long)]()
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= Streams.crawlNoveltyBatch(b, idxDir); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    docs.unpersist()
+    val want = SparkEntry.queries("s12_crawl_novelty")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(results.sortBy(_._1) == want.sortBy(_._1),
+      s"incremental ${results.sortBy(_._1)} vs batch ${want.sortBy(_._1)}")
+    // and the accumulated index holds exactly the distinct segment count
+    val idxN = spark.read.parquet(idxDir).distinct().count()
+    val segN = graft.queries.LlmPipeline.segmentize(docs, Seq("doc_id"))
+      .select(expr("xxhash64(seg)")).distinct().count()
+    assert(idxN == segN, s"index $idxN vs distinct segments $segN")
+  }
 }
