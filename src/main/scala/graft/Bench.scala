@@ -90,8 +90,13 @@ object Bench {
       val extra =
         if (e1.isEmpty && e2.isEmpty && math.max(t1, t2) > 1.5 * math.min(t1, t2))
           Some(timed()) else None
-      val runs = Seq(t1, t2) ++ extra.map(_._1)
-      (name, runs, e1.orElse(e2).orElse(extra.flatMap(_._2)))
+      // the extra run is a NOISE PROBE on a query that already has two
+      // clean timed runs: if it errors (transient OOM is likeliest under
+      // exactly the pressure that made the query noisy), its fast-fail
+      // duration must not become the billed min and its error must not
+      // flip a clean query into the failure count
+      val runs = Seq(t1, t2) ++ extra.filter(_._2.isEmpty).map(_._1)
+      (name, runs, e1.orElse(e2))
     }
 
     // ms precision keeps the line short, and the headline total goes LAST:

@@ -410,14 +410,25 @@ object LlmPipeline {
         (col("s1.n") + col("s2.n") - col("ubi")) >= threshold)
       .select(col("d1"), col("d2"), col("ri"),
         col("s1.n").as("na"), col("s2.n").as("nb"))
-    // exact verification WITHOUT touching the full shingle sets: `ri`
-    // from the posting join is already the EXACT count of shared
-    // non-hot shingles (every non-hot bucket survives the df cap by
-    // construction), so the only unknown is the HOT overlap — gather
-    // each candidate doc's hot shingles only (a handful per doc; full
-    // sets are ~doc-length) and inter = ri + |hotA ∩ hotB|. Bounded by
-    // the prune output — never a full-corpus collect; size(null)=null
-    // under ANSI so a doc with no hot shingles coalesces to 0.
+    // exact verification WITHOUT touching the full shingle sets — see
+    // [[hotVerified]]
+    hotVerified(fl, pruned)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared exact-verify core of [[nearDupJaccard]] and
+    * [[containmentPairs]]: `ri` from the posting join is already the
+    * EXACT count of shared non-hot shingles (every non-hot bucket
+    * survives the df cap by construction), so the only unknown is the
+    * HOT overlap — gather each candidate doc's hot shingles only (a
+    * handful per doc; full sets are ~doc-length) and
+    * inter = ri + |hotA ∩ hotB|. Bounded by the prune output — never a
+    * full-corpus collect; size(null)=null under ANSI so a doc with no
+    * hot shingles coalesces to 0. Returns `pruned` + an exact `inter`
+    * column. */
+  private def hotVerified(fl: DataFrame, pruned: DataFrame): DataFrame = {
     val ids = pruned.select(col("d1").as("doc_id"))
       .union(pruned.select(col("d2").as("doc_id"))).distinct()
     val hotSets = fl.filter(col("is_hot") === 1L)
@@ -429,9 +440,6 @@ object LlmPipeline {
       .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("sb")), Seq("d2"), "left")
       .withColumn("inter", col("ri") +
         coalesce(size(array_intersect(col("sa"), col("sb"))).cast("long"), lit(0L)))
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Directional CONTAINMENT near-dup (the d24 core): containment(a→b)
@@ -450,23 +458,10 @@ object LlmPipeline {
     * the whole candidate pipeline twice). */
   def containmentPairs(sh: DataFrame, maxDf: Int, tau: Double): DataFrame = {
     val (fl, pruned) = containmentParts(sh, maxDf, tau)
-    // exact verification WITHOUT the full shingle sets: `ri` is already
-    // the EXACT shared non-hot count (see nearDupJaccard's verify), so
-    // only the HOT overlap is unknown — gather hot shingles per
-    // candidate doc (a handful each; the old full-set gather was
-    // ~doc-length arrays and was d24's whole cost) and
-    // inter = ri + |hotA ∩ hotB|, exactly.
-    val ids = pruned.select(col("d1").as("doc_id"))
-      .union(pruned.select(col("d2").as("doc_id"))).distinct()
-    val hotSets = fl.filter(col("is_hot") === 1L)
-      .join(ids, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("hs"))
-    pruned
-      .join(hotSets.select(col("doc_id").as("d1"), col("hs").as("sa")), Seq("d1"), "left")
-      .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("sb")), Seq("d2"), "left")
-      .withColumn("inter", col("ri") +
-        coalesce(size(array_intersect(col("sa"), col("sb"))).cast("long"), lit(0L)))
+    // exact verification WITHOUT the full shingle sets (the old full-set
+    // gather was ~doc-length arrays and was d24's whole cost) — see
+    // [[hotVerified]]
+    hotVerified(fl, pruned)
       .select(explode(array(
         struct(col("d1").as("contained"), col("d2").as("container"),
           (col("inter").cast("double") / col("na")).as("containment")),
@@ -1938,6 +1933,16 @@ object LlmPipeline {
         "transform(sequence(0, cast(ceil(size(toks)/10.0) as int) - 1)," +
           " i -> array_join(slice(toks, i*10+1, 10), ' '))")): _*)
       .toDF(keep ++ Seq("seg_idx", "seg"): _*)
+
+  /** Packed crawl-order key shared by s12's batch query and
+    * [[graft.streaming.Streams.crawlNoveltyBatch]] — ONE definition so
+    * the two Scala sides and the DuckDB oracle literal
+    * (rank·2⁴⁰ + doc_id·2²⁰ + seg_idx) cannot drift. Bounds: source
+    * rank < 2²³, doc_id < 2²⁰, seg_idx < 2²⁰. */
+  private[graft] def crawlOrderKey(source: Column, docId: Column,
+                                   segIdx: Column): Column =
+    substring(source, 4, 16).cast("long") * lit(1L << 40) +
+      docId * lit(1L << 20) + segIdx
 
   /** C4-style segment dedup core (p3): input needs (doc_id, text);
     * output one row per doc: (doc_id, n_segs, n_kept, kept_text).

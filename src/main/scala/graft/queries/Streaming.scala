@@ -187,8 +187,8 @@ object Streaming {
           graft.ops.Spread.fanout(Tables.documents(s, dir)), Seq("source", "doc_id"))
         .select($"source",
           xxhash64($"seg").as("k"),
-          (expr("cast(substr(source, 4) as long)") * lit(1L << 40) +
-            $"doc_id" * lit(1L << 20) + $"seg_idx").as("okey"))
+          graft.queries.LlmPipeline.crawlOrderKey(
+            $"source", $"doc_id", $"seg_idx").as("okey"))
       val first = segs.groupBy($"k").agg(min($"okey").as("fkey"))
       segs.join(first, "k")
         .groupBy($"source")

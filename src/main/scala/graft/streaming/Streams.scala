@@ -28,28 +28,7 @@ object Streams {
       graft.ops.Scratch.dir("graft_stream", dir))
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    // check the LINK ITSELF (NOFOLLOW), not its target: plain exists()
-    // follows links, so a dangling one left by a prior run (target since
-    // removed) reads as absent and createSymbolicLink would throw
-    // FileAlreadyExistsException. A present-but-dangling link is
-    // repointed.
-    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-    // a present-but-dangling link is repointed; a present NON-link (a
-    // stale regular file/dir someone left at the path) or a symlink to
-    // the wrong target is replaced too — otherwise the stream would
-    // silently read stale non-fixture data
-    val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
-      java.nio.file.Files.readSymbolicLink(link) == target &&
-      java.nio.file.Files.exists(link)
-    if (!linkOk) {
-      if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-          !java.nio.file.Files.isSymbolicLink(link) &&
-          java.nio.file.Files.isDirectory(link))
-        throw new IllegalStateException(
-          s"refusing to replace non-symlink directory at $link")
-      java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(link, target)
-    }
+    ensureSymlink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
     val raw = spark.readStream.schema(batch.schema)
       .parquet(streamDir.toString)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -263,10 +242,21 @@ object Streams {
     val streamDir = java.nio.file.Paths.get(
       graft.ops.Scratch.dir("graft_docstream", dir))
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("documents.parquet")
-    // link-ness + target verified, stale non-links refused/repointed —
-    // same contract as eventsStream
-    val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    ensureSymlink(streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    spark.readStream.schema(batch.schema).parquet(streamDir.toString)
+  }
+
+  /** Fixture-symlink contract shared by eventsStream/documentsStream:
+    * the path must be a symlink to `target`. Checks the LINK ITSELF
+    * (NOFOLLOW — plain exists() follows links, so a dangling one left
+    * by a prior run reads as absent and createSymbolicLink would throw
+    * FileAlreadyExistsException); a dangling or wrong-target link is
+    * repointed, a stale regular FILE is replaced, and a non-link
+    * DIRECTORY is refused — silently reading stale non-fixture data is
+    * the failure mode this guards. */
+  private def ensureSymlink(link: java.nio.file.Path,
+                            target: java.nio.file.Path): Unit = {
     val linkOk = java.nio.file.Files.isSymbolicLink(link) &&
       java.nio.file.Files.readSymbolicLink(link) == target &&
       java.nio.file.Files.exists(link)
@@ -279,7 +269,6 @@ object Streams {
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link, target)
     }
-    spark.readStream.schema(batch.schema).parquet(streamDir.toString)
   }
 
   /** One micro-batch of incremental segment-novelty accounting (the
@@ -287,36 +276,54 @@ object Streams {
     * count this batch's segments that were never seen in any EARLIER
     * batch (anti join against the accumulating hash index) nor earlier
     * WITHIN this batch (p3's min-(doc_id,seg_idx) rule, batch-locally),
-    * then append the batch's novel segment hashes to the index. When
-    * each micro-batch is one crawl increment arriving in order, the
-    * union of per-batch results equals the batch query exactly
-    * (StreamingSpec proves it). Scale: the index is an append-only
-    * hash-only parquet dir — the 100 TB posture is d14's (persisted
-    * corpus index, batch side small enough for AQE to broadcast). */
-  def crawlNoveltyBatch(batch: DataFrame, indexDir: String): Seq[(String, Long, Long)] = {
+    * then write the batch's novel segment hashes into the index under
+    * ITS OWN batch-id subdir. The versioning makes replay IDEMPOTENT
+    * (s11's exactly-once idiom): foreachBatch is at-least-once, and a
+    * replayed batch must not anti-join against its own prior partial
+    * write — the index read takes only subdirs with id < batchId, and
+    * the batch's own subdir is overwritten, never appended. When each
+    * micro-batch is one crawl increment arriving in order, the union of
+    * per-batch results equals the batch query exactly (StreamingSpec
+    * proves it, replay included). Scale: the index is a hash-only
+    * parquet dir — the 100 TB posture is d14's (persisted corpus index,
+    * batch side small enough for AQE to broadcast). */
+  def crawlNoveltyBatch(batch: DataFrame, indexDir: String,
+                        batchId: Long): Seq[(String, Long, Long)] = {
     val s = batch.sparkSession
     import s.implicits._
     val segs = graft.queries.LlmPipeline.segmentize(batch, Seq("source", "doc_id"))
       .select($"source", $"doc_id", $"seg_idx", xxhash64($"seg").as("k"),
-        (expr("cast(substr(source, 4) as long)") * lit(1L << 40) +
-          $"doc_id" * lit(1L << 20) + $"seg_idx").as("okey"))
-    val hasIndex = Option(new java.io.File(indexDir).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
+        graft.queries.LlmPipeline.crawlOrderKey(
+          $"source", $"doc_id", $"seg_idx").as("okey"))
+    // only STRICTLY EARLIER batches' subdirs: a replayed batch never
+    // sees its own prior partial write
+    val earlier = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < batchId)
+      .map(_.getPath)
     val fresh =
-      if (hasIndex) segs.join(s.read.parquet(indexDir), Seq("k"), "left_anti")
+      if (earlier.nonEmpty)
+        segs.join(s.read.parquet(earlier: _*), Seq("k"), "left_anti")
       else segs
     val firstInBatch = fresh.groupBy($"k").agg(min($"okey").as("fkey"))
-    val novel = fresh.join(firstInBatch, "k").filter($"okey" === $"fkey")
-    // stats are COLLECTED before the index append: the novel frame is
-    // lazy, and appending first would anti-join the batch against its
-    // own keys on re-evaluation
-    val nSegs = segs.groupBy($"source").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nNovel = novel.groupBy($"source").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val out = nSegs.keys.toSeq.sorted
-      .map(src => (src, nSegs(src), nNovel.getOrElse(src, 0L)))
-    novel.select($"k").distinct().write.mode("append").parquet(indexDir)
+    // ONE aggregation yields both counts (a kept-flag left join back
+    // onto segs instead of two separate count jobs); collected BEFORE
+    // the index write so the lazy novel frame is not re-derived with
+    // the index already containing this batch. firstInBatch derives
+    // FROM segs, so its key is renamed — joining segs("k") to
+    // firstInBatch("k") self-resolves into a trivially-true predicate
+    val flags = firstInBatch
+      .select($"k".as("fk"), $"fkey", lit(true).as("novel"))
+    val out = segs
+      .join(flags, $"k" === $"fk" && $"okey" === $"fkey", "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"novel", 1L).otherwise(0L)).as("nn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    fresh.join(firstInBatch, "k").filter($"okey" === $"fkey")
+      .select($"k")
+      .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
     out
   }
 

@@ -418,10 +418,12 @@ class StreamingSpec extends SparkTestBase {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/b*")
     val results = scala.collection.mutable.Buffer[(String, Long, Long)]()
+    val lastBatch = scala.collection.mutable.Buffer[(org.apache.spark.sql.DataFrame, Long)]()
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        results ++= Streams.crawlNoveltyBatch(b, idxDir); ()
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        results ++= Streams.crawlNoveltyBatch(b, idxDir, id)
+        lastBatch.clear(); lastBatch += ((b.persist(), id)); ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -430,8 +432,18 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(results.sortBy(_._1) == want.sortBy(_._1),
       s"incremental ${results.sortBy(_._1)} vs batch ${want.sortBy(_._1)}")
+    // REPLAY IDEMPOTENCE (foreachBatch is at-least-once): re-running the
+    // last micro-batch with its own batch id must reproduce its counts —
+    // the versioned index read excludes the batch's own prior write, so
+    // a redelivery neither zeroes n_novel nor double-appends keys
+    val (lb, lbId) = lastBatch.head
+    val replay = Streams.crawlNoveltyBatch(lb, idxDir, lbId)
+    lb.unpersist()
+    val orig = results.filter(r => replay.exists(_._1 == r._1)).sortBy(_._1)
+    assert(replay.sortBy(_._1) == orig, s"replay $replay vs original $orig")
     // and the accumulated index holds exactly the distinct segment count
-    val idxN = spark.read.parquet(idxDir).distinct().count()
+    // (batch-versioned subdirs — read the union of all batches)
+    val idxN = spark.read.parquet(s"$idxDir/b*").distinct().count()
     val segN = graft.queries.LlmPipeline.segmentize(docs, Seq("doc_id"))
       .select(expr("xxhash64(seg)")).distinct().count()
     assert(idxN == segN, s"index $idxN vs distinct segments $segN")

@@ -9,6 +9,7 @@ same sf parquet tables, sorts columns by name, sorts rows, and compares
 values exactly. NOT part of the shipped library — dev tooling only.
 """
 import json
+import time
 import math
 import sys
 from pathlib import Path
@@ -61,7 +62,6 @@ def main():
             n_noop += 1
             continue
         try:
-            import time
             t0 = time.monotonic()
             exp_rel = con.sql(oracle[name])
             exp_cols = exp_rel.columns
