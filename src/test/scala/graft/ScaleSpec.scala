@@ -161,6 +161,48 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("q60 z-order bounds BOTH dims per file: a partkey band touches a strict " +
+      "subset of z-files but every file of the 1-D shipdate layout") {
+    val dir = "/root/testdata/sf0.01" // sf0.001's partkey domain is too
+    // narrow for a band that is selective in BOTH corpora
+    // materialize both layout copies via their queries
+    SparkEntry.queries("q60_zorder_layout")(spark, dir).collect()
+    SparkEntry.queries("q42_clustered_layout")(spark, dir).collect()
+    val zDir = graft.ops.Scratch.dir("graft_zorder", dir) + "/out"
+    val cDir = graft.ops.Scratch.dir("graft_clust", dir) + "/out"
+
+    def filesTouched(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+      val total = df.select(input_file_name()).distinct().count()
+      val touched = df.filter(col("l_partkey").between(100, 299))
+        .select(input_file_name()).distinct().count()
+      (touched, total)
+    }
+    val (zT, zN) = filesTouched(zDir)
+    val (cT, cN) = filesTouched(cDir)
+    info(s"partkey band 100-299 touches $zT/$zN z-ordered files vs $cT/$cN " +
+      "shipdate-clustered files")
+    // 1-D time clustering gives partkey no locality at all…
+    assert(cT == cN, s"expected the partkey band to hit every 1-D file ($cT/$cN)")
+    // …the curve confines the band to at most half the files (the
+    // 100-299 band is ~10% of the partkey domain; top-2 curve bits per
+    // dim alone cage it into 1-2 of 4 partkey quarters)
+    assert(zT * 2 <= zN, s"z-order gave no partkey locality: $zT of $zN files")
+  }
+
+  test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
+    val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "ADC scan must be a broadcast pass of the LUT maps over the codes, " +
+        "not a cartesian shuffle: " + plan)
+    // the only sanctioned non-equi join is the LUT-over-codes scan with
+    // the per-query lookup maps (n_q rows) broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the per-query LUT frame must broadcast over the code table: " + plan)
+  }
+
   test("d20 semDedup pairs meet via a cid equi-join, never a global cross join") {
     val df = SparkEntry.queries("d20_semdedup")(spark, sf0001)
     df.collect()
