@@ -19,6 +19,7 @@ object SparkEntry {
       (q.Retrieval.queries, q.Retrieval.oracleSql),
       (q.Graph.queries, q.Graph.oracleSql),
       (q.Clustering.queries, q.Clustering.oracleSql),
+      (q.Quality.queries, q.Quality.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql),
     )
 

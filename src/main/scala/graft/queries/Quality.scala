@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** DATA-QUALITY operators — the Deequ/Great-Expectations-style gate a
+  * production ingest runs before letting a snapshot anywhere near a
+  * training job: a per-column PROFILE (dq1) and a declarative
+  * CONSTRAINT SUITE (dq2). At 100 TB these run as a handful of
+  * single-pass aggregations over the fact table — the profile's only
+  * shuffles are the 1-row-per-column rollup and the per-column distinct
+  * (inherently a (column, value) exchange), and every constraint is a
+  * filter-count or an anti-join, never a collect.
+  */
+object Quality {
+
+  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** One profile row per requested column: row count, null count,
+    * distinct count, and min/max/mean of the column's CANONICAL NUMERIC
+    * PROJECTION — numerics as-is, timestamps as epoch micros, strings by
+    * length (the Deequ convention for type-uniform profile schemas).
+    * Works on any DataFrame: the projection is dispatched from the
+    * schema, so the operator is generic, not lineitem-shaped.
+    *
+    * Scale shape: ONE melt pass (a single generator, q56's single-Expand
+    * idiom carries (column, value) pairs), then a column-keyed aggregate
+    * whose non-distinct metrics combine map-side; the distinct count is
+    * a two-stage partial-distinct aggregate — the (column, value) shuffle
+    * every engine pays for exact per-column cardinality. Nothing is
+    * collected; adding a column adds one struct to the generator, not a
+    * table pass (a naive per-column loop would scan the table N times).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val entries = cols.map { c =>
+      val v: Column = byName(c) match {
+        case _: StringType => length(col(c)).cast("double")
+        case _: TimestampType | _: TimestampNTZType =>
+          // NTZ→TIMESTAMP is wall-clock-preserving under the session's
+          // UTC zone, so this equals DuckDB's epoch_us(naive ts)
+          expr(s"unix_micros(cast($c as timestamp))").cast("double")
+        case _ => col(c).cast("double")
+      }
+      struct(lit(c).as("c"), v.as("v"))
+    }
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.c").as("col_name"), col("e.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_d"),
+        max(col("v")).as("max_d"),
+        (dsum(col("v")) / count(col("v"))).as("mean_d"))
+  }
+
+  private val profileCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_profile" -> ((s, dir) =>
+      profile(Tables.lineitem(s, dir), profileCols)
+        .orderBy(col("col_name"))),
+
+    // Declarative CONSTRAINT SUITE over the snapshot: key uniqueness,
+    // referential integrity, domain ranges, enum membership — each row
+    // is one check with its violation count and verdict. The
+    // referential check is a left-anti join on the key (shuffle-keyed,
+    // broadcast under AQE when the dim side is small); everything else
+    // is a filter-count sharing one pass per table. This report — not a
+    // boolean — is what an ingest gate actually files: WHICH contract
+    // broke and by how much.
+    "dq2_constraints" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+
+      // one lineitem pass for all filter-count checks (map-side sums)
+      val liChecks = li.agg(
+        sum(when(!$"l_discount".between(0.0, 1.0), 1L).otherwise(0L))
+          .as("discount_range"),
+        sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("returnflag_enum"),
+        sum(when($"l_quantity" <= 0.0, 1L).otherwise(0L))
+          .as("quantity_positive"),
+        sum(when($"l_shipdate" < to_timestamp_ntz(lit("1992-01-01")) ||
+            $"l_shipdate" >= to_timestamp_ntz(lit("2003-01-01")), 1L)
+          .otherwise(0L)).as("shipdate_window"))
+      val uniq = o.agg(
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("orderkey_unique"))
+      val orphans = li.select($"l_orderkey")
+        .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey",
+          "left_anti")
+        .agg(count(lit(1)).as("orderkey_referential"))
+
+      val wide = liChecks.crossJoin(uniq).crossJoin(orphans)
+      val checks = Seq("discount_range", "returnflag_enum",
+        "quantity_positive", "shipdate_window", "orderkey_unique",
+        "orderkey_referential")
+      wide.select(explode(array(checks.map(c =>
+          struct(lit(c).as("c"), col(c).as("v"))): _*)).as("e"))
+        .select($"e.c".as("check_name"), $"e.v".as("n_violations"),
+          ($"e.v" === 0L).as("passed"))
+        .orderBy($"check_name")
+    }),
+  )
+
+  private def profileOracleFor(c: String, duckProj: String): String =
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+       |  COUNT(*) - COUNT(x) AS n_null, COUNT(DISTINCT x) AS n_distinct,
+       |  MIN(x) AS min_d, MAX(x) AS max_d,
+       |  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x) AS mean_d
+       |FROM (SELECT $duckProj AS x FROM lineitem)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dq1_profile" -> (profileCols.map { c =>
+      val proj = c match {
+        case "l_returnflag" | "l_linestatus" =>
+          s"CAST(LENGTH($c) AS DOUBLE)"
+        case "l_shipdate" => s"CAST(epoch_us($c) AS DOUBLE)"
+        case _ => s"CAST($c AS DOUBLE)"
+      }
+      profileOracleFor(c, proj)
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+
+    "dq2_constraints" ->
+      """WITH v(check_name, n_violations) AS (
+        |  SELECT 'discount_range',
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 1.0)
+        |  UNION ALL SELECT 'returnflag_enum',
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R'))
+        |  UNION ALL SELECT 'quantity_positive',
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0.0)
+        |  UNION ALL SELECT 'shipdate_window',
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_shipdate < TIMESTAMP '1992-01-01'
+        |        OR l_shipdate >= TIMESTAMP '2003-01-01')
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL SELECT 'orderkey_referential',
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |)
+        |SELECT check_name, n_violations, n_violations = 0 AS passed
+        |FROM v ORDER BY check_name""".stripMargin,
+  )
+}

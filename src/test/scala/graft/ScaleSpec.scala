@@ -190,6 +190,18 @@ class ScaleSpec extends SparkTestBase {
     assert(zT * 2 <= zN, s"z-order gave no partkey locality: $zT of $zN files")
   }
 
+  test("dq1 profiles all columns from ONE table pass (single scan + melt)") {
+    val df = SparkEntry.queries("dq1_profile")(spark, sf0001)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints the final plan FOLLOWED by the
+    // initial plan — count scans in the executed (final) section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"the profile must melt one scan, not loop per column — found $scans scans: " + plan)
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
