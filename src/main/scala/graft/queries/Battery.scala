@@ -805,6 +805,44 @@ object Battery {
         .orderBy($"l_returnflag")
     }),
 
+    // Typed COGROUP (KeyValueGroupedDataset.cogroup) — last-touch
+    // ATTRIBUTION: for every purchase, how many clicks the same user
+    // made in the preceding 30 minutes. The join-free per-key merge:
+    // both sides shuffle ONCE on user_id into aligned partitions, and
+    // each user's two sorted streams meet in a binary-search counter —
+    // where a time-banded join (q50's shape) would materialize every
+    // (click, purchase) pair in the band before aggregating, cogroup
+    // touches each event once. Per-key memory is one user's clicks
+    // (the same bounded-key contract as s9's sessionization). Output
+    // is integer-only — hash-exact vs the oracle's correlated count.
+    "cg1_cogroup_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val W = 1800000000L // 30 minutes in µs
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"),
+          $"event_type")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"us").as[(Long, Long, Long)]
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"us").as[(Long, Long, Long)]
+      clicks.groupByKey(_._1).cogroup(purchases.groupByKey(_._1)) {
+        (uid, cs, ps) =>
+          val ca = cs.map(_._3).toArray
+          java.util.Arrays.sort(ca)
+          // rank of t in ca = count of click times <= t
+          def rank(t: Long): Int = {
+            var lo = 0; var hi = ca.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ca(mid) <= t) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+          ps.map(p => (uid, p._2, (rank(p._3) - rank(p._3 - W)).toLong))
+      }.toDF("user_id", "purchase_event_id", "n_clicks_30m")
+        .orderBy($"user_id", $"purchase_event_id")
+    }),
+
     // SCD TYPE-2 dimension build (gaps-and-islands): collapse each
     // user's event-type stream into validity intervals
     // [valid_from, valid_to) — the slowly-changing-dimension history a
@@ -1461,6 +1499,19 @@ object Battery {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the click window is (p.us - 30min, p.us] — both bounds integer µs
+    "cg1_cogroup_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1 AS us, event_type
+        |  FROM events
+        |)
+        |SELECT p.user_id, p.event_id AS purchase_event_id,
+        |  (SELECT COUNT(*) FROM e c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.us > p.us - 1800000000 AND c.us <= p.us) AS n_clicks_30m
+        |FROM e p WHERE p.event_type = 'purchase'
+        |ORDER BY p.user_id, purchase_event_id""".stripMargin,
 
     "q60_zorder_layout" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
