@@ -1920,6 +1920,47 @@ object LlmPipeline {
     "p3_segment_dedup" -> ((s, dir) =>
       segmentDedup(graft.ops.Spread.fanout(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
+
+    // t13 EXECUTED: apply the α=0.5 temperature mixture as a
+    // deterministic hash sampler against a 50%-of-corpus token budget.
+    // Per-source keep-rate = min(1, budget·w_s / tokens_s), quantized
+    // to basis points; a doc survives iff its md5 bucket clears the
+    // rate — the same RNG-free d9/d11 idiom, so membership is
+    // reproducible across engines, runs, and reshards (the property a
+    // training pipeline needs to resume or audit a mixture). Small
+    // sources upsample toward the cap, big ones downsample — the
+    // temperature flattening t13 only scored. Scale: the rate table is
+    // source-cardinality and broadcasts; the corpus sees one pure
+    // filter projection plus a source-keyed map-side-combining agg —
+    // it is never reshuffled.
+    "p4_apply_mixture" -> ((s, dir) => {
+      import s.implicits._
+      // materialized: the (nt, bucket) projection feeds both the
+      // per-source token totals and the final sampling filter — without
+      // this the tokenize pass runs twice
+      val docs = graft.ops.Materialize(
+        graft.ops.Spread.fanout(Tables.documents(s, dir))
+          .select($"doc_id", $"source", size(toks($"text")).cast("long").as("nt"),
+            expr("CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), " +
+              "1, 8), 16, 10) AS BIGINT) % 10000").as("bucket")))
+      val n = docs.groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      val w = Window.partitionBy(lit(1))
+      val rates = n
+        .withColumn("sq", sqrt($"n_tokens".cast("double")).cast(DecimalType(38, 6)))
+        .withColumn("weight",
+          $"sq".cast("double") / sum($"sq").over(w).cast("double"))
+        .withColumn("tot", sum($"n_tokens").over(w).cast("double"))
+        .withColumn("rate_bp", floor(least(lit(1.0),
+          (lit(0.5) * $"tot") * $"weight" / $"n_tokens".cast("double")) * 10000)
+          .cast("long"))
+        .select($"source", $"rate_bp")
+      docs.join(broadcast(rates), "source")
+        .filter($"bucket" < $"rate_bp")
+        .groupBy($"source")
+        .agg(min($"rate_bp").as("rate_bp"),
+          count(lit(1)).as("n_docs_kept"), sum($"nt").as("n_tokens_kept"))
+        .orderBy($"source")
+    }),
   )
 
   /** Fixed 10-token segmentation of a (… , text) frame — the span unit
@@ -2743,6 +2784,37 @@ object LlmPipeline {
         |            ELSE 'test' END AS split,
         |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM clean GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "p4_apply_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt,
+        |    CAST(list_reduce(list_transform(range(8),
+        |      i -> strpos('0123456789abcdef',
+        |        substr(md5('mix:' || CAST(doc_id AS VARCHAR)), i+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v) AS BIGINT) % 10000 AS bucket
+        |  FROM documents
+        |),
+        |n AS (SELECT source, SUM(nt) AS n_tokens FROM d GROUP BY source),
+        |sq AS (SELECT source, n_tokens,
+        |  CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,6)) AS sq FROM n),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    CAST(sq AS DOUBLE) / CAST(SUM(sq) OVER () AS DOUBLE) AS weight,
+        |    CAST(SUM(n_tokens) OVER () AS DOUBLE) AS tot
+        |  FROM sq
+        |),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(FLOOR(LEAST(1.0, (0.5 * tot) * weight /
+        |      CAST(n_tokens AS DOUBLE)) * 10000) AS BIGINT) AS rate_bp
+        |  FROM r
+        |)
+        |SELECT d.source, MIN(rates.rate_bp) AS rate_bp, COUNT(*) AS n_docs_kept,
+        |  SUM(d.nt) AS n_tokens_kept
+        |FROM d JOIN rates ON d.source = rates.source
+        |WHERE d.bucket < rates.rate_bp
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // first-occurrence decisions replicated on the segment STRING (the
     // Spark side groups by xxhash64(seg) — same decisions modulo a
