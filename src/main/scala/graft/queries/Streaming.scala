@@ -181,6 +181,24 @@ object Streaming {
     // per-micro-batch anti join against an accumulating segment-hash
     // index, one batch per crawl — is [[Streams.crawlNoveltyBatch]],
     // proven equal in StreamingSpec.
+    // incremental DISTINCT COUNTING via mergeable sketches: the
+    // monitoring widget every ingest keeps current — "distinct users
+    // per event type, so far" — maintained as a per-micro-batch HLL
+    // union into kilobyte persisted state ([[Streams.distinctSketchBatch]]),
+    // never a rescan. Batch posture below (the one-shot sketch, q57's
+    // family — rows-only: no sketch library in the oracle engine);
+    // StreamingSpec proves the 4-micro-batch incremental state lands on
+    // EXACTLY the one-shot estimate (HLL register max-merge is order-
+    // and partition-insensitive), that a replayed batch is a no-op,
+    // and the ≤5% accuracy floor vs exact counts.
+    "s13_streaming_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("approx_users"))
+        .orderBy($"event_type")
+    }),
+
     "s12_crawl_novelty" -> ((s, dir) => {
       import s.implicits._
       val segs = graft.queries.LlmPipeline.segmentize(

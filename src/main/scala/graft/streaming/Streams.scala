@@ -327,6 +327,49 @@ object Streams {
     out
   }
 
+  /** One micro-batch of incremental DISTINCT-COUNT maintenance (the
+    * streaming posture of s13_streaming_distinct): union this batch's
+    * per-type HLL user sketch into the persisted running sketch state.
+    * State is batch-id-VERSIONED (s11/s12's exactly-once idiom): the
+    * read takes the LATEST subdir with id < batchId and the write
+    * overwrites the batch's own subdir, so an at-least-once redelivery
+    * recomputes from its predecessor's state instead of merging into
+    * its own partial write. (HLL max-merge is idempotent, so a
+    * double-merge would not even skew the registers — but the
+    * versioning keeps the state lineage exact and replay PROVABLE, not
+    * just accidentally harmless.) At 100 TB the state is kilobytes per
+    * group: incremental distinct becomes a sketch merge per batch,
+    * never a rescan — q57's persisted-artifact form kept current by
+    * the stream. */
+  def distinctSketchBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val bsk = batch.groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val prev = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < batchId)
+      .sortBy(_.getName.drop(1).toLong).lastOption.map(_.getPath)
+    val merged = prev match {
+      case Some(p) => bsk.unionByName(s.read.parquet(p))
+        .groupBy($"event_type").agg(hll_union_agg($"sk").as("sk"))
+      case None => bsk
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/b$batchId")
+  }
+
+  /** Per-type estimates from the latest persisted sketch state. */
+  def readDistinctState(s: SparkSession, stateDir: String): DataFrame = {
+    import s.implicits._
+    val last = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        f.getName.drop(1).forall(_.isDigit))
+      .sortBy(_.getName.drop(1).toLong).last.getPath
+    s.read.parquet(last)
+      .select($"event_type",
+        hll_sketch_estimate($"sk").as("approx_users"))
+  }
+
   /** Run a streaming plan to a memory sink synchronously (one batch of
     * the parquet source) and return the materialized result. */
   def runToMemory(spark: SparkSession, plan: DataFrame, name: String,

@@ -394,6 +394,59 @@ class StreamingSpec extends SparkTestBase {
     assert(n == distinctPairs, s"$n vs $distinctPairs")
   }
 
+  test("s13: incremental sketch state equals the one-shot estimate; replay is a no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_hll_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ckpt").toString
+    val stDir = java.nio.file.Files.createTempDirectory("graft_hll_st").toString + "/st"
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type")).cache()
+    // four arrival slices by event_id — modification times force order
+    (0 until 4).foreach { i =>
+      ev.filter(col("event_id") % 4 === i).coalesce(1)
+        .write.parquet(s"$srcDir/b$i")
+      val f = new java.io.File(s"$srcDir/b$i")
+      f.setLastModified(1000000L * (i + 1))
+      f.listFiles().foreach(_.setLastModified(f.lastModified()))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/b*")
+    val lastBatch = scala.collection.mutable.Buffer[(org.apache.spark.sql.DataFrame, Long)]()
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.distinctSketchBatch(b, stDir, id)
+        lastBatch.clear(); lastBatch += ((b.persist(), id)); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def state(): Map[String, Long] =
+      Streams.readDistinctState(spark, stDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = state()
+    // the 4-batch union must land on EXACTLY the one-shot sketch's
+    // estimate: HLL register merges are max-operations, insensitive to
+    // how the stream sliced the data
+    val want = SparkEntry.queries("s13_streaming_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"incremental $got vs one-shot $want")
+    // replay of the last micro-batch (at-least-once redelivery):
+    // recomputes from its predecessor's state, state unchanged
+    val (lb, lbId) = lastBatch.head
+    Streams.distinctSketchBatch(lb, stDir, lbId)
+    lb.unpersist()
+    assert(state() == got, "replayed batch mutated the sketch state")
+    // accuracy floor vs exact distincts (q57's contract)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).cast("double").as("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ev.unpersist()
+    exact.foreach { case (t, x) =>
+      val rel = math.abs(got(t).toDouble - x) / x
+      assert(rel <= 0.05, f"$t: estimate ${got(t)} vs exact $x%.0f (rel $rel%.3f)")
+    }
+  }
+
   test("s12: per-crawl incremental novelty equals the batch first-occurrence query") {
     import spark.implicits._
     // one parquet file per source, modification times forcing arrival
