@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -260,12 +260,18 @@ object Clustering {
   }
 
   /** Train → encode → ADC-shortlist → exact re-rank: top-`kNbrs`
-    * neighbors per query (every 10th vector queries the whole corpus).
-    * Output (vec_id, rn, nbr, d2) — d2 is the exact squared L2 of the
+    * database neighbors per query vector. `dbPred` selects the INDEXED
+    * corpus (codebook training set and code table); `qPred` selects the
+    * query vectors — d26 searches the whole corpus with a 1-in-10 query
+    * sample, d27 searches the pre-existing corpus from an arriving
+    * increment encoded with the UNRETRAINED codebook. Output
+    * (vec_id, rn, nbr, d2) — d2 is the exact squared L2 of the
     * re-ranked winners. */
-  def pqSearch(embeddings: DataFrame, kNbrs: Int): DataFrame = {
+  def pqSearch(embeddings: DataFrame, kNbrs: Int,
+               dbPred: Column, qPred: Column): DataFrame = {
     val subs = Materialize(pqSubvectors(embeddings))
-    val cb = pqCodebook(subs, iters = 2)
+    val dbSubs = subs.filter(dbPred)
+    val cb = pqCodebook(dbSubs, iters = 2)
 
     // the compressed index: one row per vector, its m code ids.
     // Explicit repartition (AQE-exempt, d7's pattern): the code table is
@@ -273,7 +279,7 @@ object Clustering {
     // AQE's byte-based coalescing collapses the groupBy exchange to one
     // partition and the whole ADC scan + shortlist heap runs as ONE
     // task (measured 2.4 s of a 4.4 s run at sf0.1).
-    val codes = pqAssign(subs, cb)
+    val codes = pqAssign(dbSubs, cb)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), s -> s.cid)")
         .as("codes"))
@@ -282,8 +288,8 @@ object Clustering {
     // per-query ADC lookup table as ONE map column keyed sub*k+cid —
     // n_q × (m·k) entries, built from the same broadcast codebook join
     // the encoder uses, then broadcast over the code table
-    val lut = pqSubvectors(embeddings)
-      .filter(col("vec_id") % 10 === 0)
+    val lut = subs
+      .filter(qPred)
       .join(broadcast(cb), "sub")
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
         VecSqDist(col("sv"), col("cv")).as("dd"))
@@ -338,7 +344,20 @@ object Clustering {
         .orderBy(col("vec_id"))),
 
     "d26_ann_pq" -> ((s, dir) =>
-      pqSearch(Tables.embeddings(s, dir), kNbrs = 3)
+      pqSearch(Tables.embeddings(s, dir), kNbrs = 3,
+          dbPred = lit(true), qPred = col("vec_id") % 10 === 0)
+        .orderBy(col("vec_id"), col("rn"))),
+
+    // INDEX MAINTENANCE posture: an arriving embedding increment (every
+    // 5th vector) searches the pre-existing corpus for near-duplicates
+    // BEFORE admission, encoded against the codebook trained when the
+    // increment did not exist — no retrain on ingest, the way a
+    // production IVF-PQ index absorbs daily batches (periodic retrain
+    // is an offline job, not an ingest dependency). Same deterministic
+    // pipeline as d26, so hash-gated end to end.
+    "d27_incremental_ann_ingest" -> ((s, dir) =>
+      pqSearch(Tables.embeddings(s, dir), kNbrs = 3,
+          dbPred = col("vec_id") % 5 =!= 0, qPred = col("vec_id") % 5 === 0)
         .orderBy(col("vec_id"), col("rn"))),
   )
 
@@ -393,7 +412,7 @@ object Clustering {
   // kmeansCte pattern keyed by (sub, cid) — k and m appear only as
   // data, not unrolled SQL; ADC sums replay as a grouped DECIMAL sum
   // (exact, so Spark's fixed-order map-lookup adds agree bit-for-bit)
-  private val pqOracle =
+  private def pqOracleFor(db: String => String, q: String => String): String =
     s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
@@ -403,12 +422,13 @@ object Clustering {
       |    list_slice(v, s.s*$PqSubDim+1, s.s*$PqSubDim+$PqSubDim) AS sv
       |  FROM e CROSS JOIN (SELECT unnest(range($PqM)) AS s) s
       |),
-      |cb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PqK),
+      |cb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM sub
+      |        WHERE (${db("")}) AND vec_id < $PqK),
       |s1 AS (
       |  SELECT t.vec_id, t.sub, c.cid,
       |    list_reduce(list_transform(range(len(t.sv)),
       |      i -> (t.sv[i+1]-c.cv[i+1])*(t.sv[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
-      |  FROM sub t JOIN cb0 c ON t.sub = c.sub
+      |  FROM sub t JOIN cb0 c ON t.sub = c.sub WHERE (${db("t.")})
       |),
       |a1 AS (
       |  SELECT vec_id, sub, cid FROM (
@@ -430,7 +450,7 @@ object Clustering {
       |  SELECT t.vec_id, t.sub, c.cid,
       |    list_reduce(list_transform(range(len(t.sv)),
       |      i -> (t.sv[i+1]-c.cv[i+1])*(t.sv[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
-      |  FROM sub t JOIN cb1 c ON t.sub = c.sub
+      |  FROM sub t JOIN cb1 c ON t.sub = c.sub WHERE (${db("t.")})
       |),
       |codes AS (
       |  SELECT vec_id, sub, cid AS code FROM (
@@ -443,7 +463,7 @@ object Clustering {
       |    list_reduce(list_transform(range(len(q.sv)),
       |      i -> (q.sv[i+1]-c.cv[i+1])*(q.sv[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dd
       |  FROM sub q JOIN cb1 c ON q.sub = c.sub
-      |  WHERE q.vec_id % 10 = 0
+      |  WHERE (${q("q.")})
       |),
       |adc AS (
       |  SELECT l.qid, k.vec_id AS nbr,
@@ -471,7 +491,9 @@ object Clustering {
       |ORDER BY vec_id, rn""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "d26_ann_pq" -> pqOracle,
+    "d26_ann_pq" -> pqOracleFor(_ => "TRUE", a => s"${a}vec_id % 10 = 0"),
+    "d27_incremental_ann_ingest" ->
+      pqOracleFor(a => s"${a}vec_id % 5 <> 0", a => s"${a}vec_id % 5 = 0"),
 
     "c1_kmeans" ->
       (kmeansCte +

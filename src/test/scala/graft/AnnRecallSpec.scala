@@ -75,10 +75,31 @@ class AnnRecallSpec extends SparkTestBase {
     val hits1 = pq.filter(col("rn") === 1)
       .join(truth, "vec_id")
       .filter(col("nbr") === col("true_nbr")).count()
-    e.unpersist()
     val r1 = hits1.toDouble / n
     info(f"d26_ann_pq over $n queries: recall@1=$r1%.3f")
     assert(r1 >= 0.75, f"d26_ann_pq recall@1 $r1%.3f fell below 0.75")
+
+    // d27 (incremental ingest): same floor against the exact-L2 truth
+    // restricted to its database (non-increment vectors) — measured
+    // 0.870 at sf0.01 (2026-08, deterministic)
+    val truth27 = e.filter(col("vec_id") % 5 === 0).as("q")
+      .crossJoin(e.filter(col("vec_id") % 5 =!= 0).as("x"))
+      .select(col("q.vec_id").as("vec_id"), col("x.vec_id").as("nbr"),
+        VecSqDist(col("q.v"), col("x.v")).as("d2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("nbr").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nbr").as("true_nbr"))
+    val n27 = truth27.count()
+    val hits27 = SparkEntry.queries("d27_incremental_ann_ingest")(spark, dir)
+      .filter(col("rn") === 1)
+      .join(truth27, "vec_id")
+      .filter(col("nbr") === col("true_nbr")).count()
+    e.unpersist()
+    val r27 = hits27.toDouble / n27
+    info(f"d27_incremental_ann_ingest over $n27 queries: recall@1=$r27%.3f")
+    assert(r27 >= 0.7, f"d27 recall@1 $r27%.3f fell below 0.7")
   }
 
   test("LshSignature bucket codes are the hyperplane sign bits, stable across calls") {
