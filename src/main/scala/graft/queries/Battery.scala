@@ -28,7 +28,7 @@ final case class LineSlim(l_orderkey: Long, l_quantity: Double, l_returnflag: St
 
 object Battery {
 
-  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+  private def dsum(c: Column) = graft.ops.Num.dsum(c)
 
   // Fixed, per-(query, source-dir) scratch path, overwritten on each
   // invocation — a fresh createTempDirectory per closure call would leak

@@ -38,7 +38,7 @@ import graft.sources.Tables
 object Clustering {
 
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(38, 6))).cast("double")
+    graft.ops.Num.dsum(c)
 
   /** `iters` Lloyd iterations from the first-k-by-vec_id seeds; returns
     * the refined centroid table (cid, cv). This is the trainable half of
@@ -190,8 +190,8 @@ object Clustering {
   // candidate is m table lookups instead of a full-dimension distance.
   //
   // This is the memory side of the 100 TB ANN story that d7's IVF is the
-  // compute side of: 64 float dims (256 B) compress to m=4 single-byte
-  // codes — a 64× smaller index that fits in memory where the raw
+  // compute side of: 64 float dims (256 B) compress to m=8 single-byte
+  // codes — a 32× smaller index that fits in memory where the raw
   // vectors cannot, which is why IVF-PQ is the standard web-scale
   // layout (IVF prunes which cells to scan; PQ makes the in-cell scan a
   // cheap LUT walk over compressed codes). The composition is direct:

@@ -17,14 +17,18 @@ import graft.sources.Tables
   */
 object Quality {
 
-  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+  private def dsum(c: Column) = graft.ops.Num.dsum(c)
 
   /** One profile row per requested column: row count, null count,
     * distinct count, and min/max/mean of the column's CANONICAL NUMERIC
-    * PROJECTION — numerics as-is, timestamps as epoch micros, strings by
-    * length (the Deequ convention for type-uniform profile schemas).
-    * Works on any DataFrame: the projection is dispatched from the
-    * schema, so the operator is generic, not lineitem-shaped.
+    * PROJECTION — numerics as-is, timestamps as epoch micros, dates as
+    * epoch days, strings by length (the Deequ convention for
+    * type-uniform profile schemas). The distinct count is over the
+    * column's VALUES (strings by content — cardinality of an enum
+    * column must be its enum size, not its length spread); only
+    * min/max/mean use the numeric projection. The projection is
+    * dispatched from the schema, so the operator is generic, not
+    * lineitem-shaped; an unknown column name fails by name.
     *
     * Scale shape: ONE melt pass (a single generator, q56's single-Expand
     * idiom carries (column, value) pairs), then a column-keyed aggregate
@@ -37,23 +41,35 @@ object Quality {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val entries = cols.map { c =>
-      val v: Column = byName(c) match {
-        case _: StringType => length(col(c)).cast("double")
+      val dt = byName.getOrElse(c,
+        sys.error(s"profile: no column '$c' in [${df.columns.mkString(", ")}]"))
+      // v = numeric projection (min/max/mean); dv = distinct basis as a
+      // string (one struct type across the melt): raw content for
+      // strings, the projection's exact rendering otherwise (injective
+      // for doubles — shortest-roundtrip cast)
+      val (v, dv): (Column, Column) = dt match {
+        case _: StringType => (length(col(c)).cast("double"), col(c))
         case _: TimestampType | _: TimestampNTZType =>
           // NTZ→TIMESTAMP is wall-clock-preserving under the session's
           // UTC zone, so this equals DuckDB's epoch_us(naive ts)
-          expr(s"unix_micros(cast($c as timestamp))").cast("double")
-        case _ => col(c).cast("double")
+          val us = expr(s"unix_micros(cast($c as timestamp))").cast("double")
+          (us, us.cast("string"))
+        case _: DateType =>
+          val d = expr(s"datediff($c, DATE '1970-01-01')").cast("double")
+          (d, d.cast("string"))
+        case _ =>
+          val d = col(c).cast("double")
+          (d, d.cast("string"))
       }
-      struct(lit(c).as("c"), v.as("v"))
+      struct(lit(c).as("c"), v.as("v"), dv.as("dv"))
     }
     df.select(explode(array(entries: _*)).as("e"))
-      .select(col("e.c").as("col_name"), col("e.v").as("v"))
+      .select(col("e.c").as("col_name"), col("e.v").as("v"), col("e.dv").as("dv"))
       .groupBy(col("col_name"))
       .agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - count(col("v"))).as("n_null"),
-        countDistinct(col("v")).as("n_distinct"),
+        countDistinct(col("dv")).as("n_distinct"),
         min(col("v")).as("min_d"),
         max(col("v")).as("max_d"),
         (dsum(col("v")) / count(col("v"))).as("mean_d"))
@@ -112,22 +128,26 @@ object Quality {
     }),
   )
 
-  private def profileOracleFor(c: String, duckProj: String): String =
+  // d = the distinct basis (raw string content for string columns, the
+  // numeric projection otherwise — distinct doubles render distinctly
+  // on the Spark side, so the counts agree)
+  private def profileOracleFor(c: String, duckProj: String, duckDistinct: String): String =
     s"""SELECT '$c' AS col_name, COUNT(*) AS n,
-       |  COUNT(*) - COUNT(x) AS n_null, COUNT(DISTINCT x) AS n_distinct,
+       |  COUNT(*) - COUNT(x) AS n_null, COUNT(DISTINCT d) AS n_distinct,
        |  MIN(x) AS min_d, MAX(x) AS max_d,
        |  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x) AS mean_d
-       |FROM (SELECT $duckProj AS x FROM lineitem)""".stripMargin
+       |FROM (SELECT $duckProj AS x, $duckDistinct AS d FROM lineitem)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dq1_profile" -> (profileCols.map { c =>
-      val proj = c match {
+      val (proj, dis) = c match {
         case "l_returnflag" | "l_linestatus" =>
-          s"CAST(LENGTH($c) AS DOUBLE)"
-        case "l_shipdate" => s"CAST(epoch_us($c) AS DOUBLE)"
-        case _ => s"CAST($c AS DOUBLE)"
+          (s"CAST(LENGTH($c) AS DOUBLE)", c)
+        case "l_shipdate" => (s"CAST(epoch_us($c) AS DOUBLE)",
+          s"CAST(epoch_us($c) AS DOUBLE)")
+        case _ => (s"CAST($c AS DOUBLE)", s"CAST($c AS DOUBLE)")
       }
-      profileOracleFor(c, proj)
+      profileOracleFor(c, proj, dis)
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
     "dq2_constraints" ->

@@ -24,7 +24,7 @@ object Relational {
   /** sum(cast(x as decimal(38,6))) cast back to double — deterministic
     * across row orderings and engines, unlike a raw double sum. */
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(38, 6))).cast("double")
+    graft.ops.Num.dsum(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan → filter → hash agg (partial+final map-side

@@ -27,7 +27,7 @@ object Retrieval {
 
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
-  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+  private def dsum(c: Column) = graft.ops.Num.dsum(c)
 
   /** Winnowing selection core (t23): 3-token-gram hashes, w=4 sliding
     * windows, RIGHTMOST MINIMAL hash per window — both selections folded
@@ -433,10 +433,11 @@ object Retrieval {
     // negatives are the best-scoring partial matches, lexically
     // confusable with the positives, which is exactly what the
     // negative sampler wants (random negatives are trivially easy and
-    // teach the bi-encoder nothing). Scale shape = t25's: one
-    // materialized sparse (doc, term, tf) frame, query-term filter
-    // before any shuffle, tiny df table broadcast, scalar-subquery
-    // constants, per-query top-k via the map-side-heap TopKPerKey.
+    // teach the bi-encoder nothing). Scale shape = t20's: the
+    // query-term filter runs inside the token array BEFORE the explode
+    // so only matching occurrences cross the (doc, term) exchange,
+    // tiny df table broadcast, scalar-subquery constants, per-query
+    // top-k via the map-side-heap TopKPerKey.
     "t26_hard_negatives" -> ((s, dir) => {
       import s.implicits._
       val base = Tables.documents(s, dir)
@@ -453,13 +454,18 @@ object Retrieval {
         .as("c")).scalar()
       val n = consts.getField("n")
       val avgdl = consts.getField("avgdl")
-      val tfAll = graft.ops.Materialize(graft.ops.Spread.fanout(base)
-        .select($"doc_id", explode(toks($"text")).as("t"))
-        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
-      val dl = tfAll.groupBy($"doc_id").agg(sum($"tf").cast("double").as("dl"))
-      val matched = tfAll.filter($"t".isin(qterms: _*))
-        .join(dl, "doc_id")
-        .select($"doc_id", $"dl", $"t", $"tf".cast("double").as("tf"))
+      // t20's cheap shape, not t25's: dl is size(toks) (shuffle-free)
+      // and the query-term filter runs INSIDE the array BEFORE the
+      // explode, so only matching occurrences ever cross the
+      // (doc, term) exchange — t26 has no cosine norm, so nothing here
+      // needs the full-vocabulary tf frame t25 materializes
+      val inList = qterms.map(t => s"'$t'").mkString(", ")
+      val matched = graft.ops.Materialize(graft.ops.Spread.fanout(base)
+        .select($"doc_id", toks($"text").as("toks"))
+        .select($"doc_id", size($"toks").cast("double").as("dl"),
+          explode(expr(s"filter(toks, t -> t IN ($inList))")).as("t"))
+        .groupBy($"doc_id", $"dl", $"t")
+        .agg(count(lit(1)).cast("double").as("tf")))
       val dfreq = matched.groupBy($"t").agg(count(lit(1)).cast("double").as("df"))
       val perQ = matched.join(broadcast(dfreq), "t").join(qdf, "t")
         .withColumn("idf", (n - $"df" + lit(0.5)) / ($"df" + lit(0.5)))

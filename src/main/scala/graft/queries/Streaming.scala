@@ -18,7 +18,7 @@ import graft.streaming.Streams
   * [[graft.streaming.Streams]] (proven equal in StreamingSpec). */
 object Streaming {
 
-  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+  private def dsum(c: Column) = graft.ops.Num.dsum(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -171,16 +171,6 @@ object Streaming {
         .orderBy($"user_id")
     }),
 
-    // incremental CRAWL NOVELTY accounting: sources are crawl
-    // increments processed in rank order; a 10-token segment is NOVEL
-    // iff no earlier crawl (nor an earlier position in this one)
-    // contained it — the "how much fresh content did this crawl add"
-    // dedup-rate metric. Batch semantics = global first-occurrence by
-    // the packed (source_rank, doc_id, seg_idx) key (bounds: rank<2^23,
-    // doc_id<2^20, seg_idx<2^20); the true incremental execution —
-    // per-micro-batch anti join against an accumulating segment-hash
-    // index, one batch per crawl — is [[Streams.crawlNoveltyBatch]],
-    // proven equal in StreamingSpec.
     // incremental DISTINCT COUNTING via mergeable sketches: the
     // monitoring widget every ingest keeps current — "distinct users
     // per event type, so far" — maintained as a per-micro-batch HLL
@@ -199,6 +189,16 @@ object Streaming {
         .orderBy($"event_type")
     }),
 
+    // incremental CRAWL NOVELTY accounting: sources are crawl
+    // increments processed in rank order; a 10-token segment is NOVEL
+    // iff no earlier crawl (nor an earlier position in this one)
+    // contained it — the "how much fresh content did this crawl add"
+    // dedup-rate metric. Batch semantics = global first-occurrence by
+    // the packed (source_rank, doc_id, seg_idx) key (bounds: rank<2^23,
+    // doc_id<2^20, seg_idx<2^20); the true incremental execution —
+    // per-micro-batch anti join against an accumulating segment-hash
+    // index, one batch per crawl — is [[Streams.crawlNoveltyBatch]],
+    // proven equal in StreamingSpec.
     "s12_crawl_novelty" -> ((s, dir) => {
       import s.implicits._
       val segs = graft.queries.LlmPipeline.segmentize(

@@ -14,7 +14,7 @@ import graft.sources.Tables
   * state. */
 object Streams {
 
-  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+  private def dsum(c: Column) = graft.ops.Num.dsum(c)
 
   /** `readStream` source with the batch-derived schema (a streaming scan
     * cannot infer), including the ns→µs normalization of `Tables.events`. */
@@ -271,6 +271,18 @@ object Streams {
     }
   }
 
+  /** Batch-id-versioned state subdirs (`b<id>`) under `dir`, ascending
+    * by id, optionally only ids strictly below `ltId` — the shared
+    * contract of every exactly-once versioned store here (s11's serving
+    * table, s12's novelty index, s13's sketch state): reads take
+    * strictly-earlier versions, writes overwrite the batch's own. */
+  private def versionedSubdirs(dir: String, ltId: Option[Long]): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        f.getName.drop(1).nonEmpty && f.getName.drop(1).forall(_.isDigit) &&
+        ltId.forall(f.getName.drop(1).toLong < _))
+      .sortBy(_.getName.drop(1).toLong).map(_.getPath)
+
   /** One micro-batch of incremental segment-novelty accounting (the
     * streaming posture of s12_crawl_novelty, driven from foreachBatch):
     * count this batch's segments that were never seen in any EARLIER
@@ -297,10 +309,7 @@ object Streams {
           $"source", $"doc_id", $"seg_idx").as("okey"))
     // only STRICTLY EARLIER batches' subdirs: a replayed batch never
     // sees its own prior partial write
-    val earlier = Option(new java.io.File(indexDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < batchId)
-      .map(_.getPath)
+    val earlier = versionedSubdirs(indexDir, Some(batchId))
     val fresh =
       if (earlier.nonEmpty)
         segs.join(s.read.parquet(earlier: _*), Seq("k"), "left_anti")
@@ -346,10 +355,7 @@ object Streams {
     import s.implicits._
     val bsk = batch.groupBy($"event_type")
       .agg(hll_sketch_agg($"user_id").as("sk"))
-    val prev = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < batchId)
-      .sortBy(_.getName.drop(1).toLong).lastOption.map(_.getPath)
+    val prev = versionedSubdirs(stateDir, Some(batchId)).lastOption
     val merged = prev match {
       case Some(p) => bsk.unionByName(s.read.parquet(p))
         .groupBy($"event_type").agg(hll_union_agg($"sk").as("sk"))
@@ -361,10 +367,8 @@ object Streams {
   /** Per-type estimates from the latest persisted sketch state. */
   def readDistinctState(s: SparkSession, stateDir: String): DataFrame = {
     import s.implicits._
-    val last = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-        f.getName.drop(1).forall(_.isDigit))
-      .sortBy(_.getName.drop(1).toLong).last.getPath
+    val last = versionedSubdirs(stateDir, None).lastOption.getOrElse(
+      sys.error(s"no sketch state under $stateDir — run distinctSketchBatch first"))
     s.read.parquet(last)
       .select($"event_type",
         hll_sketch_estimate($"sk").as("approx_users"))

@@ -54,17 +54,21 @@ class AnnRecallSpec extends SparkTestBase {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .cache()
-    // exact L2 top-1 for the query subset d26 answers (every 10th vector)
-    val truth = e.filter(col("vec_id") % 10 === 0).as("q")
-      .crossJoin(e.as("x"))
-      .filter(col("q.vec_id") =!= col("x.vec_id"))
-      .select(col("q.vec_id").as("vec_id"), col("x.vec_id").as("nbr"),
-        VecSqDist(col("q.v"), col("x.v")).as("d2"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2").asc, col("nbr").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nbr").as("true_nbr"))
+    // exact L2 top-1 of each query against its database, under the
+    // pipelines' own (d2 ASC, nbr ASC) tie order
+    def l2Truth(q: org.apache.spark.sql.DataFrame,
+                db: org.apache.spark.sql.DataFrame) =
+      q.as("q").crossJoin(db.as("x"))
+        .filter(col("q.vec_id") =!= col("x.vec_id"))
+        .select(col("q.vec_id").as("vec_id"), col("x.vec_id").as("nbr"),
+          VecSqDist(col("q.v"), col("x.v")).as("d2"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2").asc, col("nbr").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nbr").as("true_nbr"))
+    // d26: every 10th vector queries the whole corpus
+    val truth = l2Truth(e.filter(col("vec_id") % 10 === 0), e)
     val n = truth.count()
     assert(n > 0, "exact-L2 truth is empty")
     // after the exact re-rank, recall@1 IS the ADC shortlist hit rate:
@@ -82,15 +86,8 @@ class AnnRecallSpec extends SparkTestBase {
     // d27 (incremental ingest): same floor against the exact-L2 truth
     // restricted to its database (non-increment vectors) — measured
     // 0.870 at sf0.01 (2026-08, deterministic)
-    val truth27 = e.filter(col("vec_id") % 5 === 0).as("q")
-      .crossJoin(e.filter(col("vec_id") % 5 =!= 0).as("x"))
-      .select(col("q.vec_id").as("vec_id"), col("x.vec_id").as("nbr"),
-        VecSqDist(col("q.v"), col("x.v")).as("d2"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2").asc, col("nbr").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nbr").as("true_nbr"))
+    val truth27 = l2Truth(e.filter(col("vec_id") % 5 === 0),
+      e.filter(col("vec_id") % 5 =!= 0))
     val n27 = truth27.count()
     val hits27 = SparkEntry.queries("d27_incremental_ann_ingest")(spark, dir)
       .filter(col("rn") === 1)
