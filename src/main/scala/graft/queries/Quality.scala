@@ -44,26 +44,37 @@ object Quality {
       val dt = byName.getOrElse(c,
         sys.error(s"profile: no column '$c' in [${df.columns.mkString(", ")}]"))
       // v = numeric projection (min/max/mean); dv = distinct basis as a
-      // string (one struct type across the melt): raw content for
-      // strings, the projection's exact rendering otherwise (injective
-      // for doubles — shortest-roundtrip cast)
+      // 64-bit VALUE hash (raw content for strings, the projection
+      // otherwise) — distinct counting runs on 8-byte keys through the
+      // two-phase-distinct Expand/exchange instead of rendered strings
+      // (the cost was CPU parallelism, fixed by the fanout below; the
+      // hash keys keep the distinct exchange compact as value width
+      // grows). A collision undercounting by one is d2's accepted
+      // ~2^-64 posture; the oracle counts the values themselves.
       val (v, dv): (Column, Column) = dt match {
-        case _: StringType => (length(col(c)).cast("double"), col(c))
+        case _: StringType => (length(col(c)).cast("double"), xxhash64(col(c)))
         case _: TimestampType | _: TimestampNTZType =>
           // NTZ→TIMESTAMP is wall-clock-preserving under the session's
           // UTC zone, so this equals DuckDB's epoch_us(naive ts)
           val us = expr(s"unix_micros(cast($c as timestamp))").cast("double")
-          (us, us.cast("string"))
+          (us, xxhash64(us))
         case _: DateType =>
           val d = expr(s"datediff($c, DATE '1970-01-01')").cast("double")
-          (d, d.cast("string"))
+          (d, xxhash64(d))
         case _ =>
           val d = col(c).cast("double")
-          (d, d.cast("string"))
+          (d, xxhash64(d))
       }
       struct(lit(c).as("c"), v.as("v"), dv.as("dv"))
     }
-    df.select(explode(array(entries: _*)).as("e"))
+    // fanout BEFORE the melt: the 11× generator, value hashing and the
+    // partial-distinct hash maps are CPU-dense but run inside the scan
+    // stage, whose task count is the parquet FILE split count (3 at
+    // sf0.1) — profiled 13.8 of 14.2 s in that 3-task stage; the
+    // round-robin fanout puts the melt on every core (7.5 → 2.3-2.9 s
+    // warm under the same action)
+    graft.ops.Spread.fanout(df)
+      .select(explode(array(entries: _*)).as("e"))
       .select(col("e.c").as("col_name"), col("e.v").as("v"), col("e.dv").as("dv"))
       .groupBy(col("col_name"))
       .agg(

@@ -42,7 +42,14 @@ object BenchOne {
       // per-stage attribution: warm once, then run instrumented
       val q = name.stripPrefix("_jobs:")
       val fn = SparkEntry.queries(q)
-      (1 to 2).foreach { i => time(s"$q warm$i")(fn(spark, sfDir).count()) }
+      // the bench's plan-preserving action: df.count() would let
+      // Catalyst dead-code-eliminate aggregates/sorts and attribute a
+      // plan the bench never bills (dq1 profiled 0.65 s under count()
+      // vs 7.5 s billed — the round-7 accounting lesson applies to the
+      // profiler too)
+      def act(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.toRdd.count()
+      (1 to 2).foreach { i => time(s"$q warm$i")(act(fn(spark, sfDir))) }
       import org.apache.spark.scheduler._
       import scala.collection.mutable
       val stages = mutable.ArrayBuffer[(Int, String, Long, Int)]()
@@ -58,13 +65,28 @@ object BenchOne {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      time(s"$q instrumented")(fn(spark, sfDir).count())
+      time(s"$q instrumented")(act(fn(spark, sfDir)))
       spark.sparkContext.removeSparkListener(listener)
       Thread.sleep(500)
       stages.sortBy(-_._3).foreach { case (id, nm, dur, nt) =>
         println(f"[benchone] stage $id%4d ${dur}%6d ms $nt%4d tasks  $nm")
       }
       println(f"[benchone] stage total: ${stages.map(_._3).sum} ms over ${stages.size} stages")
+    } else if (name.startsWith("_seq:")) {
+      // battery-context reproduction: run the listed queries in order
+      // in ONE JVM with the bench's own plan-preserving action, to
+      // separate isolated-vs-in-battery cost (e.g. dq1's 0.85 s
+      // isolated vs 7.5-8.3 s billed in the 149-query battery)
+      val qs = name.stripPrefix("_seq:").split(",").toSeq
+      qs.foreach { q =>
+        val fn = SparkEntry.queries(q)
+        (1 to 2).foreach { i =>
+          time(s"$q seq$i")(fn(spark, sfDir).queryExecution.toRdd.count())
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          spark.sqlContext.clearCache()
+          System.gc()
+        }
+      }
     } else if (name.startsWith("_rdd:")) {
       // the bench main's plan-preserving action, for apples-to-apples
       val q = name.stripPrefix("_rdd:")
