@@ -1631,6 +1631,75 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // PERCEPTUAL image dedup (dHash): the multimodal member of the
+    // dedup family — images that LOOK alike cluster even when their
+    // bytes differ. Per doc a real PNG is painted (gradient keyed by a
+    // 16-way visual class, plus a PER-DOC uniform brightness offset —
+    // so byte-exact dedup finds nothing), really decoded (m4's codec
+    // path), grayscaled, box-downsampled to the classic 9×8 grid, and
+    // hashed by horizontal brightness GRADIENTS (cell[x+1] > cell[x]);
+    // uniform brightness cancels in the differences, so each visual
+    // class lands on one hash and the groupBy recovers the classes.
+    // The oracle recomputes the whole pipeline ARITHMETICALLY from the
+    // painted-pixel formula (m5's trick) — a decoder that mangles any
+    // pixel, or a downsample/hash bug, goes red. The 64 bits ship as
+    // two BIGINT halves (no sign games in either engine). Scale: the
+    // codec pass is batch-shaped mapPartitions over a fanned-out scan;
+    // clustering is one groupBy on the 8-byte hash pair — at 100 TB
+    // this is exact dedup's shuffle with dHash as the key, and a
+    // Hamming-near variant rides d4's simhash band machinery.
+    "m7_image_dhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { id =>
+            val gid = (id % 16).toInt
+            val w = 12 + gid % 5
+            val h = 10 + gid % 7
+            val off = ((id / 16) % 40).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (x <- 0 until w; y <- 0 until h) {
+              val r = (gid * 37 + x * 31 + y * 17) % 200 + off
+              val g = (gid * 59 + x * 13 + y * 29) % 200 + off
+              val b = (gid * 83 + x * 7 + y * 23) % 200 + off
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            // REAL decode of the real encode — the codec is in the loop
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            // 9×8 box downsample of integer grayscale (floor means —
+            // replicated exactly by the oracle's integer arithmetic)
+            val sums = Array.ofDim[Long](9, 8)
+            val cnts = Array.ofDim[Long](9, 8)
+            for (x <- 0 until w; y <- 0 until h) {
+              val p = im.getRGB(x, y)
+              val gray = (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+              sums(x * 9 / w)(y * 8 / h) += gray
+              cnts(x * 9 / w)(y * 8 / h) += 1
+            }
+            var lo = 0L; var hi = 0L
+            for (cy <- 0 until 8; cx <- 0 until 8) {
+              val bit = (sums(cx + 1)(cy) / cnts(cx + 1)(cy)) >
+                (sums(cx)(cy) / cnts(cx)(cy))
+              val idx = cy * 8 + cx
+              if (bit) { if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32) }
+            }
+            (id, hi, lo)
+          })
+        }.toDF("doc_id", "dhash_hi", "dhash_lo")
+      val clusters = hashes.groupBy($"dhash_hi", $"dhash_lo")
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_members"))
+      hashes.join(clusters, Seq("dhash_hi", "dhash_lo"))
+        .select($"doc_id", $"dhash_hi", $"dhash_lo", $"keeper", $"n_members",
+          ($"doc_id" =!= $"keeper").as("is_dup"))
+        .orderBy($"doc_id")
+    }),
+
     // REAL audio decode (no stub): per document a genuine 16-bit PCM
     // mono WAV is synthesized in the executors (pure-JDK
     // javax.sound.sampled — sample count and every sample value are
@@ -2664,6 +2733,56 @@ object LlmPipeline {
         |  CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
         |  CAST(SUM(v & 255) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the whole perceptual pipeline replayed arithmetically from the
+    // painted-pixel formula (m5's trick): gray → 9×8 floor-mean cells →
+    // horizontal-gradient bits → two BIGINT halves → hash clustering
+    "m7_image_dhash_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS gid,
+        |    CAST(12 + (doc_id % 16) % 5 AS BIGINT) AS w,
+        |    CAST(10 + (doc_id % 16) % 7 AS BIGINT) AS h,
+        |    CAST((doc_id // 16) % 40 AS BIGINT) AS off
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    ((gid*37 + x*31 + y*17) % 200 + off
+        |     + (gid*59 + x*13 + y*29) % 200 + off
+        |     + (gid*83 + x*7 + y*23) % 200 + off) // 3 AS gray,
+        |    x, y
+        |  FROM (SELECT doc_id, gid, w, h, off, unnest(range(w)) AS x FROM g)
+        |  CROSS JOIN LATERAL (SELECT unnest(range(h)) AS y)
+        |),
+        |cells AS (
+        |  SELECT doc_id, (x*9)//w AS cx, (y*8)//h AS cy,
+        |    SUM(gray)//COUNT(*) AS cell
+        |  FROM px GROUP BY doc_id, (x*9)//w, (y*8)//h
+        |),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy*8 + a.cx AS idx,
+        |    CASE WHEN b.cell > a.cell THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32))
+        |                  ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx)
+        |                  ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY doc_id
+        |),
+        |k AS (
+        |  SELECT dhash_hi, dhash_lo, MIN(doc_id) AS keeper,
+        |    COUNT(*) AS n_members
+        |  FROM hashes GROUP BY dhash_hi, dhash_lo
+        |)
+        |SELECT h.doc_id, h.dhash_hi, h.dhash_lo, k.keeper, k.n_members,
+        |  h.doc_id <> k.keeper AS is_dup
+        |FROM hashes h JOIN k USING (dhash_hi, dhash_lo)
+        |ORDER BY h.doc_id""".stripMargin,
 
     "t10_pii_scrub" ->
       """SELECT c_custkey,
