@@ -1656,39 +1656,12 @@ object LlmPipeline {
           javax.imageio.ImageIO.setUseCache(false)
           it.grouped(64).flatMap(_.iterator.map { id =>
             val gid = (id % 16).toInt
-            val w = 12 + gid % 5
-            val h = 10 + gid % 7
             val off = ((id / 16) % 40).toInt
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            for (x <- 0 until w; y <- 0 until h) {
-              val r = (gid * 37 + x * 31 + y * 17) % 200 + off
-              val g = (gid * 59 + x * 13 + y * 29) % 200 + off
-              val b = (gid * 83 + x * 7 + y * 23) % 200 + off
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            // REAL decode of the real encode — the codec is in the loop
-            val im = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bos.toByteArray))
-            // 9×8 box downsample of integer grayscale (floor means —
-            // replicated exactly by the oracle's integer arithmetic)
-            val sums = Array.ofDim[Long](9, 8)
-            val cnts = Array.ofDim[Long](9, 8)
-            for (x <- 0 until w; y <- 0 until h) {
-              val p = im.getRGB(x, y)
-              val gray = (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
-              sums(x * 9 / w)(y * 8 / h) += gray
-              cnts(x * 9 / w)(y * 8 / h) += 1
-            }
-            var lo = 0L; var hi = 0L
-            for (cy <- 0 until 8; cx <- 0 until 8) {
-              val bit = (sums(cx + 1)(cy) / cnts(cx + 1)(cy)) >
-                (sums(cx)(cy) / cnts(cx)(cy))
-              val idx = cy * 8 + cx
-              if (bit) { if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32) }
-            }
+            val (hi, lo) = dhashThroughCodec(12 + gid % 5, 10 + gid % 7,
+              (x, y) => (
+                (gid * 37 + x * 31 + y * 17) % 200 + off,
+                (gid * 59 + x * 13 + y * 29) % 200 + off,
+                (gid * 83 + x * 7 + y * 23) % 200 + off))
             (id, hi, lo)
           })
         }.toDF("doc_id", "dhash_hi", "dhash_lo")
@@ -1697,6 +1670,68 @@ object LlmPipeline {
       hashes.join(clusters, Seq("dhash_hi", "dhash_lo"))
         .select($"doc_id", $"dhash_hi", $"dhash_lo", $"keeper", $"n_members",
           ($"doc_id" =!= $"keeper").as("is_dup"))
+        .orderBy($"doc_id")
+    }),
+
+    // HAMMING-NEAR perceptual retrieval — m7's promise made real: when
+    // noise makes same-class hashes NEARLY equal instead of equal,
+    // exact hash grouping breaks and retrieval needs d13's pigeonhole.
+    // Per doc the painted image gains a class-independent perturbation
+    // (one brightened cell in the downsample grid's LAST column, which
+    // participates in exactly ONE gradient comparison — so a doc's hash
+    // drifts ≤1 bit, a pair ≤2). Candidates meet via an equi-join on
+    // 4×16-bit hash bands: 2 flipped bits cannot touch all 4 bands, so
+    // every true pair shares ≥2 exact bands — the pigeonhole GUARANTEE,
+    // not a recall hope; verification is bit_count(xor) ≤ 2 on the
+    // 8-byte halves. The oracle replays paint→downsample→hash→bands→
+    // verify arithmetically end to end. Scale = d13's: band-keyed
+    // shuffle, never all-pairs; per-doc output row, ORDER BY doc_id.
+    "m8_image_neardup_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { id =>
+            val gid = (id % 16).toInt
+            val w = 12 + gid % 5
+            val h = 10 + gid % 7
+            val off = ((id / 16) % 30).toInt
+            val noisyRow = ((id / 16) % 8).toInt
+            val (hi, lo) = dhashThroughCodec(w, h, (x, y) => {
+              // +16 on every channel of the pixels mapping into
+              // downsample cell (8, noisyRow): column 8 feeds only the
+              // cx=7 comparison, so at most ONE hash bit moves
+              val nd = if (x * 9 / w == 8 && y * 8 / h == noisyRow) 16 else 0
+              ((gid * 37 + x * 31 + y * 17) % 180 + off + nd,
+                (gid * 59 + x * 13 + y * 29) % 180 + off + nd,
+                (gid * 83 + x * 7 + y * 23) % 180 + off + nd)
+            })
+            (id, hi, lo)
+          })
+        }.toDF("doc_id", "dhash_hi", "dhash_lo")
+        .transform(graft.ops.Materialize(_))
+      val bands = hashes.select($"doc_id", $"dhash_hi", $"dhash_lo",
+        posexplode(array(
+          $"dhash_lo".bitwiseAND(lit(65535L)),
+          shiftright($"dhash_lo", 16).bitwiseAND(lit(65535L)),
+          $"dhash_hi".bitwiseAND(lit(65535L)),
+          shiftright($"dhash_hi", 16).bitwiseAND(lit(65535L))))
+          .as(Seq("bidx", "bval")))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          $"a.bidx" === $"b.bidx" && $"a.bval" === $"b.bval" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          (bit_count(expr("a.dhash_hi ^ b.dhash_hi")) +
+            bit_count(expr("a.dhash_lo ^ b.dhash_lo"))).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 2)
+      // per-doc neighbor accounting over the undirected pair set
+      val nbrs = pairs.select($"d1".as("doc_id"), $"d2".as("nbr"))
+        .unionByName(pairs.select($"d2".as("doc_id"), $"d1".as("nbr")))
+      nbrs.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_nbrs"), min($"nbr").as("min_nbr"))
         .orderBy($"doc_id")
     }),
 
@@ -2031,6 +2066,42 @@ object LlmPipeline {
         .orderBy($"source")
     }),
   )
+
+  /** Paint a w×h RGB image from `rgbAt`, push it through a REAL PNG
+    * encode→decode (the codec is in the loop — m4's contract), then
+    * compute the 9×8 box-downsampled integer-grayscale dHash. Floor
+    * means and (r+g+b)/3 are replicated exactly by the m7/m8 oracles'
+    * integer arithmetic. Returns the 64 gradient bits as (hi, lo)
+    * 32-bit halves (sign-safe BIGINTs in both engines). */
+  private def dhashThroughCodec(w: Int, h: Int,
+                                rgbAt: (Int, Int) => (Int, Int, Int)): (Long, Long) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val (r, g, b) = rgbAt(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val sums = Array.ofDim[Long](9, 8)
+    val cnts = Array.ofDim[Long](9, 8)
+    for (x <- 0 until w; y <- 0 until h) {
+      val p = im.getRGB(x, y)
+      val gray = (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+      sums(x * 9 / w)(y * 8 / h) += gray
+      cnts(x * 9 / w)(y * 8 / h) += 1
+    }
+    var lo = 0L; var hi = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val bit = (sums(cx + 1)(cy) / cnts(cx + 1)(cy)) >
+        (sums(cx)(cy) / cnts(cx)(cy))
+      val idx = cy * 8 + cx
+      if (bit) { if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32) }
+    }
+    (hi, lo)
+  }
 
   /** Fixed 10-token segmentation of a (… , text) frame — the span unit
     * p3/s12 dedup on (C4's three-sentence span, minus sentence
@@ -2783,6 +2854,67 @@ object LlmPipeline {
         |  h.doc_id <> k.keeper AS is_dup
         |FROM hashes h JOIN k USING (dhash_hi, dhash_lo)
         |ORDER BY h.doc_id""".stripMargin,
+
+    // m7's replay extended with the noise term, then the banded
+    // pigeonhole join and bit_count(xor) verification
+    "m8_image_neardup_hamming" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS gid,
+        |    CAST(12 + (doc_id % 16) % 5 AS BIGINT) AS w,
+        |    CAST(10 + (doc_id % 16) % 7 AS BIGINT) AS h,
+        |    CAST((doc_id // 16) % 30 AS BIGINT) AS off,
+        |    CAST((doc_id // 16) % 8 AS BIGINT) AS nrow
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    ((gid*37 + x*31 + y*17) % 180 + (gid*59 + x*13 + y*29) % 180
+        |     + (gid*83 + x*7 + y*23) % 180 + 3*off
+        |     + 3*(CASE WHEN (x*9)//w = 8 AND (y*8)//h = nrow
+        |              THEN 16 ELSE 0 END)) // 3 AS gray
+        |  FROM (SELECT doc_id, gid, w, h, off, nrow, unnest(range(w)) AS x FROM g)
+        |  CROSS JOIN LATERAL (SELECT unnest(range(h)) AS y)
+        |),
+        |cells AS (
+        |  SELECT doc_id, (x*9)//w AS cx, (y*8)//h AS cy,
+        |    SUM(gray)//COUNT(*) AS cell
+        |  FROM px GROUP BY doc_id, (x*9)//w, (y*8)//h
+        |),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy*8 + a.cx AS idx,
+        |    CASE WHEN b.cell > a.cell THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32))
+        |                  ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx)
+        |                  ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY doc_id
+        |),
+        |bands AS (
+        |  SELECT doc_id, dhash_hi, dhash_lo, b.bidx,
+        |    CASE b.bidx WHEN 0 THEN dhash_lo & 65535
+        |                WHEN 1 THEN (dhash_lo >> 16) & 65535
+        |                WHEN 2 THEN dhash_hi & 65535
+        |                ELSE (dhash_hi >> 16) & 65535 END AS bval
+        |  FROM hashes CROSS JOIN (SELECT unnest(range(4)) AS bidx) b
+        |),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |    bit_count(xor(a.dhash_hi, b.dhash_hi))
+        |      + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |),
+        |good AS (SELECT d1, d2 FROM pairs WHERE hamming <= 2),
+        |nbrs AS (SELECT d1 AS doc_id, d2 AS nbr FROM good
+        |         UNION ALL SELECT d2, d1 FROM good)
+        |SELECT doc_id, COUNT(*) AS n_nbrs, MIN(nbr) AS min_nbr
+        |FROM nbrs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t10_pii_scrub" ->
       """SELECT c_custkey,
