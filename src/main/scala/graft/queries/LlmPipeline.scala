@@ -1790,6 +1790,66 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // AUDIO perceptual dedup — m7's idea on the WAV path: recordings
+    // that SOUND alike cluster even when their bytes differ. Per doc a
+    // real 16-bit PCM WAV is synthesized (waveform keyed by a 16-way
+    // class with a class-dependent stride, times a PER-DOC integer
+    // amplitude 1-4 — so byte dedup finds nothing), really encoded and
+    // decoded (m6's codec path), then fingerprinted by the SIGN PATTERN
+    // of adjacent frame-energy differences (16 frames × 30 samples):
+    // energies scale by amp² uniformly, so the comparison bits — like
+    // m7's brightness-invariant gradients — are amplitude-invariant and
+    // each class lands on one 15-bit fingerprint (verified distinct for
+    // all 16 classes). The oracle replays synth→frame-energy→bits→
+    // cluster arithmetically; a codec that drops frames or flips
+    // endianness goes red. Scale: batch-shaped codec pass over a
+    // fanned-out scan; clustering is one groupBy on the fingerprint.
+    "m9_audio_fingerprint_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions(_.grouped(64).flatMap(_.iterator.map { id =>
+          val gid = (id % 16).toInt
+          val amp = 1 + ((id / 16) % 4).toInt
+          val step = 17 + gid * 7
+          val n = 480
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = amp * (((gid * 131 + i * step) % 997) - 498)
+            pcm(i * 2) = (v & 0xff).toByte // little-endian 16-bit PCM
+            pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          // REAL decode of the real encode — the codec is in the loop
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val data = try in.readAllBytes() finally in.close()
+          val e = new Array[Long](16)
+          var t = 0
+          while (t < n) {
+            val v = ((data(t * 2) & 0xff) | (data(t * 2 + 1) << 8)).toLong
+            e(t / 30) += v * v
+            t += 1
+          }
+          var fp = 0L
+          for (f <- 0 until 15) if (e(f + 1) > e(f)) fp |= 1L << f
+          (id, fp)
+        })).toDF("doc_id", "fp")
+      val clusters = fps.groupBy($"fp")
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_members"))
+      fps.join(clusters, "fp")
+        .select($"doc_id", $"fp", $"keeper", $"n_members",
+          ($"doc_id" =!= $"keeper").as("is_dup"))
+        .orderBy($"doc_id")
+    }),
+
     // multimodal plumbing: opaque binary payload + typed metadata with a
     // deterministic decode STUB (no image libs in env) over mapPartitions
     "m1_multimodal_meta" -> ((s, dir) => {
@@ -2854,6 +2914,36 @@ object LlmPipeline {
         |  h.doc_id <> k.keeper AS is_dup
         |FROM hashes h JOIN k USING (dhash_hi, dhash_lo)
         |ORDER BY h.doc_id""".stripMargin,
+
+    // the audio pipeline replayed arithmetically: synthesized samples →
+    // per-frame energies → adjacent-difference sign bits → clustering
+    "m9_audio_fingerprint_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS gid,
+        |    CAST(1 + (doc_id // 16) % 4 AS BIGINT) AS amp
+        |  FROM documents
+        |),
+        |sm AS (
+        |  SELECT doc_id, t.t // 30 AS f,
+        |    amp * (((gid*131 + t.t*(17 + gid*7)) % 997) - 498) AS v
+        |  FROM g CROSS JOIN (SELECT unnest(range(480)) AS t) t
+        |),
+        |en AS (SELECT doc_id, f, SUM(v*v) AS e FROM sm GROUP BY doc_id, f),
+        |bits AS (
+        |  SELECT a.doc_id, a.f AS idx,
+        |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 15
+        |),
+        |fps AS (
+        |  SELECT doc_id, CAST(SUM(bit * (1::BIGINT << idx)) AS BIGINT) AS fp
+        |  FROM bits GROUP BY doc_id
+        |),
+        |k2 AS (SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_members
+        |       FROM fps GROUP BY fp)
+        |SELECT f2.doc_id, f2.fp, k2.keeper, k2.n_members,
+        |  f2.doc_id <> k2.keeper AS is_dup
+        |FROM fps f2 JOIN k2 USING (fp) ORDER BY f2.doc_id""".stripMargin,
 
     // m7's replay extended with the noise term, then the banded
     // pigeonhole join and bit_count(xor) verification
