@@ -24,17 +24,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is ns-precision parquet, which Spark reads only as a
-    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by every
-    * session here). Normalize to a µs TimestampType column with integral
-    * division — a double roundtrip would lose sub-µs bits. Oracle SQL must
-    * `date_trunc('microseconds', ts)` on the DuckDB side to match. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** `events.ts` arrives in whatever physical type the fixture generator
+    * chose that round — ns-precision parquet (readable only as a long
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, set by every
+    * session here) or µs-precision without UTC adjustment (which Spark 4
+    * reads as TIMESTAMP_NTZ). Normalize both to a µs TimestampType
+    * column: integral division for the ns form (a double roundtrip would
+    * lose sub-µs bits), a plain cast for the NTZ form (value-preserving
+    * because every session here pins the UTC time zone — the wall clock
+    * IS the instant). DuckDB reads the same file as a naive TIMESTAMP,
+    * so the oracle sees identical values either way. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** See [[events]] — shared with the streaming source. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

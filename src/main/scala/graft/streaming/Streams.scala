@@ -31,9 +31,7 @@ object Streams {
     ensureSymlink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
     val raw = spark.readStream.schema(batch.schema)
       .parquet(streamDir.toString)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    Tables.normalizeTs(raw)
   }
 
   /** Tumbling 1-hour counts — shared shape of query `s1_tumbling`. */
