@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecSqDist
+import graft.ops.Materialize
+import graft.sources.Tables
+
+/** Data-SELECTION operators — the "which rows are worth training on"
+  * family that sits between dedup (d*) and mixture execution (p4):
+  * weight-aware sampling with unbiased estimators, and geometric
+  * coverage (coreset) selection over the embedding space.
+  *
+  * Both are deterministic end-to-end (hash-derived uniforms, first-by-id
+  * seeds, id tie-breaks, IEEE-exact arithmetic in a fixed order), so the
+  * ENTIRE pipeline is hash-gated by a DuckDB replay — no rows-only
+  * escape hatch.
+  */
+object Selection {
+
+  /** Sample size for d28 (and the τ index is sampleN+1). */
+  private val sampleN = 100
+
+  /** k for the k-center coreset. */
+  private val kCenters = 8
+
+  /** Hash-derived uniform in (0, 1]: the first 8 md5 hex digits of the
+    * key as an integer v ∈ [0, 2³²), then (v+1)/2³². Pure integer
+    * derivation + one exact-rounded division — bit-identical in any
+    * IEEE-754 engine, and reproducible across runs/reshards (p4's
+    * membership idiom, widened from a bucket test to a full uniform). */
+  private def uniformSql(keyExpr: String): String =
+    // CAST AS DOUBLE, not a `4294967296.0` literal: Spark parses that
+    // literal as DECIMAL(11,1), silently turning the division into
+    // scale-12 decimal arithmetic (u rounded at 1e-12 — enough to flip
+    // the τ-rank ordering vs the oracle's double division)
+    s"(CAST(conv(substr(md5($keyExpr), 1, 8), 16, 10) AS BIGINT) + 1) / CAST(4294967296 AS DOUBLE)"
+
+  /** DuckDB equivalent of [[uniformSql]] (no `conv`; fold hex digits). */
+  private def duckUniform(keyExpr: String): String =
+    s"""(list_reduce(list_transform(range(8),
+       |      d -> strpos('0123456789abcdef', substr(md5($keyExpr), d+1, 1)) - 1),
+       |      (acc, v) -> acc*16 + v)::BIGINT + 1) / 4294967296.0""".stripMargin
+
+  /** One k-center round's min-distance update: fold a ONE-ROW center
+    * frame (`cv` column) into the corpus frame's running distance `d`.
+    * Exposed for the plan audit in SelectionSpec: the center arrives by
+    * broadcast (BroadcastNestedLoopJoin over one row), never a shuffle
+    * or cartesian of the corpus. */
+  private[graft] def kcenterUpdate(cur: DataFrame, center: DataFrame): DataFrame =
+    cur.crossJoin(broadcast(center))
+      .select(col("vec_id"), col("v"),
+        least(col("d"), VecSqDist(col("v"), col("cv"))).as("d"))
+
+  /** DuckDB squared-L2 with VecOps.sqDist's exact add order (left fold;
+    * the implicit 0.0 seed is additively exact). */
+  private def duckSq(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1])), (x, y) -> x + y)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PRIORITY SAMPLING (Duffield–Lund–Thorup): a weighted sample of n
+    // documents with an UNBIASED subset-sum estimator — the way a
+    // pipeline takes a token-budget-aware sample whose aggregate
+    // statistics still extrapolate to the full corpus. Weight = token
+    // count (sampling ∝ training cost), priority q = w/u with a
+    // hash-derived uniform, keep the n largest priorities, and each
+    // kept document's estimator weight is max(w, τ) where τ is the
+    // (n+1)-th priority — E[Σ est over sample] = Σ w exactly.
+    // Scale shape: the top-(n+1) is TakeOrderedAndProject (per-partition
+    // heaps, merge of n+1 rows — the corpus is never globally sorted),
+    // and the windows run over the (n+1)-row survivor frame only.
+    "d28_priority_sample" -> ((s, dir) => {
+      import s.implicits._
+      val pri = Tables.documents(s, dir)
+        .select($"doc_id",
+          size(split(lower($"text"), "\\s+")).cast("double").as("w"),
+          expr(uniformSql("CAST(doc_id AS STRING)")).as("u"))
+        .withColumn("q", $"w" / $"u")
+      val top = pri.orderBy($"q".desc, $"doc_id".asc).limit(sampleN + 1)
+      val wOrd = Window.orderBy($"q".desc, $"doc_id".asc)
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      top
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .withColumn("tau", min($"q").over(wAll))
+        .filter($"rn" <= sampleN)
+        .select($"doc_id", $"w",
+          when($"cnt" === sampleN + 1, greatest($"w", $"tau"))
+            .otherwise($"w").as("est"))
+        .orderBy($"doc_id")
+    }),
+
+    // GREEDY K-CENTER CORESET (farthest-first / Gonzalez): k documents'
+    // embeddings that 2-approximate the optimal k-center cover — the
+    // geometric "coverage" selection a pipeline uses to pick maximally
+    // diverse exemplars (prototypes for inspection, seeds for active
+    // learning) rather than frequency-weighted ones. Seed = min vec_id;
+    // each round adds the point FARTHEST from the chosen set (tie: min
+    // id) and folds the new center into a running min-distance column.
+    // Scale shape per round: one broadcast of ONE center row over the
+    // corpus (BroadcastNestedLoopJoin, k rows total ever broadcast), a
+    // single-column least() update, and a TakeOrderedAndProject argmax
+    // — the corpus is never reshuffled and never collected; the running
+    // frame is checkpointed per round so round t+1 does not replay
+    // round t (Lloyd's idiom from Clustering.centroids). Emitted dist
+    // is the covering radius sequence: dist at round t = max over the
+    // corpus of min-distance to the first t centers.
+    "sel1_kcenter_coreset" -> ((s, dir) => {
+      import s.implicits._
+      val e = graft.ops.Spread.fanout(Tables.embeddings(s, dir))
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val c0 = e.orderBy($"vec_id".asc).limit(1)
+        .select($"vec_id".as("cid"), $"v".as("cv"), lit(0.0).as("cd"))
+      var cur = Materialize(
+        e.crossJoin(broadcast(c0.select($"cv")))
+          .select($"vec_id", $"v", VecSqDist($"v", $"cv").as("d")))
+      var rounds: Seq[DataFrame] =
+        Seq(c0.select(lit(0).as("round"), $"cid".as("vec_id"), $"cd".as("dist")))
+      for (t <- 1 until kCenters) {
+        val ct = Materialize(
+          cur.orderBy($"d".desc, $"vec_id".asc).limit(1)
+            .select($"vec_id".as("cid"), $"v".as("cv"), $"d".as("cd")))
+        rounds = rounds :+
+          ct.select(lit(t).as("round"), $"cid".as("vec_id"), $"cd".as("dist"))
+        if (t < kCenters - 1)
+          cur = Materialize(kcenterUpdate(cur, ct.select($"cv")))
+      }
+      rounds.reduce(_ union _).orderBy($"round")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "d28_priority_sample" ->
+      s"""WITH pri AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS w,
+         |    ${duckUniform("CAST(doc_id AS VARCHAR)")} AS u
+         |  FROM documents
+         |),
+         |qq AS (SELECT doc_id, w, w/u AS q FROM pri),
+         |ranked AS (
+         |  SELECT doc_id, w, q,
+         |    ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn
+         |  FROM qq
+         |),
+         |top AS (SELECT * FROM ranked WHERE rn <= ${sampleN + 1}),
+         |tstats AS (SELECT count(*) AS cnt, min(q) AS tau FROM top)
+         |SELECT doc_id, w,
+         |  CASE WHEN cnt = ${sampleN + 1} THEN greatest(w, tau) ELSE w END AS est
+         |FROM top, tstats WHERE rn <= $sampleN ORDER BY doc_id""".stripMargin,
+
+    "sel1_kcenter_coreset" -> {
+      val sb = new StringBuilder
+      sb ++= """WITH e AS (
+               |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               |  FROM embeddings
+               |),
+               |c0 AS (SELECT vec_id AS cid, v AS cv, 0.0 AS cd FROM e ORDER BY vec_id LIMIT 1),
+               |""".stripMargin
+      sb ++= s"d0 AS (SELECT e.vec_id, e.v, ${duckSq("e.v", "c0.cv")} AS d FROM e CROSS JOIN c0)"
+      for (t <- 1 until kCenters) {
+        sb ++= s",\nc$t AS (SELECT vec_id AS cid, v AS cv, d AS cd FROM d${t - 1} ORDER BY d DESC, vec_id LIMIT 1)"
+        if (t < kCenters - 1)
+          sb ++= s",\nd$t AS (SELECT p.vec_id, p.v, LEAST(p.d, ${duckSq("p.v", s"c$t.cv")}) AS d FROM d${t - 1} p CROSS JOIN c$t)"
+      }
+      sb ++= "\nSELECT 0 AS round, cid AS vec_id, cd AS dist FROM c0"
+      for (t <- 1 until kCenters)
+        sb ++= s"\nUNION ALL SELECT $t, cid, cd FROM c$t"
+      sb ++= "\nORDER BY round"
+      sb.toString
+    },
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic + plan-shape checks for the data-selection operators
+  * (queries/Selection.scala). The oracle gate already hash-verifies both
+  * end-to-end; these assert the ALGORITHMIC contracts the hash cannot
+  * express (threshold property, greedy-cover equivalence, scale shape). */
+class SelectionSpec extends SparkTestBase {
+
+  test("d28: priority-sample threshold property and estimator bounds") {
+    val df = SparkEntry.queries("d28_priority_sample")(spark, sf0001).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.length == 100, s"expected n=100 sampled docs, got ${rows.length}")
+      // est = max(w, τ) for one shared τ: every row's est is >= its own w,
+      // and all rows where est > w agree on the same τ value
+      val taus = rows.map(r => (r.getDouble(1), r.getDouble(2)))
+        .collect { case (w, est) if est > w => est }.distinct
+      assert(taus.length <= 1, s"multiple τ values: ${taus.toSeq}")
+      assert(rows.forall { r => r.getDouble(2) >= r.getDouble(1) })
+      // unbiased subset-sum estimator: one draw won't hit Σw exactly, but
+      // a correct τ puts it within a factor of 2 on this fixture (a wrong
+      // τ — e.g. max instead of the (n+1)-th priority — lands far out)
+      val estSum = rows.map(_.getDouble(2)).sum
+      val trueSum = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(size(split(lower(col("text")), "\\s+")).cast("double").as("w"))
+        .agg(sum(col("w"))).collect().head.getDouble(0)
+      assert(estSum > trueSum * 0.5 && estSum < trueSum * 2.0,
+        s"estimator $estSum vs true $trueSum out of plausible range")
+    } finally df.unpersist()
+  }
+
+  test("sel1: greedy k-center equals a local replay; radius sequence non-increasing") {
+    val out = SparkEntry.queries("sel1_kcenter_coreset")(spark, sf0001).collect()
+    assert(out.length == 8)
+    val dists = out.map(_.getDouble(2))
+    assert(dists.head == 0.0)
+    // covering radius can only shrink as centers are added: the selected
+    // max-min distance at round t+1 is <= that at round t
+    assert(dists.drop(1).zip(dists.drop(2)).forall { case (a, b) => b <= a },
+      s"radius sequence not non-increasing: ${dists.toSeq}")
+    // local greedy replay over the collected fixture must select the
+    // same ids in the same order
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    var centers = Vector(e.head)
+    var d = e.map(x => sq(x._2, e.head._2))
+    var expect = Vector(e.head._1)
+    for (_ <- 1 until 8) {
+      val best = d.zipWithIndex.maxBy { case (dist, i) => (dist, -e(i)._1) }._2
+      expect :+= e(best)._1
+      centers :+= e(best)
+      d = d.zip(e).map { case (cur, x) => math.min(cur, sq(x._2, e(best)._2)) }
+    }
+    assert(out.map(_.getLong(1)).toSeq == expect,
+      s"selected ${out.map(_.getLong(1)).toSeq} vs local greedy $expect")
+  }
+
+  test("d28/sel1 scale shape: top-k via TakeOrderedAndProject, no corpus exchange in sel1's update") {
+    val d28 = SparkEntry.queries("d28_priority_sample")(spark, sf0001)
+    d28.collect()
+    val p28 = d28.queryExecution.executedPlan.toString
+    assert(p28.contains("TakeOrderedAndProject"), p28)
+    // the windows must run on the survivor frame, after the take — a
+    // Window directly over the corpus scan would be a global sort
+    assert(p28.indexOf("Window") < p28.indexOf("TakeOrderedAndProject"),
+      "windows must consume the top-(n+1) frame, not the corpus: " + p28)
+
+    // the final union-of-selections plan reads checkpointed round
+    // results, so audit the round's update plan directly: the center
+    // must arrive broadcast, never via cartesian/shuffle of the corpus
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .withColumn("d", lit(Double.MaxValue))
+    val center = e.orderBy(col("vec_id")).limit(1).select(col("v").as("cv"))
+    val upd = graft.queries.Selection.kcenterUpdate(e, center)
+    upd.collect()
+    val psel = upd.queryExecution.executedPlan.toString
+    assert(psel.contains("BroadcastNestedLoopJoin"), psel)
+    assert(!psel.contains("CartesianProduct"), psel)
+  }
+}
