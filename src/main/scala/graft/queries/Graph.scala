@@ -127,6 +127,53 @@ object Graph {
         .select(col("node").as("doc_id"), col("r").as("pagerank"))
         .orderBy(col("doc_id"))
     }),
+
+    // TRIANGLE COUNT + global clustering coefficient over the near-dup
+    // graph — the cohesion diagnostic that tells dup-cluster triage how
+    // "clique-like" the duplicate neighborhoods are (high gcc: dense
+    // template families; low gcc: chains of borderline matches that
+    // cc1's transitive closure may be over-merging). Scale shape: each
+    // undirected edge is ORIENTED from its (degree, id)-smaller
+    // endpoint (the standard degree-ordered orientation), so every
+    // triangle is generated exactly once at its lowest-degree vertex
+    // and the wedge expansion per vertex is bounded by its ORIENTED
+    // out-degree — O(m^1.5) total work regardless of hub skew, where
+    // the naive id-orientation would expand every hub's full
+    // neighborhood square. The wedge self-join shuffles on src only;
+    // the closing-edge probe is an equi-join on (u, w). The oracle
+    // counts the same triangles via its simpler id-orientation — the
+    // count is orientation-invariant, so the engines can each use the
+    // join shape natural to them.
+    "gr2_triangle_stats" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val und = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      val deg = und.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      val lt = struct(col("g1"), col("d1")) < struct(col("g2"), col("d2"))
+      val oriented = Materialize(
+        pairs
+          .join(deg.select(col("a").as("d1"), col("dg").as("g1")), "d1")
+          .join(deg.select(col("a").as("d2"), col("dg").as("g2")), "d2")
+          .select(
+            when(lt, col("d1")).otherwise(col("d2")).as("src"),
+            when(lt, col("d2")).otherwise(col("d1")).as("dst"),
+            when(lt, col("g2")).otherwise(col("g1")).as("dg")))
+      val triCnt = oriented.as("x")
+        .join(oriented.as("y"),
+          col("x.src") === col("y.src") &&
+            struct(col("x.dg"), col("x.dst")) < struct(col("y.dg"), col("y.dst")))
+        .select(col("x.dst").as("u"), col("y.dst").as("w"))
+        .join(oriented.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      val edgeCnt = pairs.agg(count(lit(1)).as("n_edges"))
+      degStats.crossJoin(edgeCnt).crossJoin(triCnt)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .otherwise(lit(0.0)).as("gcc"))
+    }),
   )
 
   /** Power-iteration PageRank core (damping 0.85) over a SYMMETRIC
@@ -251,5 +298,38 @@ object Graph {
         |  GROUP BY e.b
         |)
         |SELECT node AS doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // id-oriented triangle join (a<b<c) — orientation-invariant count,
+    // so the oracle needn't replicate Spark's degree ordering
+    "gr2_triangle_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |und AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |deg AS (SELECT a, COUNT(*) AS dg FROM und GROUP BY a),
+        |tri AS (
+        |  SELECT COUNT(*) AS t FROM pairs e1
+        |  JOIN pairs e2 ON e2.d1 = e1.d2
+        |  JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+        |),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |              CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+        |SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
+        |  CASE WHEN n_wedges > 0 THEN CAST(3 AS DOUBLE) * t / n_wedges
+        |       ELSE CAST(0 AS DOUBLE) END AS gcc
+        |FROM st, ec, tri""".stripMargin,
   )
 }

@@ -127,4 +127,19 @@ class GraphSpec extends SparkTestBase {
     assert(ranks(20L) == ranks(21L))
     assert(ranks(1L) == ranks(10L))
   }
+
+  test("gr2: triangle stats invariants hold and the plan has no cartesian") {
+    val df = SparkEntry.queries("gr2_triangle_stats")(spark, "/root/testdata/sf0.001")
+    val row = df.collect().head
+    val (nodes, edges, wedges, tris, gcc) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(nodes > 0 && edges > 0)
+    // every triangle closes exactly 3 wedges; gcc = 3T/W is in [0, 1]
+    assert(3 * tris <= wedges, s"3*$tris > $wedges")
+    assert(gcc >= 0.0 && gcc <= 1.0, s"gcc=$gcc")
+    // a triangle needs at least 3 edges among the counted ones
+    assert(tris == 0 || edges >= 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
