@@ -137,6 +137,49 @@ object Quality {
           ($"e.v" === 0L).as("passed"))
         .orderBy($"check_name")
     }),
+
+    // SNAPSHOT DRIFT MONITOR: per-feature distribution shift between
+    // two corpus snapshots (d19's deterministic old/new split) — the
+    // dashboard a pipeline watches so a crawler change or upstream
+    // filter bug shows up as a moved distribution, not as silent
+    // training skew. Features: token-length buckets (fixed integer
+    // edges — no quantile dependence, so bucket identity is stable
+    // across snapshots and engines) and language shares. Per (feature,
+    // bucket): both counts, both shares, and the chi-square drift
+    // contribution (p_new − p_old)²/p_old — NULL for buckets absent
+    // from the old snapshot (a "new bucket appeared" is its own
+    // signal, not a division by zero). Pure count arithmetic: every
+    // double is one exact-rounded division/multiply chain from
+    // integers, so the whole report hash-gates without decimal
+    // stabilization. Scale shape: ONE corpus scan, a 2× in-task melt,
+    // a (feature, bucket)-keyed count aggregate (map-side partials),
+    // and a window over the bucket-sized counts frame — never over the
+    // corpus.
+    "dq3_drift" -> ((s, dir) => {
+      import s.implicits._
+      val lenBucket = least(
+        floor(size(split(lower($"text"), "\\s+")).cast("double") / lit(32.0)),
+        lit(9L)).cast("string")
+      val base = Tables.documents(s, dir)
+        .select(($"doc_id" % 3 =!= 0).as("in_old"),
+          ($"doc_id" % 3 =!= 1).as("in_new"),
+          explode(array(
+            struct(lit("len").as("f"), lenBucket.as("b")),
+            struct(lit("lang").as("f"), $"lang".as("b")))).as("e"))
+        .select($"e.f".as("feature"), $"e.b".as("bucket"), $"in_old", $"in_new")
+      val counts = base.groupBy($"feature", $"bucket").agg(
+        sum(when($"in_old", 1L).otherwise(0L)).as("n_old"),
+        sum(when($"in_new", 1L).otherwise(0L)).as("n_new"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy($"feature")
+      counts
+        .select($"feature", $"bucket", $"n_old", $"n_new",
+          ($"n_old".cast("double") / sum($"n_old").over(wf)).as("p_old"),
+          ($"n_new".cast("double") / sum($"n_new").over(wf)).as("p_new"))
+        .withColumn("drift",
+          when($"n_old" > 0,
+            ($"p_new" - $"p_old") * ($"p_new" - $"p_old") / $"p_old"))
+        .orderBy($"feature", $"bucket")
+    }),
   )
 
   // d = the distinct basis (raw string content for string columns, the
@@ -181,5 +224,34 @@ object Quality {
         |)
         |SELECT check_name, n_violations, n_violations = 0 AS passed
         |FROM v ORDER BY check_name""".stripMargin,
+
+    "dq3_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(LEAST(FLOOR(len(string_split_regex(lower(text), '\s+'))
+        |      / CAST(32 AS DOUBLE)), 9) AS BIGINT) AS VARCHAR) AS lenb
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id % 3 <> 0 AS in_old, doc_id % 3 <> 1 AS in_new,
+        |    f.feature, f.bucket
+        |  FROM d, LATERAL (VALUES ('len', d.lenb), ('lang', d.lang)) AS f(feature, bucket)
+        |),
+        |counts AS (
+        |  SELECT feature, bucket,
+        |    CAST(SUM(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(SUM(CASE WHEN in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM base GROUP BY 1, 2
+        |),
+        |shares AS (
+        |  SELECT feature, bucket, n_old, n_new,
+        |    n_old::DOUBLE / SUM(n_old) OVER (PARTITION BY feature) AS p_old,
+        |    n_new::DOUBLE / SUM(n_new) OVER (PARTITION BY feature) AS p_new
+        |  FROM counts
+        |)
+        |SELECT feature, bucket, n_old, n_new, p_old, p_new,
+        |  CASE WHEN n_old > 0 THEN (p_new - p_old) * (p_new - p_old) / p_old
+        |       ELSE NULL END AS drift
+        |FROM shares ORDER BY feature, bucket""".stripMargin,
   )
 }
