@@ -64,6 +64,34 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // SQL-surface n-gram mining THROUGH the injected macro: the query
+    // text is plain `spark.sql` calling `graft_ngrams(text, 3)` — the
+    // function GraftExtensions registers in the FunctionRegistry as an
+    // expansion into built-in expressions (split/transform/slice), so a
+    // SQL user gets the engine's tokenization semantics with the whole
+    // pipeline inside whole-stage codegen (PlanSpec audits: no UDF
+    // boundary, plain Generate explode). The per-source temp-view name
+    // is keyed like every scratch artifact so concurrent sources can't
+    // collide.
+    "t27_sql_macro_ngrams" -> ((s, dir) => {
+      val view = s"graft_docs_${graft.ops.Scratch.key8(dir)}"
+      Tables.documents(s, dir).createOrReplaceTempView(view)
+      // the REPARTITION(n) hint is the SQL spelling of Spread.fanout:
+      // the gram expansion is CPU-dense but would otherwise run inside
+      // the parquet scan stage, whose task count is the file split
+      // count (3 at sf0.1). The explicit count matters — a bare
+      // REPARTITION is AQE-coalescible by bytes, and the corpus is
+      // byte-small exactly when it is CPU-dense per byte. At 100 TB the
+      // scan has thousands of splits and the fanout is unnecessary.
+      s.sql(
+        s"""SELECT gram, count(*) AS n
+           |FROM (SELECT explode(graft_ngrams(text, 3)) AS gram
+           |      FROM (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */ text FROM $view))
+           |GROUP BY gram
+           |ORDER BY n DESC, gram
+           |LIMIT 20""".stripMargin)
+    }),
+
     // BM25 ranking of the corpus against a fixed query-term set — the
     // classic sparse retrieval scorer (Robertson/Spärck Jones), used in
     // pipelines to pull topical subsets out of a crawl. idf is the
@@ -486,6 +514,18 @@ object Retrieval {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t27_sql_macro_ngrams" ->
+      """WITH docs AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |g AS (
+        |  SELECT unnest(list_transform(range(len(toks)-2),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS gram
+        |  FROM docs WHERE len(toks) >= 3
+        |)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
     "t26_hard_negatives" ->
       """WITH q(qid, t) AS (VALUES
         |  ('q1','spark'),('q1','join'),('q1','window'),

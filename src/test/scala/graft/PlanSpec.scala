@@ -206,4 +206,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t27 SQL macro: graft_ngrams expands to built-ins, stays codegen'd") {
+    import spark.implicits._
+    // value semantics through the SQL surface, including the short-text
+    // guard (sequence(0, size-n) must never run on a negative end)
+    val vals = Seq("A b  c d", "x", "").toDF("text")
+      .selectExpr("graft_ngrams(text, 3) AS g").collect().map(_.getSeq[String](0))
+    assert(vals(0) == Seq("a b c", "b c d"), vals(0))
+    assert(vals(1).isEmpty && vals(2).isEmpty)
+    // non-literal n must be rejected — it shapes the expression tree
+    val err = intercept[Exception] {
+      Seq((1, "a b")).toDF("n", "text").selectExpr("graft_ngrams(text, n)").collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+    // the registered query runs the macro through whole-stage codegen:
+    // the plan holds a plain Generate explode over built-ins — no UDF
+    // or interpreted function boundary survives expansion
+    val p = finalPlan("t27_sql_macro_ngrams")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.toLowerCase.contains("graft_ngrams"), "macro must expand at analysis: " + p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
 }
