@@ -1061,6 +1061,48 @@ object Battery {
           sum($"l_extendedprice".cast(DecimalType(38, 6))).cast("double").as("sum_price"))
         .orderBy($"l_returnflag")
     }),
+
+    // Batch MERGE (upsert + delete): the transactional-table MERGE INTO
+    // statement as a plain full-outer-join plan — target = the serving
+    // state before the newest day (latest event per user), source = the
+    // newest day's batch. Matched rows take the source version, unmatched
+    // targets survive, unmatched sources insert, and an 'error'-typed
+    // source row DELETES its user (matched or not). s11 is this
+    // operator's streaming/foreachBatch posture; this is the SQL-shaped
+    // batch form with the action audit column a MERGE report carries.
+    // Scale shape: both sides reduce per-user BEFORE the join (window
+    // over user-keyed partitions), then ONE co-partitioned full outer
+    // equi-join on user_id — the only row-multiplication-free join type
+    // that can express all three MERGE branches in one pass.
+    "q61_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type", $"value",
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val maxDay = ev.agg(max($"day").as("max_day"))
+      val evd = ev.crossJoin(broadcast(maxDay))
+      val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
+      def latest(df: DataFrame) = df
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      val t = latest(evd.filter($"day" < $"max_day"))
+        .select($"user_id", $"us".as("t_us"), $"event_id".as("t_eid"),
+          $"event_type".as("t_type"), $"value".as("t_val"))
+      val src = latest(evd.filter($"day" === $"max_day"))
+        .select($"user_id", $"us".as("s_us"), $"event_id".as("s_eid"),
+          $"event_type".as("s_type"), $"value".as("s_val"))
+      t.join(src, Seq("user_id"), "full_outer")
+        .filter($"s_type".isNull || $"s_type" =!= "error")
+        .select($"user_id",
+          coalesce($"s_us", $"t_us").as("us"),
+          coalesce($"s_eid", $"t_eid").as("event_id"),
+          coalesce($"s_type", $"t_type").as("event_type"),
+          coalesce($"s_val", $"t_val").as("value"),
+          when($"s_type".isNull, lit("kept"))
+            .when($"t_type".isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("action"))
+        .orderBy($"user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1130,6 +1172,43 @@ object Battery {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 480000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q61_merge_upsert" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |),
+        |md AS (SELECT MAX(day) AS max_day FROM ev),
+        |t AS (
+        |  SELECT user_id, us AS t_us, event_id AS t_eid,
+        |    event_type AS t_type, value AS t_val
+        |  FROM (
+        |    SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev, md WHERE day < max_day)
+        |  WHERE rn = 1
+        |),
+        |s AS (
+        |  SELECT user_id, us AS s_us, event_id AS s_eid,
+        |    event_type AS s_type, value AS s_val
+        |  FROM (
+        |    SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev, md WHERE day = max_day)
+        |  WHERE rn = 1
+        |)
+        |SELECT user_id,
+        |  COALESCE(s_us, t_us) AS us,
+        |  COALESCE(s_eid, t_eid) AS event_id,
+        |  COALESCE(s_type, t_type) AS event_type,
+        |  COALESCE(s_val, t_val) AS value,
+        |  CASE WHEN s_type IS NULL THEN 'kept'
+        |       WHEN t_type IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action
+        |FROM t FULL OUTER JOIN s USING (user_id)
+        |WHERE s_type IS NULL OR s_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     "q58_dynamic_partition_pruning" ->
       """WITH dim(lang, tier) AS (VALUES ('en','major'),('zh','major'),

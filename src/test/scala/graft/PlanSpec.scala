@@ -206,6 +206,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q61 merge-upsert: full outer rides a co-partitioned equi-join") {
+    val p = finalPlan("q61_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    // the MERGE must never expand rows: equi-join only (the sole BNLJ
+    // is the 1-row max-day broadcast), no cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("t27 SQL macro: graft_ngrams expands to built-ins, stays codegen'd") {
     import spark.implicits._
     // value semantics through the SQL surface, including the short-text
