@@ -896,6 +896,47 @@ object Battery {
         .orderBy($"user_id", $"day")
     }),
 
+    // LINEAR-INTERPOLATION gap fill — q52's resample grid with the
+    // numeric fill a metrics pipeline actually wants for continuous
+    // series (ffill holds stale values; interpolation splits the gap
+    // proportionally). Per user-day grid row: the bracketing known
+    // points arrive via two ignoreNulls window passes (last-before and
+    // first-after, both over the user-keyed grid — never a self-join),
+    // then value = v_prev + (v_next − v_prev)·(day − d_prev)/(d_next −
+    // d_prev), a fixed-order exact-rounded chain that hash-gates
+    // without stabilization. Grid endpoints are always known (the span
+    // is min..max of OBSERVED days), so interior gaps always have both
+    // brackets. Scale: the grid is user-keyed; both windows and the
+    // left join share that one partitioning.
+    "q62_linear_interpolate" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("unix_micros(ts)").as("us"), $"event_id", $"value")
+      val wLast = Window.partitionBy($"user_id", $"day")
+        .orderBy($"us".desc, $"event_id".desc)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .filter($"rn" === 1).select($"user_id", $"day", $"value")
+      val grid = ev.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(expr("sequence(d0, d1)")).as("day"))
+      val wB = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wF = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last($"value", ignoreNulls = true).over(wB))
+        .withColumn("pd", last(when($"value".isNotNull, $"day"), ignoreNulls = true).over(wB))
+        .withColumn("nv", first($"value", ignoreNulls = true).over(wF))
+        .withColumn("nd", first(when($"value".isNotNull, $"day"), ignoreNulls = true).over(wF))
+        .select($"user_id", $"day",
+          when($"value".isNotNull, $"value")
+            .otherwise($"pv" + ($"nv" - $"pv") *
+              (($"day" - $"pd").cast("double") / ($"nd" - $"pd")))
+            .as("value_interp"))
+        .orderBy($"user_id", $"day")
+    }),
+
     // LATERAL correlated subquery: top-2 lineitems per qualifying order
     // through the SQL LATERAL surface — Catalyst decorrelates the
     // per-row ORDER BY/LIMIT into a window-rank join (no driver loop,
@@ -1141,6 +1182,40 @@ object Battery {
         |    ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS value_ffill
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "q62_linear_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) // 1 AS us, event_id, value
+        |  FROM events
+        |),
+        |daily AS (
+        |  SELECT user_id, day, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1
+        |),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.day, d.value,
+        |    last_value(d.value IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |      ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN d.value IS NOT NULL THEN g.day END IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.day
+        |            ROWS UNBOUNDED PRECEDING) AS pd,
+        |    first_value(d.value IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |      ORDER BY g.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN d.value IS NOT NULL THEN g.day END IGNORE NULLS)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.day
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |)
+        |SELECT user_id, day,
+        |  CASE WHEN value IS NOT NULL THEN value
+        |       ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / (nd - pd)) END
+        |    AS value_interp
+        |FROM j ORDER BY user_id, day""".stripMargin,
 
     "q53_lateral_topk" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
