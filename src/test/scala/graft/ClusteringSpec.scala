@@ -60,4 +60,36 @@ class ClusteringSpec extends SparkTestBase {
         (col("keeper") < col("vec_id")).as("ordered"))
     assert(checked.filter(col("cos") < tau || !col("ordered")).count() == 0)
   }
+
+  test("e1: PCA component is unit-norm and matches a local plain-double replay") {
+    val out = SparkEntry.queries("e1_embedding_pca")(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 64)
+    val b = out.map(_.getDouble(1))
+    val eig = out.head.getDouble(2)
+    // fsum's 2^-30 grid bounds the norm deviation (the quantization is
+    // the portability contract, not an error — both engines share it)
+    assert(math.abs(b.map(x => x * x).sum - 1.0) < 1e-4, "loading not unit-norm")
+    assert(eig > 0.0)
+    // local replay: same covariance + 3 power iterations in plain
+    // doubles — the distributed fixed-point result must agree in
+    // direction (fsum quantizes at 2^-30, far below this tolerance)
+    val vs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vs.length; val d = 64
+    val m = Array.tabulate(d)(i => vs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vs.map(v => v(i) * v(j)).sum / n - m(i) * m(j))
+    var bb = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    var lastNrm = 0.0
+    for (_ <- 1 to 3) {
+      val cb = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * bb(j)).sum)
+      lastNrm = math.sqrt(cb.map(x => x * x).sum)
+      bb = cb.map(_ / lastNrm)
+    }
+    val cos = b.zip(bb).map { case (x, y) => x * y }.sum
+    assert(math.abs(cos) > 0.9999, s"direction cos=$cos")
+    assert(math.abs(eig - lastNrm) / lastNrm < 1e-3, s"eig $eig vs local $lastNrm")
+  }
 }
