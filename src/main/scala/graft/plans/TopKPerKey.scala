@@ -156,8 +156,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           (1 to n).flatMap { j =>
             element_at(toks, i + lit(j)) :: (if (j < n) List(lit(" ")) else Nil)
           }: _*)
-        val grams = when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n), gramAt(_)))
+        // SQL null propagation: NULL text → NULL (like every built-in
+        // string function), explicitly — not via the accident of
+        // size(NULL)'s config-dependent (-1 vs NULL) behavior
+        val grams = when(text.isNull, lit(null).cast("array<string>"))
+          .when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n), gramAt(_)))
           .otherwise(array().cast("array<string>"))
         ColumnBridge.catalystExpression(grams)
       }))

@@ -1126,22 +1126,30 @@ object Battery {
       val w = Window.partitionBy($"user_id").orderBy($"us".desc, $"event_id".desc)
       def latest(df: DataFrame) = df
         .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      // match/insert detection rides explicit PRESENCE FLAGS, never a
+      // nullable data column: a source row whose event_type or value is
+      // NULL must still count as matched and must replace the target
+      // whole-row (a per-column coalesce would emit a source/target
+      // chimera and misclassify the action)
       val t = latest(evd.filter($"day" < $"max_day"))
-        .select($"user_id", $"us".as("t_us"), $"event_id".as("t_eid"),
+        .select($"user_id", lit(true).as("t_present"),
+          $"us".as("t_us"), $"event_id".as("t_eid"),
           $"event_type".as("t_type"), $"value".as("t_val"))
       val src = latest(evd.filter($"day" === $"max_day"))
-        .select($"user_id", $"us".as("s_us"), $"event_id".as("s_eid"),
+        .select($"user_id", lit(true).as("s_present"),
+          $"us".as("s_us"), $"event_id".as("s_eid"),
           $"event_type".as("s_type"), $"value".as("s_val"))
+      val sp = coalesce($"s_present", lit(false))
       t.join(src, Seq("user_id"), "full_outer")
-        .filter($"s_type".isNull || $"s_type" =!= "error")
+        .filter(!sp || $"s_type".isNull || $"s_type" =!= "error")
         .select($"user_id",
-          coalesce($"s_us", $"t_us").as("us"),
-          coalesce($"s_eid", $"t_eid").as("event_id"),
-          coalesce($"s_type", $"t_type").as("event_type"),
-          coalesce($"s_val", $"t_val").as("value"),
-          when($"s_type".isNull, lit("kept"))
-            .when($"t_type".isNull, lit("inserted"))
-            .otherwise(lit("updated")).as("action"))
+          when(sp, $"s_us").otherwise($"t_us").as("us"),
+          when(sp, $"s_eid").otherwise($"t_eid").as("event_id"),
+          when(sp, $"s_type").otherwise($"t_type").as("event_type"),
+          when(sp, $"s_val").otherwise($"t_val").as("value"),
+          when(!sp, lit("kept"))
+            .when(coalesce($"t_present", lit(false)), lit("updated"))
+            .otherwise(lit("inserted")).as("action"))
         .orderBy($"user_id")
     }),
   )
@@ -1256,7 +1264,7 @@ object Battery {
         |),
         |md AS (SELECT MAX(day) AS max_day FROM ev),
         |t AS (
-        |  SELECT user_id, us AS t_us, event_id AS t_eid,
+        |  SELECT user_id, TRUE AS t_present, us AS t_us, event_id AS t_eid,
         |    event_type AS t_type, value AS t_val
         |  FROM (
         |    SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY user_id
@@ -1265,24 +1273,30 @@ object Battery {
         |  WHERE rn = 1
         |),
         |s AS (
-        |  SELECT user_id, us AS s_us, event_id AS s_eid,
+        |  SELECT user_id, TRUE AS s_present, us AS s_us, event_id AS s_eid,
         |    event_type AS s_type, value AS s_val
         |  FROM (
         |    SELECT ev.*, ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY us DESC, event_id DESC) AS rn
         |    FROM ev, md WHERE day = max_day)
         |  WHERE rn = 1
+        |),
+        |j AS (
+        |  SELECT user_id, COALESCE(s_present, FALSE) AS sp,
+        |    COALESCE(t_present, FALSE) AS tp,
+        |    t_us, t_eid, t_type, t_val, s_us, s_eid, s_type, s_val
+        |  FROM t FULL OUTER JOIN s USING (user_id)
         |)
         |SELECT user_id,
-        |  COALESCE(s_us, t_us) AS us,
-        |  COALESCE(s_eid, t_eid) AS event_id,
-        |  COALESCE(s_type, t_type) AS event_type,
-        |  COALESCE(s_val, t_val) AS value,
-        |  CASE WHEN s_type IS NULL THEN 'kept'
-        |       WHEN t_type IS NULL THEN 'inserted'
-        |       ELSE 'updated' END AS action
-        |FROM t FULL OUTER JOIN s USING (user_id)
-        |WHERE s_type IS NULL OR s_type <> 'error'
+        |  CASE WHEN sp THEN s_us ELSE t_us END AS us,
+        |  CASE WHEN sp THEN s_eid ELSE t_eid END AS event_id,
+        |  CASE WHEN sp THEN s_type ELSE t_type END AS event_type,
+        |  CASE WHEN sp THEN s_val ELSE t_val END AS value,
+        |  CASE WHEN NOT sp THEN 'kept'
+        |       WHEN tp THEN 'updated'
+        |       ELSE 'inserted' END AS action
+        |FROM j
+        |WHERE NOT sp OR s_type IS NULL OR s_type <> 'error'
         |ORDER BY user_id""".stripMargin,
 
     "q58_dynamic_partition_pruning" ->

@@ -363,7 +363,17 @@ object Clustering {
     * zero in both Spark (HALF_UP) and DuckDB, the int64 sum is exact,
     * and the final long→double + ÷2^k are deterministic roundings.
     * Quantization at 2^-k is the same in both engines by construction,
-    * so the sums are bit-identical. */
+    * so the sums are bit-identical.
+    *
+    * Capacity contract: the int64 accumulator holds |Σv| < 2^63/2^30 ≈
+    * 8.6e9 in unscaled units — ample for covariance sums over any
+    * corpus whose per-group Σ|v| stays below that (here ≤ 8·n), but
+    * NOT unbounded: at n ≳ 1e9 rows per group the shift must drop (or
+    * the sum must tier through a per-partition partial in a wider
+    * type), because Spark's non-ANSI long sum would WRAP SILENTLY
+    * while DuckDB's HUGEINT→BIGINT cast errors — divergent failure
+    * modes, silent on the engine side. Choose the shift so
+    * n·max|v|·2^shift < 2^63. */
   private val FpShift = 1073741824L // 2^30
   private def fsum(c: Column): Column =
     (sum(round(c * lit(FpShift.toDouble)).cast("long")).cast("double") /
@@ -376,6 +386,12 @@ object Clustering {
     import s.implicits._
     val D = PcaD
     val e = graft.ops.Spread.fanout(embeddings)
+      // the melt's group counts double as the divisor n, so the row
+      // universe must be identical on both engines: a NULL or ragged
+      // embedding would vanish from Spark's generator (and misalign
+      // the k = i·D+j positions) while still counting in a bare
+      // COUNT(*) — excluded explicitly in BOTH the query and the oracle
+      .filter(expr(s"embedding IS NOT NULL AND size(embedding) = $D"))
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val melted = e.select(posexplode(expr(
       "concat(flatten(transform(v, xi -> transform(v, xj -> xi * xj))), v)"))
@@ -575,13 +591,16 @@ object Clustering {
       |ORDER BY vec_id, rn""".stripMargin
 
   /** Unrolled power-iteration replay of [[pcaTopComponent]]: same
-    * DECIMAL(38,18) sums, same exact-rounded scalar chains. */
+    * dyadic fixed-point sums ([[fsumSql]] mirrors [[fsum]] — do NOT
+    * "simplify" back to DECIMAL casts; see the fsum scaladoc for the
+    * measured divergence), same exact-rounded scalar chains. */
   private def pcaOracle: String = {
     val D = PcaD
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
               |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               |  FROM embeddings
+              |  WHERE embedding IS NOT NULL AND len(embedding) = $D
               |),
               |nn AS (SELECT COUNT(*) AS n FROM e),
               |s AS (

@@ -137,8 +137,6 @@ class GraphSpec extends SparkTestBase {
     // every triangle closes exactly 3 wedges; gcc = 3T/W is in [0, 1]
     assert(3 * tris <= wedges, s"3*$tris > $wedges")
     assert(gcc >= 0.0 && gcc <= 1.0, s"gcc=$gcc")
-    // a triangle needs at least 3 edges among the counted ones
-    assert(tris == 0 || edges >= 3)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
   }

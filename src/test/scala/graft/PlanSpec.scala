@@ -219,10 +219,13 @@ class PlanSpec extends SparkTestBase {
     import spark.implicits._
     // value semantics through the SQL surface, including the short-text
     // guard (sequence(0, size-n) must never run on a negative end)
-    val vals = Seq("A b  c d", "x", "").toDF("text")
-      .selectExpr("graft_ngrams(text, 3) AS g").collect().map(_.getSeq[String](0))
+    val vals = Seq(Some("A b  c d"), Some("x"), Some(""), None).toDF("text")
+      .selectExpr("graft_ngrams(text, 3) AS g").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
     assert(vals(0) == Seq("a b c", "b c d"), vals(0))
     assert(vals(1).isEmpty && vals(2).isEmpty)
+    // NULL text propagates to NULL, like every built-in string function
+    assert(vals(3) == null, s"NULL text must yield NULL, got ${vals(3)}")
     // non-literal n must be rejected — it shapes the expression tree
     val err = intercept[Exception] {
       Seq((1, "a b")).toDF("n", "text").selectExpr("graft_ngrams(text, n)").collect()

@@ -72,6 +72,8 @@ class SelectionSpec extends SparkTestBase {
     assert(p28.contains("TakeOrderedAndProject"), p28)
     // the windows must run on the survivor frame, after the take — a
     // Window directly over the corpus scan would be a global sort
+    // (indexOf alone would pass vacuously at -1 if Window vanished)
+    assert(p28.contains("Window"), p28)
     assert(p28.indexOf("Window") < p28.indexOf("TakeOrderedAndProject"),
       "windows must consume the top-(n+1) frame, not the corpus: " + p28)
 
