@@ -1103,6 +1103,59 @@ object Battery {
         .orderBy($"l_returnflag")
     }),
 
+    // AQE RUNTIME SKEW-JOIN SPLIT — the declarative counterpart of
+    // q44's manual salting: the fact side is collapsed onto a genuine
+    // hot key (~3/4 of lineitem lands on jk=0), the dim side stays
+    // key-distinct, and ADAPTIVE execution detects the oversized
+    // shuffle partition at runtime and splits it across tasks (the
+    // SMJ prints skew=true in the final plan — asserted in ScaleSpec).
+    // No salting column, no dim replication: at 100 TB this is the
+    // first tool to reach for on skewed fact-fact joins, with q44's
+    // salting as the fallback when AQE's size heuristics can't see the
+    // skew (e.g. post-filter explosion). Demo thresholds are scoped to
+    // an isolated newSession (q59's idiom) because fixture-sized
+    // partitions sit far below the production defaults.
+    "q63_aqe_skew_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      import s2.implicits._
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      // dim must not broadcast or there is no shuffle to skew-split
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = expr("CASE WHEN l_partkey % 4 <> 0 THEN 0 ELSE l_partkey END")
+      // two fixture-size corrections, both measured against the AQE
+      // internals: (1) OptimizeSkewedJoin splits a skewed REDUCE
+      // partition along MAP-chunk boundaries, so the fact side needs
+      // mapper granularity — the 3-file-split scan gave the rule
+      // nothing to cut (detector logged "left 0" despite a 17.5 MB
+      // max vs 1.5 MB threshold); Spread.fanout restores it, and at
+      // 100 TB mappers abound. (2) The hot partition must exceed the
+      // byte threshold AFTER shuffle compression — a constant key +
+      // low-entropy doubles compress to nothing, so the fact carries
+      // the realistic incompressible payload (md5 hex) wide fact rows
+      // have, surfaced in the output so it cannot be pruned.
+      val fact = graft.ops.Spread.fanout(Tables.lineitem(s2, dir))
+        .select(hot.as("jk"), $"l_quantity",
+          md5($"l_orderkey".cast("string")).as("payload"))
+      // (3) the dim side must reach the SMJ as a PLAIN shuffle stage:
+      // OptimizeSkewedJoin pattern-matches Sort(ShuffleStage) children,
+      // and a groupBy dedup would leave its final HashAggregate between
+      // the stage and the join (measured: the detector never ran). The
+      // non-hot keys are already distinct in part, so dedup is a
+      // filter + one literal hot-key row, not an aggregate.
+      val dim = Tables.part(s2, dir)
+        .filter($"p_partkey" % 4 === 0)
+        .select($"p_partkey".as("jk"), $"p_size".as("dim_size"))
+        .unionAll(s2.range(1).select(lit(0L).as("jk"), lit(1).as("dim_size")))
+      fact.join(dim, "jk")
+        .groupBy(($"dim_size" % 5).as("size_band"))
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"),
+          max($"payload").as("max_payload"))
+        .orderBy($"size_band")
+    }),
+
     // Batch MERGE (upsert + delete): the transactional-table MERGE INTO
     // statement as a plain full-outer-join plan — target = the serving
     // state before the newest day (latest event per user), source = the
@@ -1255,6 +1308,22 @@ object Battery {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 480000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q63_aqe_skew_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_partkey % 4 <> 0 THEN 0 ELSE l_partkey END AS jk,
+        |    l_quantity, md5(CAST(l_orderkey AS VARCHAR)) AS payload
+        |  FROM lineitem
+        |),
+        |dim AS (
+        |  SELECT p_partkey AS jk, p_size AS dim_size FROM part WHERE p_partkey % 4 = 0
+        |  UNION ALL SELECT 0, 1
+        |)
+        |SELECT dim_size % 5 AS size_band, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  MAX(payload) AS max_payload
+        |FROM fact JOIN dim USING (jk)
+        |GROUP BY 1 ORDER BY size_band""".stripMargin,
 
     "q61_merge_upsert" ->
       """WITH ev AS (

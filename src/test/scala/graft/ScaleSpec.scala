@@ -350,6 +350,16 @@ class ScaleSpec extends SparkTestBase {
     assert(!t25plan.contains("CartesianProduct"), t25plan)
   }
 
+  test("q63: AQE detects and splits the skewed join partition at sf0.1") {
+    // sf0.1 so the hot partition actually exceeds the demo threshold;
+    // the final adaptive plan marks the split SMJ with skew=true
+    val df = SparkEntry.queries("q63_aqe_skew_join")(spark, sf01)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("skew=true"), "AQE skew split missing from final plan: " + p)
+  }
+
   test("q57 sketch union estimates within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions._
     val est = SparkEntry.queries("q57_hll_sketch_union")(spark, sf0001)
