@@ -128,6 +128,35 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al.) over the
+    // near-dup graph — the clustering that, unlike cc1's transitive
+    // closure, does NOT merge everything reachable: a label needs
+    // neighbor-MAJORITY support to spread, so chains of borderline
+    // matches stop propagating where a connected component would
+    // swallow them (gr2's gcc diagnoses exactly when that matters).
+    // SYNCHRONOUS iterations with deterministic ties (count DESC,
+    // label ASC) keep the run replayable. Scale shape per iteration:
+    // one edge⋈labels equi-join (edge-keyed shuffle), one (node,
+    // label) count whose partials combine map-side, and the map-side-
+    // heap TopKPerKey argmax — never an adjacency matrix, and label
+    // frames are node-sized.
+    "gr3_label_propagation" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      var labels = sym.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (t <- 1 to 3) {
+        val counted = sym.join(labels, col("b") === col("node"))
+          .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        val best = graft.plans.TopK.perKey(counted, keys = Seq(col("a")),
+          order = Seq(col("cnt").desc, col("lbl").asc), k = 1)
+        labels = Materialize(best.select(col("a").as("node"), col("lbl")))
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("community"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TRIANGLE COUNT + global clustering coefficient over the near-dup
     // graph — the cohesion diagnostic that tells dup-cluster triage how
     // "clique-like" the duplicate neighborhoods are (high gcc: dense
@@ -298,6 +327,41 @@ object Graph {
         |  GROUP BY e.b
         |)
         |SELECT node AS doc_id, r AS pagerank FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // three synchronous LPA rounds unrolled; mode-with-min-tie via
+    // ROW_NUMBER (count DESC, label ASC) exactly mirrors TopKPerKey's
+    // total order
+    "gr3_label_propagation" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+        |c1 AS (SELECT e.a, l.lbl, COUNT(*) AS cnt FROM edges e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT a AS node, lbl FROM (
+        |  SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.a, l.lbl, COUNT(*) AS cnt FROM edges e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT a AS node, lbl FROM (
+        |  SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.a, l.lbl, COUNT(*) AS cnt FROM edges e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT a AS node, lbl FROM (
+        |  SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
+        |  FROM c3) WHERE rn = 1)
+        |SELECT node AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin,
 
     // id-oriented triangle join (a<b<c) — orientation-invariant count,
     // so the oracle needn't replicate Spark's degree ordering

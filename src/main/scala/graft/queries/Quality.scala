@@ -180,6 +180,29 @@ object Quality {
             ($"p_new" - $"p_old") * ($"p_new" - $"p_old") / $"p_old"))
         .orderBy($"feature", $"bucket")
     }),
+
+    // ROBUST OUTLIER DAYS — the anomaly monitor over the ingest's daily
+    // volume curve: per-day value totals scored by the median/MAD
+    // robust z (Hampel's 1.4826·MAD ≈ σ under normality), which one
+    // broken crawl day cannot drag the way mean/stddev outliers (q45)
+    // can. Exact medians (Spark `median` == DuckDB's interpolated
+    // quantile — both correctly round (a+b)/2); the day frame is
+    // 30 rows, so the two median aggregates and broadcasts are
+    // negligible against the single corpus pass that builds it.
+    "dq4_robust_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(dsum($"value").as("total"))
+      val med = daily.agg(expr("median(total)").as("med"))
+      val withMed = daily.crossJoin(broadcast(med))
+      val mad = withMed.agg(expr("median(abs(total - med))").as("mad"))
+      withMed.crossJoin(broadcast(mad))
+        .select($"day", $"total",
+          (($"total" - $"med") / (lit(1.4826) * $"mad")).as("robust_z"))
+        .withColumn("is_outlier", abs($"robust_z") > lit(3.0))
+        .orderBy($"day")
+    }),
   )
 
   // d = the distinct basis (raw string content for string columns, the
@@ -253,5 +276,20 @@ object Quality {
         |  CASE WHEN n_old > 0 THEN (p_new - p_old) * (p_new - p_old) / p_old
         |       ELSE NULL END AS drift
         |FROM shares ORDER BY feature, bucket""".stripMargin,
+
+    "dq4_robust_outliers" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1
+        |),
+        |m AS (SELECT median(total) AS med FROM daily),
+        |d2 AS (SELECT daily.*, med FROM daily, m),
+        |mm AS (SELECT median(abs(total - med)) AS mad FROM d2)
+        |SELECT day, total,
+        |  (total - med) / (CAST(1.4826 AS DOUBLE) * mad) AS robust_z,
+        |  abs((total - med) / (CAST(1.4826 AS DOUBLE) * mad)) > CAST(3 AS DOUBLE)
+        |    AS is_outlier
+        |FROM d2, mm ORDER BY day""".stripMargin,
   )
 }

@@ -128,6 +128,25 @@ class GraphSpec extends SparkTestBase {
     assert(ranks(1L) == ranks(10L))
   }
 
+  test("gr3: LPA communities refine cc1's connected components") {
+    val comm = SparkEntry.queries("gr3_label_propagation")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = SparkEntry.queries("cc1_dup_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm.nonEmpty && comm.keySet == comp.keySet)
+    // labels can only propagate along edges, so two nodes sharing a
+    // community label must sit in the same connected component
+    comm.groupBy(_._2).values.foreach { members =>
+      val comps = members.keys.map(comp).toSet
+      assert(comps.size == 1, s"community spans components: $members -> $comps")
+    }
+    // every community label is itself a node of that community's component
+    comm.foreach { case (node, lbl) =>
+      assert(comp.contains(lbl) && comp(lbl) == comp(node),
+        s"label $lbl of node $node is not in the same component")
+    }
+  }
+
   test("gr2: triangle stats invariants hold and the plan has no cartesian") {
     val df = SparkEntry.queries("gr2_triangle_stats")(spark, "/root/testdata/sf0.001")
     val row = df.collect().head
