@@ -129,6 +129,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "bloom_filter_agg(xxhash64Value[, estimatedNumItems[, numBits]])")
         }
       }))
+    // graft_dot(a, b): the engine's codegen'd sequential-fold dot
+    // product ([[graft.functions.VecDot]]) exposed to SQL — unlike the
+    // macro below this registers a CUSTOM NATIVE EXPRESSION, so a SQL
+    // user gets the same single-static-call codegen the DataFrame
+    // queries use (the higher-order aggregate(zip_with(...)) spelling
+    // evaluates interpreted per element — measured ~20× slower on the
+    // brute-force cosine join).
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.VecDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(arrayA, arrayB)")
+        graft.functions.VecDot(exprs(0), exprs(1))
+      }))
     // graft_ngrams(text, n): whitespace-tokenized lowercase n-grams as
     // array<string> — a SQL MACRO, not a UDF: the builder expands to a
     // tree of BUILT-IN expressions (split/transform/slice/concat_ws),

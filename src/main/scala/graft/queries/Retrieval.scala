@@ -92,6 +92,48 @@ object Retrieval {
            |LIMIT 20""".stripMargin)
     }),
 
+    // ZIPF RANK-FREQUENCY SPECTRUM: the corpus-statistics table behind
+    // every "is this crawl natural language?" check — natural text
+    // shows rank·freq ≈ const over the head; template/boilerplate
+    // corpora flatten it. Top-30 by (freq DESC, word) with the rank
+    // product; one token explode + count agg + TakeOrderedAndProject.
+    "t28_zipf_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val freq = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select(explode(toks($"text")).as("word"))
+        .filter(length($"word") >= 1)
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      val top = freq.orderBy($"freq".desc, $"word".asc).limit(30)
+      val w = Window.orderBy($"freq".desc, $"word".asc)
+      top.withColumn("rank", row_number().over(w))
+        .select($"rank", $"word", $"freq",
+          ($"rank" * $"freq").as("zipf_product"))
+        .orderBy($"rank")
+    }),
+
+    // CUSTOM NATIVE EXPRESSION THROUGH SQL: brute-force cosine top-3
+    // neighbors of one query vector, written as plain spark.sql over
+    // `graft_dot` — the codegen'd VecDot kernel GraftExtensions
+    // registers (not a macro: the SQL plan carries the same
+    // single-static-call expression the DataFrame queries use). The
+    // query vector arrives via a scalar subquery, so the scan side
+    // stays a broadcast-free single pass.
+    "d29_sql_cosine_topk" -> ((s, dir) => {
+      val view = s"graft_emb_${graft.ops.Scratch.key8(dir)}"
+      Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""WITH q AS (SELECT v AS qv FROM $view WHERE vec_id = 0)
+           |SELECT vec_id, cos FROM (
+           |  SELECT e.vec_id,
+           |    graft_dot(e.v, (SELECT qv FROM q)) /
+           |      (sqrt(graft_dot(e.v, e.v)) *
+           |       (SELECT sqrt(graft_dot(qv, qv)) FROM q)) AS cos
+           |  FROM $view e WHERE e.vec_id <> 0)
+           |ORDER BY cos DESC, vec_id ASC LIMIT 3""".stripMargin)
+    }),
+
     // BM25 ranking of the corpus against a fixed query-term set — the
     // classic sparse retrieval scorer (Robertson/Spärck Jones), used in
     // pipelines to pull topical subsets out of a crawl. idf is the
@@ -514,6 +556,38 @@ object Retrieval {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t28_zipf_spectrum" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents
+        |),
+        |freq AS (
+        |  SELECT word, COUNT(*) AS freq FROM w
+        |  WHERE length(word) >= 1 GROUP BY word
+        |),
+        |top AS (
+        |  SELECT word, freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank
+        |  FROM freq ORDER BY freq DESC, word ASC LIMIT 30
+        |)
+        |SELECT rank, word, freq, rank * freq AS zipf_product
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // list_reduce replays VecDot's left-fold-from-zero add order
+    "d29_sql_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, cos FROM (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(range(len(e.v)), i -> e.v[i+1] * q.qv[i+1]), (x, y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(e.v, x -> x*x), (x, y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x, y) -> x + y))) AS cos
+        |  FROM e, q WHERE e.vec_id <> 0)
+        |ORDER BY cos DESC, vec_id ASC LIMIT 3""".stripMargin,
+
     "t27_sql_macro_ngrams" ->
       """WITH docs AS (
         |  SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents

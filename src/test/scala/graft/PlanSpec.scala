@@ -238,6 +238,11 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate explode"), p)
     assert(!p.toLowerCase.contains("graft_ngrams"), "macro must expand at analysis: " + p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // graft_dot is the other SQL registration mode: a custom NATIVE
+    // expression — the plan must carry VecDot itself, not a UDF
+    val pd = finalPlan("d29_sql_cosine_topk")
+    assert(pd.toLowerCase.contains("vecdot"), pd)
+    assert(!pd.contains("ScalaUDF"), pd)
   }
 
 }
