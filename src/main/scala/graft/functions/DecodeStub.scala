@@ -1,15 +1,18 @@
 package graft.functions
 
-/** Multimodal decode STUBS for codecs the environment lacks (now VIDEO
-  * only). The decode step here is a deterministic fake — the Spark-side
-  * plumbing (binary columns, typed metadata, partition-wise batch decode
-  * via `mapPartitions`) is real and tested; swap these bodies for a real
-  * codec (ffmpeg bindings etc.) in production. IMAGES and AUDIO do NOT
-  * need a stub: m4/m5 run a genuine pure-JDK `javax.imageio` PNG
-  * encode→decode roundtrip and m6 a genuine `javax.sound.sampled` WAV
-  * roundtrip through the same batch-shaped kernel, each oracle-gated
-  * against the synthesized payloads ([[imageDims]] remains as the
-  * exotic-codec plumbing demo behind m1's metadata pass). */
+/** Multimodal decode STUBS for codecs the environment lacks — now only
+  * TRUE EXTERNAL codecs (H.264 et al.). The decode step here is a
+  * deterministic fake — the Spark-side plumbing (binary columns, typed
+  * metadata, partition-wise batch decode via `mapPartitions`) is real
+  * and tested; swap these bodies for a real codec (ffmpeg bindings
+  * etc.) in production. IMAGES and AUDIO do NOT need a stub: m4/m5 run
+  * a genuine pure-JDK `javax.imageio` PNG encode→decode roundtrip and
+  * m6 a genuine `javax.sound.sampled` WAV roundtrip through the same
+  * batch-shaped kernel; m10 makes the VIDEO-CONTAINER path real too
+  * (length-prefixed frame container parse + selective real PNG frame
+  * decode), each oracle-gated against the synthesized payloads
+  * ([[imageDims]] remains as the exotic-codec plumbing demo behind
+  * m1's metadata pass, [[frameOffsets]] behind m2's sampler). */
 object DecodeStub {
 
   /** Fake image-dimension probe: derived deterministically from the

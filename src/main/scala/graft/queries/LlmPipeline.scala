@@ -1804,6 +1804,72 @@ object LlmPipeline {
     // cluster arithmetically; a codec that drops frames or flips
     // endianness goes red. Scale: batch-shaped codec pass over a
     // fanned-out scan; clustering is one groupBy on the fingerprint.
+    // REAL VIDEO-CONTAINER path: per doc a genuine length-prefixed
+    // frame container is synthesized in the executors (4 REAL PNG
+    // frames — m7's paint machinery plus a per-frame motion term),
+    // then the operator under test PARSES the container (4-byte BE
+    // length walk — the seek-table plumbing every video format needs),
+    // samples ONE frame (doc_id % n_frames) and REALLY decodes only
+    // that frame through ImageIO, reducing it to integer pixel sums.
+    // The oracle recomputes n_frames/dims/gray_sum arithmetically from
+    // the paint formula, so a parser that miswalks offsets or a
+    // decoder that reads the wrong frame goes red — selective decode
+    // is the point: at 100 TB you decode the sampled frame, never the
+    // whole payload. Only true external codecs (H.264 et al.) remain
+    // env-constrained; the container/seek/selective-decode plumbing is
+    // proven here, and DecodeStub shrinks to m1's exotic-codec demo.
+    "m10_video_container" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Spread.fanout(Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val gid = (id % 16).toInt
+            val w = 12 + gid % 5
+            val h = 10 + gid % 7
+            val bos = new java.io.ByteArrayOutputStream()
+            val dos = new java.io.DataOutputStream(bos)
+            for (f <- 0 until 4) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              for (x <- 0 until w; y <- 0 until h) {
+                val v = (gid * 37 + x * 31 + y * 17 + f * 11) % 200
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              }
+              val fb = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", fb)
+              val bytes = fb.toByteArray
+              dos.writeInt(bytes.length)
+              dos.write(bytes)
+            }
+            (id, bos.toByteArray)
+          }
+        }
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, payload) =>
+            val buf = java.nio.ByteBuffer.wrap(payload)
+            val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            while (buf.remaining() >= 4) {
+              val len = buf.getInt
+              frames += ((buf.position(), len))
+              buf.position(buf.position() + len)
+            }
+            val k = (id % frames.length).toInt
+            val (st, len) = frames(k)
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload, st, len))
+            var sum = 0L
+            for (x <- 0 until im.getWidth; y <- 0 until im.getHeight)
+              sum += (im.getRGB(x, y) & 0xff)
+            (id, frames.length.toLong, k.toLong,
+              im.getWidth.toLong, im.getHeight.toLong, sum)
+          }
+        }
+        .toDF("doc_id", "n_frames", "frame_idx", "width", "height", "gray_sum")
+        .orderBy($"doc_id")
+    }),
+
     "m9_audio_fingerprint_dedup" -> ((s, dir) => {
       import s.implicits._
       val fps = graft.ops.Spread.fanout(
@@ -2917,6 +2983,29 @@ object LlmPipeline {
 
     // the audio pipeline replayed arithmetically: synthesized samples →
     // per-frame energies → adjacent-difference sign bits → clustering
+    "m10_video_container" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS gid,
+        |    CAST(doc_id % 4 AS BIGINT) AS k
+        |  FROM documents
+        |),
+        |d AS (
+        |  SELECT doc_id, gid, k,
+        |    CAST(12 + gid % 5 AS BIGINT) AS w,
+        |    CAST(10 + gid % 7 AS BIGINT) AS h
+        |  FROM g
+        |),
+        |px AS (
+        |  SELECT doc_id, w, h, k,
+        |    (gid * 37 + x * 31 + y * 17 + k * 11) % 200 AS v
+        |  FROM (SELECT doc_id, gid, k, w, h, unnest(range(w)) AS x FROM d)
+        |  CROSS JOIN LATERAL (SELECT unnest(range(h)) AS y)
+        |)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS n_frames, ANY_VALUE(k) AS frame_idx,
+        |  ANY_VALUE(w) AS width, ANY_VALUE(h) AS height,
+        |  CAST(SUM(v) AS BIGINT) AS gray_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "m9_audio_fingerprint_dedup" ->
       """WITH g AS (
         |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS gid,
