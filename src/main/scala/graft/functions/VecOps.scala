@@ -118,8 +118,16 @@ object LshSignature {
     ColumnBridge.column(LshSignature(ColumnBridge.expression(v), nTables, bits))
 }
 
-/** `dot(ARRAY<DOUBLE>, ARRAY<DOUBLE>) -> DOUBLE`, codegen'd. */
-case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+/** `dot(ARRAY<DOUBLE>, ARRAY<DOUBLE>) -> DOUBLE`, codegen'd.
+  * ImplicitCastInputTypes because the expression is SQL-REACHABLE
+  * (GraftExtensions registers it as `graft_dot`): without declared
+  * input types, an `array<float>` argument passes analysis and
+  * `ArrayData.getDouble` reads 8-byte strides over 4-byte elements —
+  * silently wrong numbers; with them the analyzer inserts the cast a
+  * DataFrame call site writes explicitly. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = org.apache.spark.sql.graft.TypeBridge.doubleArrayPair
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -135,8 +143,10 @@ object VecDot {
 }
 
 /** `sq_dist(ARRAY<DOUBLE>, ARRAY<DOUBLE>) -> DOUBLE` (squared L2),
-  * codegen'd. */
-case class VecSqDist(left: Expression, right: Expression) extends BinaryExpression {
+  * codegen'd. Same declared-input-type contract as [[VecDot]]. */
+case class VecSqDist(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = org.apache.spark.sql.graft.TypeBridge.doubleArrayPair
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecOps.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -1850,20 +1850,33 @@ object LlmPipeline {
           it.map { case (id, payload) =>
             val buf = java.nio.ByteBuffer.wrap(payload)
             val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-            while (buf.remaining() >= 4) {
+            // defensive walk: a corrupt length prefix (negative, or
+            // past the payload end) stops the parse at the last valid
+            // frame instead of throwing out of position()
+            var ok = true
+            while (ok && buf.remaining() >= 4) {
               val len = buf.getInt
-              frames += ((buf.position(), len))
-              buf.position(buf.position() + len)
+              if (len < 0 || len > buf.remaining()) ok = false
+              else {
+                frames += ((buf.position(), len))
+                buf.position(buf.position() + len)
+              }
             }
-            val k = (id % frames.length).toInt
-            val (st, len) = frames(k)
-            val im = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload, st, len))
-            var sum = 0L
-            for (x <- 0 until im.getWidth; y <- 0 until im.getHeight)
-              sum += (im.getRGB(x, y) & 0xff)
-            (id, frames.length.toLong, k.toLong,
-              im.getWidth.toLong, im.getHeight.toLong, sum)
+            if (frames.isEmpty) {
+              // truncated/empty payload: a per-record sentinel row, not
+              // an ArithmeticException that fails the whole stage
+              (id, 0L, -1L, 0L, 0L, 0L)
+            } else {
+              val k = (id % frames.length).toInt
+              val (st, len) = frames(k)
+              val im = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload, st, len))
+              var sum = 0L
+              for (x <- 0 until im.getWidth; y <- 0 until im.getHeight)
+                sum += (im.getRGB(x, y) & 0xff)
+              (id, frames.length.toLong, k.toLong,
+                im.getWidth.toLong, im.getHeight.toLong, sum)
+            }
           }
         }
         .toDF("doc_id", "n_frames", "frame_idx", "width", "height", "gray_sum")

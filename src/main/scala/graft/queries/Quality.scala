@@ -197,9 +197,14 @@ object Quality {
       val med = daily.agg(expr("median(total)").as("med"))
       val withMed = daily.crossJoin(broadcast(med))
       val mad = withMed.agg(expr("median(abs(total - med))").as("mad"))
+      // MAD = 0 (a majority of identical totals) must not divide: both
+      // engines would otherwise diverge (ANSI error / IEEE Infinity);
+      // a plateau has no dispersion to score against, so z = 0
       withMed.crossJoin(broadcast(mad))
         .select($"day", $"total",
-          (($"total" - $"med") / (lit(1.4826) * $"mad")).as("robust_z"))
+          when($"mad" > 0.0,
+            ($"total" - $"med") / (lit(1.4826) * $"mad"))
+            .otherwise(lit(0.0)).as("robust_z"))
         .withColumn("is_outlier", abs($"robust_z") > lit(3.0))
         .orderBy($"day")
     }),
@@ -285,11 +290,15 @@ object Quality {
         |),
         |m AS (SELECT median(total) AS med FROM daily),
         |d2 AS (SELECT daily.*, med FROM daily, m),
-        |mm AS (SELECT median(abs(total - med)) AS mad FROM d2)
-        |SELECT day, total,
-        |  (total - med) / (CAST(1.4826 AS DOUBLE) * mad) AS robust_z,
-        |  abs((total - med) / (CAST(1.4826 AS DOUBLE) * mad)) > CAST(3 AS DOUBLE)
-        |    AS is_outlier
-        |FROM d2, mm ORDER BY day""".stripMargin,
+        |mm AS (SELECT median(abs(total - med)) AS mad FROM d2),
+        |z AS (
+        |  SELECT day, total,
+        |    CASE WHEN mad > 0 THEN (total - med) / (CAST(1.4826 AS DOUBLE) * mad)
+        |         ELSE CAST(0 AS DOUBLE) END AS robust_z
+        |  FROM d2, mm
+        |)
+        |SELECT day, total, robust_z,
+        |  abs(robust_z) > CAST(3 AS DOUBLE) AS is_outlier
+        |FROM z ORDER BY day""".stripMargin,
   )
 }
