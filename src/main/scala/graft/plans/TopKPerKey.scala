@@ -157,10 +157,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.sql.functions._
-        val n = exprs match {
-          case Seq(_, Literal(v: Int, org.apache.spark.sql.types.IntegerType)) if v >= 1 => v
+        // arity first (its own message — "n must be a literal" would
+        // mislead on graft_ngrams(text)); then accept INT or BIGINT
+        // literals (SQL `3L`/bigint-typed 3 shape the same tree)
+        require(exprs.length == 2,
+          s"graft_ngrams(text, n) takes exactly 2 arguments; got ${exprs.length}")
+        val n = exprs(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) if v >= 1 => v
+          case Literal(v: Long, org.apache.spark.sql.types.LongType)
+            if v >= 1 && v <= Int.MaxValue => v.toInt
           case _ => throw new IllegalArgumentException(
-            "graft_ngrams(text, n) — n must be a positive INT literal")
+            "graft_ngrams(text, n) — n must be a positive integer literal " +
+              "(INT or BIGINT; it shapes the expression tree, so it cannot be a column)")
         }
         val text = ColumnBridge.column(exprs.head)
         val toks = split(lower(text), "\\s+")

@@ -298,16 +298,20 @@ object Clustering {
         collect_list(struct((col("sub") * PqK + col("cid")).as("k"), col("dd").as("v"))))
         .as("lut"))
 
-    // ADC scan: m map lookups per (query, vector) pair, summed as
-    // DECIMAL(38,6) (exact, order-free — bit-equal to the oracle's
-    // grouped SUM); codes stay in place, the tiny LUT frame moves
+    // ADC scan: m map lookups per (query, vector) pair, summed on the
+    // dyadic fixed-point grid (Num.fquant — exact int64 addends in both
+    // engines, order-free, bit-equal to the oracle's grouped SUM; the
+    // r9 DECIMAL(38,6) cast of the dd doubles was probabilistically
+    // portable, the grid is portable by construction); codes stay in
+    // place, the tiny LUT frame moves
     val adc = (0 until PqM)
-      .map(sub => element_at(col("lut"), col("codes")(sub) + lit(sub * PqK))
-        .cast(DecimalType(38, 6)))
+      .map(sub => graft.ops.Num.fquant(
+        element_at(col("lut"), col("codes")(sub) + lit(sub * PqK))))
       .reduce(_ + _)
     val scored = codes.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nbr"), adc.cast("double").as("adc"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        (adc.cast("double") / graft.ops.Num.FpShift.toDouble).as("adc"))
 
     // SHORTLIST → EXACT RE-RANK (the standard IVF-PQ serving posture:
     // compressed codes generate candidates, full-precision vectors
@@ -352,34 +356,12 @@ object Clustering {
   private val PcaD = 64
   private val PcaIters = 3
 
-  /** PORTABLE EXACT SUM on a dyadic grid — the cross-engine reduction
-    * for doubles whose values are NOT provenance-nice decimals. The
-    * DECIMAL(38,s) idiom is only bit-portable while |v|·10^s stays well
-    * under 2^53: DuckDB scales by 10^s in DOUBLE (ulp-sized error
-    * before its integer rounding) where Spark rounds the shortest
-    * decimal string — measured 2200/4096 last-ulp mismatches on these
-    * covariance sums at scale 18. A power-of-two grid sidesteps both:
-    * v·2^k is EXACT in every IEEE engine, round() is ties-away-from-
-    * zero in both Spark (HALF_UP) and DuckDB, the int64 sum is exact,
-    * and the final long→double + ÷2^k are deterministic roundings.
-    * Quantization at 2^-k is the same in both engines by construction,
-    * so the sums are bit-identical.
-    *
-    * Capacity contract: the int64 accumulator holds |Σv| < 2^63/2^30 ≈
-    * 8.6e9 in unscaled units — ample for covariance sums over any
-    * corpus whose per-group Σ|v| stays below that (here ≤ 8·n), but
-    * NOT unbounded: at n ≳ 1e9 rows per group the shift must drop (or
-    * the sum must tier through a per-partition partial in a wider
-    * type), because Spark's non-ANSI long sum would WRAP SILENTLY
-    * while DuckDB's HUGEINT→BIGINT cast errors — divergent failure
-    * modes, silent on the engine side. Choose the shift so
-    * n·max|v|·2^shift < 2^63. */
-  private val FpShift = 1073741824L // 2^30
-  private def fsum(c: Column): Column =
-    (sum(round(c * lit(FpShift.toDouble)).cast("long")).cast("double") /
-      lit(FpShift.toDouble))
-  private def fsumSql(x: String): String =
-    s"CAST(CAST(SUM(CAST(round($x * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824"
+  // Dyadic fixed-point sums: the idiom lives in [[graft.ops.Num]] (moved
+  // there in r10 so p4/t13's rate chains share the single definition;
+  // the DECIMAL(38,0) accumulator there also removed the old int64
+  // wrap-at-2^63 capacity cliff — see Num.fsum's scaladoc).
+  private def fsum(c: Column): Column = graft.ops.Num.fsum(c)
+  private def fsumSql(x: String): String = graft.ops.Num.fsumSql(x)
 
   private def pcaTopComponent(embeddings: DataFrame): DataFrame = {
     val s = embeddings.sparkSession
@@ -418,8 +400,12 @@ object Clustering {
         .groupBy($"i").agg(fsum($"c" * $"bv").as("cb"))
       val nrm = cb.agg(sqrt(fsum($"cb" * $"cb")).as("nrm"))
       lastNrm = nrm
+      // nrm = 0 means C·b annihilated b (degenerate corpus): freeze at
+      // the zero vector instead of Inf/NaN — dq4's MAD=0 posture,
+      // mirrored in the oracle CTE
       b = cb.crossJoin(broadcast(nrm))
-        .select($"i".as("bi"), ($"cb" / $"nrm").as("bv"))
+        .select($"i".as("bi"),
+          when($"nrm" > 0, $"cb" / $"nrm").otherwise(lit(0.0)).as("bv"))
     }
     // ||C·b|| of the final step IS the eigenvalue estimate (b entered
     // the step unit-norm)
@@ -510,8 +496,9 @@ object Clustering {
 
   // the PQ pipeline replayed relationally: per-subspace Lloyd is the
   // kmeansCte pattern keyed by (sub, cid) — k and m appear only as
-  // data, not unrolled SQL; ADC sums replay as a grouped DECIMAL sum
-  // (exact, so Spark's fixed-order map-lookup adds agree bit-for-bit)
+  // data, not unrolled SQL; ADC sums replay as a grouped fixed-point
+  // sum (Num.fsum's grid — exact int64 addends, so Spark's fixed-order
+  // map-lookup adds agree bit-for-bit)
   private def pqOracleFor(db: String => String, q: String => String): String =
     s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -567,7 +554,7 @@ object Clustering {
       |),
       |adc AS (
       |  SELECT l.qid, k.vec_id AS nbr,
-      |    CAST(SUM(CAST(l.dd AS DECIMAL(38,6))) AS DOUBLE) AS adc
+      |    CAST(CAST(SUM(CAST(round((l.dd) * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824 AS adc
       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.cid
       |  WHERE k.vec_id <> l.qid
       |  GROUP BY l.qid, k.vec_id
@@ -624,7 +611,9 @@ object Clustering {
                 |  FROM cov c JOIN b${t - 1} b ON c.j = b.i GROUP BY c.i
                 |),
                 |n$t AS (SELECT sqrt(${fsumSql("cb * cb")}) AS nrm FROM cb$t),
-                |b$t AS (SELECT i, cb / (SELECT nrm FROM n$t) AS bv FROM cb$t)""".stripMargin
+                |b$t AS (SELECT i, CASE WHEN (SELECT nrm FROM n$t) > 0
+                |  THEN cb / (SELECT nrm FROM n$t) ELSE CAST(0 AS DOUBLE) END AS bv
+                |  FROM cb$t)""".stripMargin
     }
     sb ++= s"""
               |SELECT i AS dim, bv AS loading, (SELECT nrm FROM n$PcaIters) AS eigval

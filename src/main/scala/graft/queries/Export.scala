@@ -78,6 +78,38 @@ object Export {
       s.read.schema(src.schema).option("multiLine", "true").json(oneDoc)
         .orderBy($"doc_id")
     }),
+
+    // DSv2 HTML roundtrip: the whole-document HTML format (CSS + sticky
+    // thead + <tbody> wrap) written DISTRIBUTED through the same framed
+    // commit protocol as g3 — the last sink family that was driver-path
+    // only. Range partitioning makes file-name order == global order;
+    // the read-back concatenates the files, strips the framing, and
+    // re-parses the raw <tr>/<td> fragments (cells are unescaped by
+    // reference contract, and the projected columns cannot contain
+    // markup). Driver-side parse of a 100-row document — the parse is
+    // the gate's harness, not a data path.
+    "g5_dsv2_html_sink" -> ((s, dir) => {
+      import s.implicits._
+      val out = graft.ops.Scratch.dir("graft_v2html", dir)
+      val src = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id").limit(100)
+        .repartitionByRange(4, $"doc_id").sortWithinPartitions($"doc_id")
+      graft.sinks.HtmlSink.writeDirFramed(src, out)
+      val files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .sortBy(_.getName)
+      val whole = files.map(f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+      val body = whole.substring(whole.indexOf("<tbody>") + "<tbody>".length,
+        whole.indexOf("</tbody>"))
+      val cell = "<td>(.*?)</td>".r
+      val parsed = "<tr>(.*?)</tr>".r.findAllMatchIn(body).map { m =>
+        val c = cell.findAllMatchIn(m.group(1)).map(_.group(1)).toIndexedSeq
+        (c(0).toLong, c(1), c(2), c(3).toLong)
+      }.toSeq
+      parsed.toDF("doc_id", "lang", "source", "n_chars").orderBy($"doc_id")
+    }),
   )
 
   /** Shared render-to-SQL fragment for the lineitem columns. */
@@ -109,6 +141,14 @@ object Export {
     // the distributed JSON-ARRAY roundtrip must also equal the source
     "g3_dsv2_array_sink" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    // the HTML roundtrip re-parses <td> cells as strings, so the
+    // numeric columns come back via CAST (doc_id/n_chars are integral —
+    // the string form is exact)
+    "g5_dsv2_html_sink" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+        |  CAST(n_chars AS BIGINT) AS n_chars FROM documents
         |ORDER BY doc_id LIMIT 100""".stripMargin,
   )
 }

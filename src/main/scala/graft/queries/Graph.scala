@@ -115,9 +115,10 @@ object Graph {
     // (edge-keyed shuffle) + one dst-keyed map-side-combining sum —
     // never an adjacency matrix. The symmetric edge set means no
     // dangling-mass correction (every node has out-degree ≥ 1). Per-
-    // iteration contributions are DECIMAL(38,18)-stabilized (rank
-    // magnitudes ~1/N; (38,6) would quantize), so each iteration is
-    // bit-identical to the oracle's unrolled CTE and errors cannot
+    // iteration contributions sum on the dyadic fixed-point grid
+    // (Num.fsum — rank/deg values are arbitrary doubles, the DECIMAL
+    // cast class p4/e1 measured as engine-divergent), so each iteration
+    // is bit-identical to the oracle's unrolled CTE and errors cannot
     // compound. N reaches the plan as a scalar subquery.
     "pr1_pagerank" -> ((s, dir) => {
       val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
@@ -216,15 +217,18 @@ object Graph {
       .agg(count(lit(1)).cast("double").as("n")).scalar()
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     val withDeg = Materialize(edges.join(deg, "a"))
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))).cast("double")
+    // contribution sums on the dyadic fixed-point grid (Num.fsum): the
+    // r9 DECIMAL(38,18) cast put rank/deg values (~1e-2 here) into the
+    // |v|·10^18 ≳ 2^53 regime where the e1 covariance measured ~50%
+    // last-ulp cast divergence between engines — the p4 failure class,
+    // green at sf0.01 only by node-count luck
     var rank = edges.select(col("a").as("node")).distinct()
       .select(col("node"), (lit(1.0) / n).as("r"))
     for (_ <- 1 to iters)
       rank = withDeg.join(rank, col("a") === col("node"))
         .select(col("b"), (col("r") / col("deg")).as("contrib"))
         .groupBy(col("b"))
-        .agg((lit(0.15) / n + lit(0.85) * dsum18(col("contrib"))).as("r"))
+        .agg((lit(0.15) / n + lit(0.85) * graft.ops.Num.fsum(col("contrib"))).as("r"))
         .select(col("b").as("node"), col("r"))
     rank
   }
@@ -285,8 +289,10 @@ object Graph {
         |WHERE d.doc_id NOT IN (SELECT node FROM losers)
         |ORDER BY d.doc_id""".stripMargin,
 
-    // the same 3 power iterations unrolled; DECIMAL(38,18)-stabilized
-    // contribution sums keep every iteration bit-identical to Spark's
+    // the same 3 power iterations unrolled; dyadic fixed-point
+    // contribution sums (Num.fsumSql's grid, parenthesized so the /2^30
+    // binds before the 0.85 multiply exactly as the Column tree does)
+    // keep every iteration bit-identical to Spark's
     "pr1_pagerank" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
@@ -310,19 +316,19 @@ object Graph {
         |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
         |r1 AS (
         |  SELECT e.b AS node, 0.15 / (SELECT n FROM nn) +
-        |    0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |    0.85 * (CAST(CAST(SUM(CAST(round((r.r / d.deg) * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824) AS r
         |  FROM edges e JOIN r0 r ON e.a = r.node JOIN deg d ON e.a = d.a
         |  GROUP BY e.b
         |),
         |r2 AS (
         |  SELECT e.b AS node, 0.15 / (SELECT n FROM nn) +
-        |    0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |    0.85 * (CAST(CAST(SUM(CAST(round((r.r / d.deg) * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824) AS r
         |  FROM edges e JOIN r1 r ON e.a = r.node JOIN deg d ON e.a = d.a
         |  GROUP BY e.b
         |),
         |r3 AS (
         |  SELECT e.b AS node, 0.15 / (SELECT n FROM nn) +
-        |    0.85 * CAST(SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS DOUBLE) AS r
+        |    0.85 * (CAST(CAST(SUM(CAST(round((r.r / d.deg) * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824) AS r
         |  FROM edges e JOIN r2 r ON e.a = r.node JOIN deg d ON e.a = d.a
         |  GROUP BY e.b
         |)

@@ -161,6 +161,10 @@ object Quality {
         floor(size(split(lower($"text"), "\\s+")).cast("double") / lit(32.0)),
         lit(9L)).cast("string")
       val base = Tables.documents(s, dir)
+        // NULL text would bucket as "-1" here (size(NULL) = -1) but as
+        // a vanished NULL bucket in DuckDB — same row-universe guard
+        // as d28/e1
+        .filter($"text".isNotNull)
         .select(($"doc_id" % 3 =!= 0).as("in_old"),
           ($"doc_id" % 3 =!= 1).as("in_new"),
           explode(array(
@@ -258,7 +262,7 @@ object Quality {
         |  SELECT doc_id, lang,
         |    CAST(CAST(LEAST(FLOOR(len(string_split_regex(lower(text), '\s+'))
         |      / CAST(32 AS DOUBLE)), 9) AS BIGINT) AS VARCHAR) AS lenb
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |),
         |base AS (
         |  SELECT doc_id % 3 <> 0 AS in_old, doc_id % 3 <> 1 AS in_new,

@@ -75,6 +75,10 @@ object Selection {
     "d28_priority_sample" -> ((s, dir) => {
       import s.implicits._
       val pri = Tables.documents(s, dir)
+        // row-universe contract (e1's posture): a NULL text would give
+        // Spark size(NULL) = -1 (negative weight) but vanish from the
+        // DuckDB ranking (len(NULL) = NULL) — exclude it in BOTH
+        .filter($"text".isNotNull)
         .select($"doc_id",
           size(split(lower($"text"), "\\s+")).cast("double").as("w"),
           expr(uniformSql("CAST(doc_id AS STRING)")).as("u"))
@@ -140,7 +144,7 @@ object Selection {
          |  SELECT doc_id,
          |    len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS w,
          |    ${duckUniform("CAST(doc_id AS VARCHAR)")} AS u
-         |  FROM documents
+         |  FROM documents WHERE text IS NOT NULL
          |),
          |qq AS (SELECT doc_id, w, w/u AS q FROM pri),
          |ranked AS (

@@ -500,4 +500,28 @@ object HtmlSink {
 
   def writeFile(df: DataFrame, path: String, opts: HtmlOptions = HtmlOptions()): Unit =
     SinkIO.writeFile(path, contentIterator(df, opts))
+
+  /** Distributed write WITH the reference's whole-document framing
+    * (document+CSS+`<thead>` opener, `<tbody>` wrap, closers), via the
+    * DSv2 [[graft.sinks.v2.FramedTextSink]] — the HTML twin of
+    * `XmlSink.writeDirFramed`, closing the last driver-only sink path.
+    * Framing law mirrors [[contentIterator]]: rows exist → header (when
+    * `writeHeader`) + `<tbody>` + raw `<tr>` fragments + closers; zero
+    * rows → header+closers when the header is eager, EMPTY otherwise
+    * (the `empty` option — HTML is the one codec whose empty output is
+    * not empty). Directory files concatenated in name order are
+    * byte-identical to [[writeString]] when partition order is global
+    * order (DsvWriteSpec). */
+  def writeDirFramed(df: DataFrame, path: String, opts: HtmlOptions = HtmlOptions()): Unit = {
+    val hasCols = df.schema.nonEmpty
+    val header = if (opts.writeHeader && hasCols) headerBlock(df) else ""
+    val eagerHeader = opts.writeHeader && opts.writeHeaderWhenNoData && hasCols
+    rows(df, opts).write.format("graft-framed")
+      .option("open", header + "<tbody>")
+      .option("sep", "")
+      .option("close", "</tbody></table></body></html>")
+      .option("empty",
+        if (eagerHeader) header + "</table></body></html>" else "")
+      .mode("overwrite").save(path)
+  }
 }

@@ -63,12 +63,17 @@ class FramedTextSink extends TableProvider with DataSourceRegister {
     val frame = Frame(
       Option(properties.get("open")).getOrElse("[\n"),
       Option(properties.get("sep")).getOrElse(",\n"),
-      Option(properties.get("close")).getOrElse("\n]\n"))
+      Option(properties.get("close")).getOrElse("\n]\n"),
+      Option(properties.get("empty")).getOrElse(""))
     new FramedTable(properties.get("path"), schema, frame)
   }
 }
 
-private case class Frame(open: String, sep: String, close: String)
+/** `empty` is the whole-document content for ZERO input rows: "" keeps
+  * the JSON/XML empty→empty law (only `_SUCCESS` lands); HTML's
+  * eager-header law needs header+closers there instead
+  * (`HtmlSink.writeDirFramed`). */
+private case class Frame(open: String, sep: String, close: String, empty: String)
 
 private class FramedTable(path: String, writeSchema: StructType, frame: Frame)
     extends Table with SupportsWrite {
@@ -136,7 +141,7 @@ private class FramedBatchWrite(dir: String, frame: Frame, truncate: Boolean)
       put("a-open", frame.open)
       nonEmpty.dropRight(1).foreach(pid => put(f"b-$pid%05d-sep", frame.sep))
       put("z-close", frame.close)
-    }
+    } else if (frame.empty.nonEmpty) put("a-open", frame.empty)
     put("_SUCCESS", "")
   }
 

@@ -81,6 +81,35 @@ class DsvWriteSpec extends SparkTestBase {
     assert(XmlSink.writeString(none) == "")
   }
 
+  test("HTML framed write matches the driver path byte for byte") {
+    import graft.sinks.{HtmlOptions, HtmlSink}
+    val src = Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey").limit(30)
+    val parts = src.repartitionByRange(3, $"c_custkey").sortWithinPartitions($"c_custkey")
+    val dir = outDir("html")
+    HtmlSink.writeDirFramed(parts, dir)
+    assert(concatenated(dir) == HtmlSink.writeString(src))
+    // HTML's empty law is NOT empty: eager header → header + closers
+    // (the `empty` framing option), matching the driver path exactly
+    val none = src.filter(lit(false))
+    val dirE = outDir("html_empty")
+    HtmlSink.writeDirFramed(none, dirE)
+    assert(concatenated(dirE) == HtmlSink.writeString(none))
+    assert(concatenated(dirE).nonEmpty)
+    // ... and with the lazy header (writeHeaderWhenNoData = false),
+    // zero rows really do produce zero bytes
+    val lazyOpts = HtmlOptions(writeHeaderWhenNoData = false)
+    val dirL = outDir("html_lazy_empty")
+    HtmlSink.writeDirFramed(none, dirL, lazyOpts)
+    assert(concatenated(dirL) == "")
+    assert(HtmlSink.writeString(none, lazyOpts) == "")
+    // lazy header WITH rows: header still appears before the first row
+    val dirLR = outDir("html_lazy_rows")
+    HtmlSink.writeDirFramed(parts, dirLR, lazyOpts)
+    assert(concatenated(dirLR) == HtmlSink.writeString(src, lazyOpts))
+  }
+
   test("non-string or multi-column input is rejected up front") {
     val bad = Tables.documents(spark, sf0001).select($"doc_id", $"lang")
     val e = intercept[Exception] {
