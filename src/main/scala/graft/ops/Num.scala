@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{round, sum}
+import org.apache.spark.sql.functions.{abs, concat, lit, raise_error, round, sum, when}
 import org.apache.spark.sql.types.DecimalType
 
 /** Shared numeric-stability contract for oracle-compared aggregates. */
@@ -44,11 +44,28 @@ object Num {
     * wrong, which is the contract. */
   val FpShift = 1073741824L // 2^30
 
+  /** 2^63 as a double — the first value whose LongType cast would wrap. */
+  private val LongEnvelope = 9.223372036854776e18
+
   /** Quantize onto the dyadic 2^-30 grid as an exact integer — the
     * per-row half of [[fsum]], exposed for chains (p4/t13) that window
-    * or divide the quantized values before any sum. */
-  def fquant(c: Column): Column =
-    round(c * FpShift.toDouble).cast("long")
+    * or divide the quantized values before any sum.
+    *
+    * ENVELOPE GUARD: the capacity note above (each |v|·2^30 must stay
+    * under 2^63) is enforced here, not just documented — a scaled value
+    * at or beyond 2^63, or a NaN, raises loudly instead of wrapping /
+    * zeroing silently under Spark's non-ANSI long cast. The predicate
+    * `!(|scaled| < 2^63)` is codegen'd and also trips on NaN (all NaN
+    * comparisons are false); NULLs fall through unchanged. */
+  def fquant(c: Column): Column = {
+    val scaled = c * FpShift.toDouble
+    when(!(abs(scaled) < LongEnvelope) && scaled.isNotNull,
+         raise_error(concat(
+           lit("Num.fquant envelope exceeded: |v|*2^30 >= 2^63 would wrap silently; v="),
+           c.cast("string"))))
+      .otherwise(round(scaled))
+      .cast("long")
+  }
 
   def fsum(c: Column): Column =
     sum(fquant(c).cast(DecimalType(38, 0))).cast("double") / FpShift.toDouble

@@ -106,6 +106,14 @@ object Export {
       val cell = "<td>(.*?)</td>".r
       val parsed = "<tr>(.*?)</tr>".r.findAllMatchIn(body).map { m =>
         val c = cell.findAllMatchIn(m.group(1)).map(_.group(1)).toIndexedSeq
+        // harness loudness: the parse assumes exactly 4 plain-text cells.
+        // A NULL would render as the styled <span>[NULL]</span> markup and
+        // silently parse back as that literal; fail loudly instead so a
+        // future corpus change surfaces as a harness error, not a
+        // confusing oracle hash mismatch.
+        require(c.length == 4, s"g5 read-back: expected 4 cells, got ${c.length} in '${m.group(1)}'")
+        c.foreach(v => require(!v.contains("<"),
+          s"g5 read-back: unexpected markup (NULL render or nested tag) in cell '$v'"))
         (c(0).toLong, c(1), c(2), c(3).toLong)
       }.toSeq
       parsed.toDF("doc_id", "lang", "source", "n_chars").orderBy($"doc_id")

@@ -222,6 +222,15 @@ object Graph {
     // |v|·10^18 ≳ 2^53 regime where the e1 covariance measured ~50%
     // last-ulp cast divergence between engines — the p4 failure class,
     // green at sf0.01 only by node-count luck
+    // ACCURACY-vs-n BOUND (mirrors Num's capacity note): the 2^-30 grid
+    // is ABSOLUTE, while per-edge contributions shrink like ~1/n — at
+    // n nodes each contribution carries up to 2^-31 quantization error,
+    // i.e. relative error ~ n·2^-31 per term. Fine to n ≈ 10^6
+    // (rel err ≲ 5e-4); at n ≳ 2^31 contributions round to exactly 0
+    // and ranks collapse toward the uniform 0.15/n floor. For a
+    // billion-node corpus, switch the grid to track rank magnitude
+    // (quantize n·contrib, divide the recomposed sum by n) — same
+    // bit-exactness argument, relative error back to ~2^-31.
     var rank = edges.select(col("a").as("node")).distinct()
       .select(col("node"), (lit(1.0) / n).as("r"))
     for (_ <- 1 to iters)

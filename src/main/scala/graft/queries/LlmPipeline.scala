@@ -2511,8 +2511,66 @@ object LlmPipeline {
         |SELECT vec_id, rn, nbr, cos FROM ranked WHERE rn <= 5
         |ORDER BY vec_id, rn""".stripMargin,
 
-    // d6_ann_lsh: rows-only (random-hyperplane bucketing recall is the
-    // point; AnnRecallSpec asserts the floor)
+    // d6_ann_lsh: END-TO-END hash-gated (round 11 — the d26/d7 posture):
+    // the hyperplane weights are deterministic (digit(md5("t|p|j"))-7.5,
+    // see LshSig.planes) and every double reduction is a left fold from
+    // zero, so DuckDB replays the signature pass bit-identically: plane
+    // CTE re-derives the md5 weights, list_reduce folds the dot products
+    // in the same IEEE add order as the codegen'd while-loop, sign bits
+    // pack MSB-first via the same a*2+b fold. Verified bit-exact (cos
+    // included) at sf0.01 AND sf0.1 against the compiled Spark output.
+    // AnnRecallSpec keeps asserting the recall floor vs brute force.
+    "d6_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |dims AS (SELECT max(len(v)) AS dim FROM e),
+        |planes AS (
+        |  SELECT t, p, list(w ORDER BY j) AS w
+        |  FROM (
+        |    SELECT t.t, p.p, j.j,
+        |      strpos('0123456789abcdef',
+        |        substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1))
+        |        - 1 - 7.5 AS w
+        |    FROM (SELECT unnest(range(16)) AS t) t,
+        |         (SELECT unnest(range(5)) AS p) p,
+        |         (SELECT unnest(range((SELECT dim FROM dims))) AS j) j
+        |  )
+        |  GROUP BY t, p
+        |),
+        |bits AS (
+        |  SELECT e.vec_id, pl.t, pl.p,
+        |    CASE WHEN list_reduce(list_transform(range(len(e.v)), j -> e.v[j+1] * pl.w[j+1]),
+        |                          (x, y) -> x + y) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN planes pl
+        |),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    list_reduce(list(bit ORDER BY p), (a, b) -> a*2 + b) AS bucket
+        |  FROM bits GROUP BY vec_id, t
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr
+        |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |scored AS (
+        |  SELECT c.vec_id, c.nbr,
+        |    list_reduce(list_transform(range(len(x.v)), i -> x.v[i+1]*y.v[i+1]), (p, q) -> p + q)
+        |      / (x.norm * y.norm) AS cos
+        |  FROM cand c JOIN n x ON c.vec_id = x.vec_id JOIN n y ON c.nbr = y.vec_id
+        |),
+        |ranked AS (
+        |  SELECT vec_id, nbr, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT vec_id, nbr, cos FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // d7's whole IVF pipeline is deterministic (first-16 seeds, one
     // Lloyd refinement, sim/cos tie-breaks on cid/cand) and every
@@ -2896,7 +2954,8 @@ object LlmPipeline {
         |s AS (SELECT source, n_tokens,
         |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1073741824) AS BIGINT) AS sqq FROM n)
         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(CAST(sqq AS DOUBLE) / CAST((SELECT SUM(sqq) FROM s) AS DOUBLE) AS DOUBLE) AS weight
+        |  CAST(CAST(sqq AS DOUBLE) /
+        |    CAST(CAST((SELECT SUM(sqq) FROM s) AS BIGINT) AS DOUBLE) AS DOUBLE) AS weight
         |FROM s ORDER BY source""".stripMargin,
 
     "d10_decontaminate" ->
@@ -3369,7 +3428,8 @@ object LlmPipeline {
         |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1073741824) AS BIGINT) AS sqq FROM n),
         |r AS (
         |  SELECT source, n_tokens,
-        |    CAST(sqq AS DOUBLE) / CAST(SUM(sqq) OVER () AS DOUBLE) AS weight,
+        |    CAST(sqq AS DOUBLE) /
+        |      CAST(CAST(SUM(sqq) OVER () AS BIGINT) AS DOUBLE) AS weight,
         |    CAST(SUM(n_tokens) OVER () AS DOUBLE) AS tot
         |  FROM sq
         |),

@@ -118,8 +118,13 @@ class GraphSpec extends SparkTestBase {
     val ranks = graft.queries.Graph.pageRank(sym, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ranks.size === 13)
-    // no dangling nodes -> total rank mass stays 1 every iteration
-    assert(math.abs(ranks.values.sum - 1.0) < 1e-9, s"mass=${ranks.values.sum}")
+    // no dangling nodes -> total rank mass stays 1 every iteration, up to
+    // the fsum grid: each per-node contribution sum is quantized onto the
+    // 2^-30 dyadic grid (Num.fquant, <= 2^-30 absolute error per term), so
+    // over `iters` iterations of `n` nodes the drift bound is
+    // iters * n * 2^-30; assert with a 2x margin.
+    val gridBound = 3 * ranks.size * math.pow(2, -30) * 2
+    assert(math.abs(ranks.values.sum - 1.0) < gridBound, s"mass=${ranks.values.sum}")
     // the star center out-ranks every leaf
     (1L to 10L).foreach(l => assert(ranks(0L) > ranks(l),
       s"center ${ranks(0L)} vs leaf $l ${ranks(l)}"))
