@@ -228,6 +228,62 @@ object Retrieval {
         .orderBy($"lang")
     }),
 
+    // Gopher N-GRAM REPETITION gate (Rae et al. §A1.1, the n-gram
+    // subset t21's word-level rules leave uncovered): per document, the
+    // fraction of characters taken by the MOST FREQUENT 2-/3-/4-gram
+    // (tf × gram length over doc length) and the duplicate-5-gram
+    // fraction, plus the keep verdict under the published thresholds
+    // (0.20 / 0.18 / 0.16 / 0.15). All four signals are ratios of exact
+    // integers; the doubles are one correctly-rounded division each and
+    // the keep flag compares cross-multiplied INTEGERS (rc2*5 <= nc is
+    // top2 <= 0.20 exactly — no float threshold), so the whole result
+    // hash-gates bit-identically. Scale shape: the 2/3/4-gram explode is
+    // ~3 rows per token with a map-side-combining (doc, n, gram) count;
+    // the top-1 window runs per (doc, n) partitions (never corpus-wide);
+    // the 5-gram stats are a PURE PROJECTION (array_distinct inside the
+    // row) — no shuffle; nothing joins across documents.
+    "t29_gopher_ngram_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .filter($"text".isNotNull)
+        .select($"doc_id", toks($"text").as("toks"),
+          length($"text").cast("long").as("nc"))
+        // fixture floor is 10 tokens; the guard keeps the 5-gram stats
+        // well-defined (and the oracle carries the same predicate)
+        .filter(size($"toks") >= 5)
+      val g5 = d.select($"doc_id",
+        (size($"toks") - 4).cast("long").as("tot5"),
+        expr("size(array_distinct(transform(sequence(0, size(toks)-5), " +
+          "i -> concat_ws(' ', slice(toks, i+1, 5)))))").cast("long").as("dis5"))
+      val grams = d.select($"doc_id", $"nc",
+          explode(expr(
+            "flatten(transform(array(2, 3, 4), n -> " +
+              "transform(sequence(0, size(toks)-n), " +
+              "i -> struct(n AS n, concat_ws(' ', slice(toks, i+1, n)) AS g))))"))
+            .as("x"))
+        .select($"doc_id", $"nc", $"x.n".as("n"), $"x.g".as("g"))
+      val tf = grams.groupBy($"doc_id", $"nc", $"n", $"g")
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy($"doc_id", $"n").orderBy($"tf".desc, $"g".asc)
+      val fr = tf.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .withColumn("rep_chars", $"tf" * length($"g").cast("long"))
+        .groupBy($"doc_id")
+        .agg(max($"nc").as("nc"),
+          max(when($"n" === 2, $"rep_chars")).as("rc2"),
+          max(when($"n" === 3, $"rep_chars")).as("rc3"),
+          max(when($"n" === 4, $"rep_chars")).as("rc4"))
+      fr.join(g5, "doc_id")
+        .select($"doc_id",
+          ($"rc2".cast("double") / $"nc").as("top2_frac"),
+          ($"rc3".cast("double") / $"nc").as("top3_frac"),
+          ($"rc4".cast("double") / $"nc").as("top4_frac"),
+          (($"tot5" - $"dis5").cast("double") / $"tot5").as("dup5_frac"),
+          ($"rc2" * 5 <= $"nc" && $"rc3" * 50 <= $"nc" * 9 &&
+            $"rc4" * 25 <= $"nc" * 4 &&
+            ($"tot5" - $"dis5") * 20 <= $"tot5" * 3).as("keep"))
+        .orderBy($"doc_id")
+    }),
+
     // smoothed BIGRAM-LM scoring: train add-k bigram counts on the
     // corpus itself, score every document by its mean transition
     // probability — the cheap in-engine stand-in for perplexity
@@ -705,6 +761,49 @@ object Retrieval {
         |  CAST(SUM(CASE WHEN NOT f_len AND NOT f_wordlen AND NOT f_toptoken
         |           AND NOT f_ttr AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM rules GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t29_gopher_ngram_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |d5 AS (SELECT * FROM d WHERE len(toks) >= 5),
+        |grams AS (
+        |  SELECT doc_id, nc, n,
+        |    unnest(list_transform(range(len(toks)-n+1),
+        |      i -> array_to_string(toks[i+1:i+n], ' '))) AS g
+        |  FROM d5, (SELECT unnest([2, 3, 4]) AS n) ns
+        |),
+        |tf AS (SELECT doc_id, nc, n, g, COUNT(*) AS tf FROM grams GROUP BY ALL),
+        |ranked AS (
+        |  SELECT doc_id, nc, n, tf * length(g) AS rep_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, n
+        |                       ORDER BY tf DESC, g ASC) AS rn
+        |  FROM tf
+        |),
+        |fr AS (
+        |  SELECT doc_id, MAX(nc) AS nc,
+        |    MAX(CASE WHEN n = 2 THEN rep_chars END) AS rc2,
+        |    MAX(CASE WHEN n = 3 THEN rep_chars END) AS rc3,
+        |    MAX(CASE WHEN n = 4 THEN rep_chars END) AS rc4
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id
+        |),
+        |g5 AS (
+        |  SELECT doc_id,
+        |    CAST(len(l5) AS BIGINT) AS tot5,
+        |    CAST(len(list_distinct(l5)) AS BIGINT) AS dis5
+        |  FROM (SELECT doc_id, list_transform(range(len(toks)-4),
+        |          i -> array_to_string(toks[i+1:i+5], ' ')) AS l5 FROM d5)
+        |)
+        |SELECT f.doc_id,
+        |  CAST(rc2 AS DOUBLE) / nc AS top2_frac,
+        |  CAST(rc3 AS DOUBLE) / nc AS top3_frac,
+        |  CAST(rc4 AS DOUBLE) / nc AS top4_frac,
+        |  CAST(tot5 - dis5 AS DOUBLE) / tot5 AS dup5_frac,
+        |  (rc2 * 5 <= nc AND rc3 * 50 <= nc * 9 AND rc4 * 25 <= nc * 4
+        |   AND (tot5 - dis5) * 20 <= tot5 * 3) AS keep
+        |FROM fr f JOIN g5 USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "t22_lm_score" ->
       """WITH docs AS (

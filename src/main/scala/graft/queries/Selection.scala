@@ -44,6 +44,15 @@ object Selection {
        |      d -> strpos('0123456789abcdef', substr(md5($keyExpr), d+1, 1)) - 1),
        |      (acc, v) -> acc*16 + v)::BIGINT + 1) / 4294967296.0""".stripMargin
 
+  /** Hashed-feature bucket for sel2: the first 3 md5 hex digits of the
+    * token as an integer ∈ [0, 4096) — the md5-derived idiom (p4's
+    * membership hash, d10's gram keys) applied to DSIR's hashed n-gram
+    * features. DuckDB side folds the same 3 hex digits. */
+  private def duckBucket(keyExpr: String): String =
+    s"""list_reduce(list_transform(range(3),
+       |      dd -> strpos('0123456789abcdef', substr(md5($keyExpr), dd+1, 1)) - 1),
+       |      (acc, v) -> acc*16 + v)::BIGINT""".stripMargin
+
   /** One k-center round's min-distance update: fold a ONE-ROW center
     * frame (`cv` column) into the corpus frame's running distance `d`.
     * Exposed for the plan audit in SelectionSpec: the center arrives by
@@ -135,6 +144,54 @@ object Selection {
       }
       rounds.reduce(_ union _).orderBy($"round")
     }),
+
+    // DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by how target-like its hashed-unigram feature profile is
+    // — target = the corpus's benchmark/quality source src0 (d10/d12/t22's
+    // convention), features = tokens hashed into 4096 md5 buckets, and
+    // each bucket carries an add-one-smoothed target/raw frequency-ratio
+    // score. EXACT-ARITHMETIC VARIANT: the per-bucket score is the
+    // INTEGER ppm ratio ((cnt_t+1)·10⁶ div (cnt_r+1)) and a document's
+    // score is the exact BIGINT sum over its token positions (DSIR's
+    // log-ratio sum is not bit-portable across libm implementations;
+    // the ratio-sum keeps the same "more target-mass ⇒ higher score"
+    // monotonicity per feature and hash-gates end-to-end). The per-token
+    // normalization w = score/n_tokens is ONE correctly-rounded division
+    // of exact ints (score < 2⁵³ while max-doc-tokens × per-bucket ppm
+    // ratio < 2⁵³ — at any realistic skew the ratio is ≤ 10⁶·target
+    // bucket mass; the CAST(SUM AS BIGINT) on the oracle side overflows
+    // loudly, Num.fsumSql's posture). Scale shape: bucket tables are
+    // ≤ 4096 rows — the score table BROADCASTS to the token stream, the
+    // only corpus-sized shuffles are the two map-side-combining bucket
+    // counts and the per-doc score agg; top-100 is
+    // TakeOrderedAndProject (per-partition heaps, no global sort).
+    "sel2_dsir_importance" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"source",
+          split(lower($"text"), "\\s+").as("toks"))
+      def stream(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .withColumn("b", conv(substring(md5(col("t")), 1, 3), 16, 10).cast("long"))
+      val tgt = stream(docs.filter($"source" === "src0"))
+        .groupBy($"b").agg(count(lit(1)).as("cnt_t"))
+      val rawStream = stream(docs.filter($"source" =!= "src0"))
+      val rawCnt = rawStream.groupBy($"b").agg(count(lit(1)).as("cnt_r"))
+      val scoreTbl = rawCnt.join(tgt, Seq("b"), "left")
+        .select($"b",
+          expr("((coalesce(cnt_t, 0L) + 1L) * 1000000L) div (cnt_r + 1L)").as("s_b"))
+      val perDoc = rawStream.join(broadcast(scoreTbl), "b")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"s_b").as("score"))
+        .withColumn("w", $"score".cast("double") / $"n_tokens")
+      val top = perDoc.orderBy($"w".desc, $"doc_id".asc).limit(100)
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy($"w".desc, $"doc_id".asc)))
+        .select($"rnk", $"doc_id", $"n_tokens", $"score", $"w")
+        .orderBy($"rnk")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -178,5 +235,36 @@ object Selection {
       sb ++= "\nORDER BY round"
       sb.toString
     },
+
+    "sel2_dsir_importance" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |tstream AS (
+         |  SELECT ${duckBucket("t")} AS b
+         |  FROM (SELECT unnest(toks) AS t FROM docs WHERE source = 'src0')
+         |),
+         |tgt AS (SELECT b, COUNT(*) AS cnt_t FROM tstream GROUP BY b),
+         |rstream AS (
+         |  SELECT doc_id, ${duckBucket("t")} AS b
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM docs WHERE source <> 'src0')
+         |),
+         |rawc AS (SELECT b, COUNT(*) AS cnt_r FROM rstream GROUP BY b),
+         |sc AS (
+         |  SELECT r.b, ((COALESCE(t.cnt_t, 0) + 1) * 1000000) // (r.cnt_r + 1) AS s_b
+         |  FROM rawc r LEFT JOIN tgt t USING (b)
+         |),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(s_b) AS BIGINT) AS score
+         |  FROM rstream JOIN sc USING (b) GROUP BY doc_id
+         |),
+         |wd AS (SELECT doc_id, n_tokens, score,
+         |         CAST(score AS DOUBLE) / n_tokens AS w FROM perdoc),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY w DESC, doc_id ASC) AS rnk FROM wd
+         |)
+         |SELECT rnk, doc_id, n_tokens, score, w
+         |FROM ranked WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
   )
 }

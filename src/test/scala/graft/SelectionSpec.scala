@@ -65,6 +65,56 @@ class SelectionSpec extends SparkTestBase {
       s"selected ${out.map(_.getLong(1)).toSeq} vs local greedy $expect")
   }
 
+  test("sel2: DSIR scores equal a local replay; ranking contract holds") {
+    val out = SparkEntry.queries("sel2_dsir_importance")(spark, sf0001).collect()
+    assert(out.length <= 100 && out.nonEmpty)
+    // rank is dense 1..n and w is non-increasing with doc_id tie-break
+    assert(out.map(_.getInt(0)).toSeq == (1 to out.length))
+    val ws = out.map(r => (r.getDouble(4), r.getLong(1)))
+    assert(ws.zip(ws.drop(1)).forall { case ((w1, id1), (w2, id2)) =>
+      w2 < w1 || (w2 == w1 && id2 > id1) }, ws.toSeq.take(10).toString)
+    // w is exactly score/n_tokens per row
+    out.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(2), r.toString)
+    }
+
+    // full local replay of the scoring definition over the fixture
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 3), 16)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toksOf(t: String): Seq[String] = t.toLowerCase.split("\\s+").toSeq
+    val cntT = docs.filter(_._2 == "src0").flatMap(d => toksOf(d._3))
+      .groupBy(bucket).map { case (b, xs) => b -> xs.length.toLong }
+    val raw = docs.filter(_._2 != "src0")
+    val cntR = raw.flatMap(d => toksOf(d._3))
+      .groupBy(bucket).map { case (b, xs) => b -> xs.length.toLong }
+    def sB(b: Long): Long =
+      ((cntT.getOrElse(b, 0L) + 1L) * 1000000L) / (cntR(b) + 1L)
+    val perDoc = raw.map { case (id, _, text) =>
+      val ts = toksOf(text)
+      val score = ts.map(t => sB(bucket(t))).sum
+      (id, ts.length.toLong, score, score.toDouble / ts.length)
+    }
+    val expect = perDoc.sortBy { case (id, _, _, w) => (-w, id) }.take(100)
+      .map(x => (x._1, x._2, x._3))
+    val got = out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect.toSeq, s"got ${got.take(5)} vs ${expect.take(5)}")
+  }
+
+  test("sel2 scale shape: score table broadcasts, top-k via TakeOrderedAndProject") {
+    val df = SparkEntry.queries("sel2_dsir_importance")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d28/sel1 scale shape: top-k via TakeOrderedAndProject, no corpus exchange in sel1's update") {
     val d28 = SparkEntry.queries("d28_priority_sample")(spark, sf0001)
     d28.collect()

@@ -70,4 +70,38 @@ class TextKernelSpec extends SparkTestBase {
       .head().getLong(0)
     assert(row0 == toks.size.toLong)
   }
+
+  test("t29: Gopher n-gram repetition fractions equal a local replay") {
+    val out = SparkEntry.queries("t29_gopher_ngram_repetition")(spark, sf0001)
+      .collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.length == docs.size, s"one row per doc: ${out.length} vs ${docs.size}")
+    out.foreach { r =>
+      val (id, text) = (r.getLong(0), docs(r.getLong(0)))
+      val toks = text.toLowerCase.split("\\s+").toSeq
+      val nc = text.length.toLong
+      def topRepChars(n: Int): Long = {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val (g, tf) = grams.groupBy(identity).view.mapValues(_.size)
+          .toSeq.minBy { case (g0, c) => (-c, g0) }
+        tf.toLong * g.length
+      }
+      val (rc2, rc3, rc4) = (topRepChars(2), topRepChars(3), topRepChars(4))
+      val l5 = toks.sliding(5).map(_.mkString(" ")).toSeq
+      val (tot5, dis5) = (l5.size.toLong, l5.distinct.size.toLong)
+      assert(r.getDouble(1) == rc2.toDouble / nc, s"doc $id top2")
+      assert(r.getDouble(2) == rc3.toDouble / nc, s"doc $id top3")
+      assert(r.getDouble(3) == rc4.toDouble / nc, s"doc $id top4")
+      assert(r.getDouble(4) == (tot5 - dis5).toDouble / tot5, s"doc $id dup5")
+      val keep = rc2 * 5 <= nc && rc3 * 50 <= nc * 9 && rc4 * 25 <= nc * 4 &&
+        (tot5 - dis5) * 20 <= tot5 * 3
+      assert(r.getBoolean(5) == keep, s"doc $id keep")
+    }
+    // the gate is non-vacuous on the fixture: both verdicts occur at
+    // sf0.01+ (sf0.001 may be single-sided; assert the fractions are
+    // non-degenerate instead)
+    assert(out.exists(_.getDouble(1) > 0.0), "top2_frac all zero")
+  }
 }
