@@ -1205,7 +1205,72 @@ object Battery {
             .otherwise(lit("inserted")).as("action"))
         .orderBy($"user_id")
     }),
+
+    // 2-D PARETO FRONT (SKYLINE): the parts no other part beats on BOTH
+    // axes — minimize p_retailprice, maximize p_size (one strict). The
+    // classic multi-objective shortlist operator no relational op
+    // expresses directly (the naive form is a quadratic NOT EXISTS
+    // self-join — exactly what the oracle runs). Distributed shape is
+    // the standard local-prune/global-merge decomposition:
+    //   1. LOCAL SKYLINE per scan partition — sortWithinPartitions
+    //      (price asc, size desc) + one streaming pass (mapPartitions,
+    //      the sanctioned last-resort tier: a running max over a sorted
+    //      iterator has no declarative no-shuffle form). Dominance is
+    //      transitive, so pruning locally-dominated rows never removes
+    //      a global skyline member; survivors per partition are the
+    //      partition's own front (tiny for any realistic value
+    //      distribution — O(log n) expected for independent axes).
+    //   2. GLOBAL EXACT step on the survivors only: per-price-level max
+    //      size, running max over STRICTLY cheaper levels (ordered
+    //      window over the already-tiny level set), keep rows whose
+    //      size tops both. Ties on both axes are mutual non-dominators
+    //      and all kept — the NOT-EXISTS semantics exactly.
+    // At 100 TB the full table is touched only by the narrow sorted
+    // scan; nothing wider than the per-partition fronts ever shuffles.
+    "q64_skyline" -> ((s, dir) =>
+      skyline2d(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice")))),
   )
+
+  /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
+    * price, maximize size. See `q64_skyline` for the decomposition
+    * argument; PlanSpec-style coverage lives in SkylineSpec (reference
+    * brute force + tie semantics + local-prune soundness). */
+  private[graft] def skyline2d(p0: DataFrame): DataFrame = {
+    val s = p0.sparkSession
+    import s.implicits._
+    val p = p0.select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val local = p.as[(Long, Int, Double)]
+      .sortWithinPartitions($"p_retailprice".asc, $"p_size".desc)
+      .mapPartitions { it =>
+        // rows arrive (price asc, size desc); keep a row iff its size
+        // beats every strictly-cheaper row's max (cheaper + >= size
+        // dominates via the strict price) AND it is its price level's
+        // first-seen (= max) size, unless it ties that max exactly
+        // (equal price + equal size: no strict edge, both stay)
+        var cheaperMax = Int.MinValue
+        var curPrice = Double.NaN
+        var levelMax = Int.MinValue
+        it.filter { case (_, size, price) =>
+          if (price != curPrice) {
+            cheaperMax = math.max(cheaperMax, levelMax)
+            curPrice = price; levelMax = size
+          }
+          size > cheaperMax && size == levelMax
+        }
+      }
+      .toDF("p_partkey", "p_size", "p_retailprice")
+    val lvl = local.groupBy($"p_retailprice")
+      .agg(max($"p_size").as("gmax"))
+    val wl = Window.orderBy($"p_retailprice".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lvl2 = lvl.withColumn("runmax", max($"gmax").over(wl))
+    local.join(lvl2, "p_retailprice")
+      .filter((isnull($"runmax") || $"runmax" < $"p_size") &&
+        $"gmax" === $"p_size")
+      .select($"p_partkey", $"p_size", $"p_retailprice")
+      .orderBy($"p_retailprice", $"p_partkey")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q51_scd2_intervals" ->
@@ -1759,5 +1824,15 @@ object Battery {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_partkey BETWEEN 100 AND 299
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the textbook quadratic dominance formulation — deliberately NOT
+    // the engine's algorithm, so the gate checks semantics, not shape
+    "q64_skyline" ->
+      """SELECT p.p_partkey, p.p_size, p.p_retailprice FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin,
   )
 }

@@ -58,7 +58,7 @@ object Graph {
     * per-JVM set forces one fresh write per process, `_SUCCESS` guards
     * torn writes). First caller pays the derivation; the rest read
     * parquet. */
-  private def cachedEdges(s: SparkSession, dir: String,
+  private[graft] def cachedEdges(s: SparkSession, dir: String,
                           minShared: Int, maxDf: Int): DataFrame = {
     val tmp = graft.ops.Scratch.dir("graft_edges", s"$dir|$minShared|$maxDf")
     // serialized per path: two queries racing on first use (cc1/cc2/pr1
@@ -158,6 +158,34 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // K-CORE EXTRACTION (k=2, synchronous peeling): the densest-region
+    // filter dup-cluster triage runs BEFORE trusting a near-dup
+    // neighborhood — a node survives iff it keeps >= k neighbors after
+    // every weaker node is discarded, so borderline chains and
+    // pendant matches (which cc1's transitive closure happily absorbs
+    // and gr2's gcc only diagnoses in aggregate) are peeled away and
+    // what remains is the template-family hard core. SYNCHRONOUS
+    // rounds: each round recomputes degrees over the surviving edge
+    // set and drops every node below k at once — 4 rounds unrolled,
+    // with KCoreSpec asserting the fixture reaches its FIXPOINT one
+    // round early (round 4 == round 3), so the unrolled depth is
+    // verified, not hoped (d7's unrolled-Lloyd posture; peeling depth
+    // grows like the graph's degeneracy ordering, logarithmic in
+    // practice on similarity graphs). Per-round scale shape: one
+    // map-side-combining degree count over edges + two semi-joins of
+    // the edge set against the k-qualified node set (node-keyed
+    // shuffles only — the edge set never self-joins and no adjacency
+    // structure is ever collected).
+    "gr4_kcore" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      kcoreEdges(sym, k = 2, rounds = 4)
+        .groupBy(col("a")).agg(count(lit(1)).as("deg_in_core"))
+        .select(col("a").as("doc_id"), col("deg_in_core"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TRIANGLE COUNT + global clustering coefficient over the near-dup
     // graph — the cohesion diagnostic that tells dup-cluster triage how
     // "clique-like" the duplicate neighborhoods are (high gcc: dense
@@ -205,6 +233,26 @@ object Graph {
             .otherwise(lit(0.0)).as("gcc"))
     }),
   )
+
+  /** `rounds` synchronous k-core peel steps over a SYMMETRIC (a, b)
+    * edge frame; returns the surviving symmetric edge set. Equals the
+    * true k-core whenever the peel fixpoints within `rounds` —
+    * KCoreSpec asserts that for gr4's fixture (and that a too-shallow
+    * unroll on an adversarial path graph does NOT fixpoint, so the
+    * depth check is load-bearing). See `gr4_kcore` for the per-round
+    * scale shape. */
+  private[graft] def kcoreEdges(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = Materialize(sym.select(col("a"), col("b")))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("a"))
+      e = Materialize(
+        e.join(keep, Seq("a"), "left_semi")
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+    }
+    e
+  }
 
   /** Power-iteration PageRank core (damping 0.85) over a SYMMETRIC
     * (a, b) edge frame — every node must have out-degree ≥ 1 (no
@@ -377,6 +425,36 @@ object Graph {
         |  SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
         |  FROM c3) WHERE rn = 1)
         |SELECT node AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin,
+
+    // the same 4 synchronous peel rounds unrolled (KCoreSpec proves
+    // the fixture fixpoints at round 3, so depth-4 equals the k-core)
+    "gr4_kcore" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |k1 AS (SELECT a FROM e0 GROUP BY a HAVING COUNT(*) >= 2),
+        |e1 AS (SELECT e.a, e.b FROM e0 e JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+        |k2 AS (SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 2),
+        |e2 AS (SELECT e.a, e.b FROM e1 e JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a),
+        |k3 AS (SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 2),
+        |e3 AS (SELECT e.a, e.b FROM e2 e JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
+        |k4 AS (SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 2),
+        |e4 AS (SELECT e.a, e.b FROM e3 e JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a)
+        |SELECT a AS doc_id, COUNT(*) AS deg_in_core
+        |FROM e4 GROUP BY a ORDER BY doc_id""".stripMargin,
 
     // id-oriented triangle join (a<b<c) — orientation-invariant count,
     // so the oracle needn't replicate Spark's degree ordering

@@ -212,6 +212,48 @@ object Quality {
         .withColumn("is_outlier", abs($"robust_z") > lit(3.0))
         .orderBy($"day")
     }),
+
+    // FUNCTIONAL-DEPENDENCY DISCOVERY (TANE-style verification over a
+    // declared candidate set): for each X → Y candidate, does every
+    // determinant value map to exactly one dependent value, and if not,
+    // how broken is it — violating groups, worst fan-out, and the row
+    // mass sitting in violation. dq2 checks declared CONSTRAINTS; this
+    // is the profiling primitive that tells you which constraints you
+    // COULD declare (an FD that holds on every snapshot is a schema
+    // fact waiting to be enforced; one that just started failing is an
+    // upstream bug). Scale shape: one (X, Y)-keyed two-phase distinct
+    // aggregate per candidate — partials combine map-side, nothing is
+    // collected, and candidates over the same table still scan it once
+    // each (verifying k FDs on one pass needs a melt like dq1's; at a
+    // handful of candidates the per-FD pass keeps each aggregate's key
+    // width minimal).
+    "dq5_fd_discovery" -> ((s, dir) => {
+      def fd(df: DataFrame, name: String, det: String, dep: String): DataFrame =
+        df.groupBy(col(det))
+          .agg(countDistinct(col(dep)).as("nd"), count(lit(1)).as("cnt"))
+          .agg(
+            count(lit(1)).as("det_groups"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("violating_groups"),
+            max(col("nd")).as("max_dependents"),
+            sum(when(col("nd") > 1, col("cnt")).otherwise(0L))
+              .as("rows_in_violation"))
+          .select(lit(name).as("fd"), col("det_groups"),
+            col("violating_groups"), col("max_dependents"),
+            col("rows_in_violation"),
+            (col("violating_groups") === 0L).as("holds"))
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val d = Tables.documents(s, dir)
+      Seq(
+        fd(li, "lineitem: l_orderkey -> l_suppkey", "l_orderkey", "l_suppkey"),
+        fd(o, "orders: o_orderkey -> o_orderstatus", "o_orderkey", "o_orderstatus"),
+        fd(o, "orders: o_custkey -> o_orderpriority", "o_custkey", "o_orderpriority"),
+        fd(c, "customer: c_nationkey -> c_mktsegment", "c_nationkey", "c_mktsegment"),
+        fd(d, "documents: lang -> source", "lang", "source"))
+        .reduce(_ unionAll _)
+        .orderBy(col("fd"))
+    }),
   )
 
   // d = the distinct basis (raw string content for string columns, the
@@ -304,5 +346,23 @@ object Quality {
         |SELECT day, total, robust_z,
         |  abs(robust_z) > CAST(3 AS DOUBLE) AS is_outlier
         |FROM z ORDER BY day""".stripMargin,
+
+    "dq5_fd_discovery" -> {
+      def one(name: String, table: String, det: String, dep: String) =
+        s"""SELECT '$name' AS fd, COUNT(*) AS det_groups,
+           |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+           |  MAX(nd) AS max_dependents,
+           |  CAST(SUM(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_violation,
+           |  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd, COUNT(*) AS cnt
+           |      FROM $table GROUP BY 1)""".stripMargin
+      Seq(
+        one("lineitem: l_orderkey -> l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+        one("orders: o_orderkey -> o_orderstatus", "orders", "o_orderkey", "o_orderstatus"),
+        one("orders: o_custkey -> o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+        one("customer: c_nationkey -> c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+        one("documents: lang -> source", "documents", "lang", "source"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
   )
 }
