@@ -232,7 +232,92 @@ object Graph {
             lit(3.0) * col("n_triangles") / col("n_wedges"))
             .otherwise(lit(0.0)).as("gcc"))
     }),
+    // BFS HOP DISTANCE from the duplication HUB (the highest-degree
+    // node of the near-dup graph, ties to the lower doc_id): the
+    // "blast-radius" pass dup-cluster triage runs to see how far a
+    // template family's influence reaches — hop 1 is the hub's direct
+    // near-dups, hop 2+ the borderline chains that transitive closure
+    // (cc1) would merge silently. Frontier expansion, 4 synchronous
+    // rounds: each round touches ONLY the newest frontier (a left-semi
+    // of the edge set against the frontier, edge-keyed shuffle), drops
+    // already-visited nodes with a node-keyed anti-join, and unions the
+    // survivors in at hop i. First-reach IS min-distance by
+    // construction, so no min-aggregation over paths is ever needed and
+    // per-round work is proportional to the frontier's edge
+    // neighborhood — never the whole graph re-expanded (the oracle's
+    // recursive CTE re-derives every (node, d≤4) path pair and takes
+    // min(d), which is fine at oracle scale and exactly equal whenever
+    // the peel depth covers the radius). Unreached nodes are absent on
+    // both sides rather than carrying a sentinel distance.
+    "gr5_bfs_hops" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      val hub = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("a").asc).limit(1)
+        .select(col("a").as("node"))
+      bfsHops(sym, hub, rounds = 4)
+        .select(col("node").as("doc_id"), col("hops"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LEAKAGE-FREE SPLIT: d11 buckets per-DOC, which lets two near-
+    // duplicates straddle train/test — the eval-contamination leak
+    // decontamination (d10/d12) exists to prevent, reintroduced by the
+    // splitter itself. The fix every serious pipeline ships: hash the
+    // CLUSTER representative, so an entire near-dup component rides one
+    // md5 bucket and membership of any document pins its whole family.
+    // Singletons (no near-dup edge) are their own cluster via
+    // COALESCE(label, doc_id) — the corpus-sized left join against the
+    // edge-cover-sized label frame broadcasts under AQE; the corpus is
+    // never reshuffled (same posture as cc2's anti-join). GraphSpec
+    // asserts the invariant d11 cannot offer: no cluster spans splits.
+    "d31_leakfree_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val edges = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val labels = ConnectedComponents.run(edges, "d1", "d2")
+        .select(col("node").as("doc_id"), col("label"))
+      val withLbl = docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      val h = substring(md5(col("cluster_id").cast("string")), 1, 1)
+      withLbl
+        .select(
+          when(h < "c", "train").when(h < "e", "val").otherwise("test")
+            .as("split"),
+          col("cluster_id"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    }),
   )
+
+  /** Multi-source BFS over a SYMMETRIC (a, b) edge frame: `sources`
+    * (single column `node`) start at hop 0; returns (node, hops) for
+    * every node reached within `rounds` hops. Each round expands ONLY
+    * the previous round's frontier (left-semi edges⋈frontier), so a
+    * node is inserted exactly once — at its true BFS distance — and
+    * the anti-join against the visited set keeps re-expansion of
+    * already-settled nodes out of the plan entirely. GraphSpec asserts
+    * min-distance semantics on a diamond graph (two paths, different
+    * lengths) and that the unvisited tail of a path graph stays
+    * absent. */
+  private[graft] def bfsHops(sym: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    var visited = Materialize(sources.select(col("node"), lit(0L).as("hops")))
+    var frontier = visited.select(col("node"))
+    for (i <- 1 to rounds) {
+      val next = Materialize(
+        sym.join(frontier.select(col("node").as("a")), Seq("a"), "left_semi")
+          .select(col("b").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti"))
+      visited = Materialize(
+        visited.union(next.select(col("node"), lit(i.toLong).as("hops"))))
+      frontier = next
+    }
+    visited
+  }
 
   /** `rounds` synchronous k-core peel steps over a SYMMETRIC (a, b)
     * edge frame; returns the surviving symmetric edge set. Equals the
@@ -455,6 +540,72 @@ object Graph {
         |e4 AS (SELECT e.a, e.b FROM e3 e JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a)
         |SELECT a AS doc_id, COUNT(*) AS deg_in_core
         |FROM e4 GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // depth-capped recursive reach (d < 4) + min(d): re-derives every
+    // path pair where Spark's frontier expansion visits each node once —
+    // equal results whenever both sides cap at the same radius
+    "gr5_bfs_hops" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |hub AS (SELECT a FROM e0 GROUP BY a ORDER BY COUNT(*) DESC, a ASC LIMIT 1),
+        |reach(node, d) AS (
+        |  SELECT a, 0 FROM hub
+        |  UNION
+        |  SELECT e.b, r.d + 1 FROM e0 e JOIN reach r ON e.a = r.node WHERE r.d < 4
+        |)
+        |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS hops
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // cc1's closure + d11's md5 bucket CASE, keyed by the cluster
+    // representative instead of the doc — singletons via COALESCE
+    "d31_leakfree_split" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |lab AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |wl AS (
+        |  SELECT d.doc_id, d.n_chars, COALESCE(l.label, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+        |)
+        |SELECT CASE
+        |    WHEN substr(md5(CAST(cluster_id AS VARCHAR)),1,1) < 'c' THEN 'train'
+        |    WHEN substr(md5(CAST(cluster_id AS VARCHAR)),1,1) < 'e' THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM wl GROUP BY 1 ORDER BY split""".stripMargin,
 
     // id-oriented triangle join (a<b<c) — orientation-invariant count,
     // so the oracle needn't replicate Spark's degree ordering

@@ -254,6 +254,40 @@ object Quality {
         .reduce(_ unionAll _)
         .orderBy(col("fd"))
     }),
+
+    // BENFORD FIRST-DIGIT DRIFT: the fraud/corruption smoke test a
+    // quality gate runs on naturally-generated monetary columns —
+    // organically-produced amounts follow log10(1+1/d) first-digit
+    // frequencies, and a synthetic/injected batch shows up as ppm
+    // deviation long before any constraint fails. NOTHING FLOAT
+    // decides a row: the first significant digit comes from the
+    // decimal rendering of floor(price) AS BIGINT (exact in both
+    // engines — prices are >= 1, so the integer part carries the
+    // leading digit), observed fractions are integer ppm (n·10⁶ div
+    // total), and the Benford expectations are hard integer constants
+    // that sum to exactly 1 000 000. Scale shape: one projection →
+    // one 9-group map-side-combining count; the 1-row total and the
+    // 9-row expectation table broadcast. Envelope: n·10⁶ < 2⁶³ up to
+    // 9·10¹² rows per digit — loud BIGINT overflow beyond, never
+    // silent.
+    "dq6_benford" -> ((s, dir) => {
+      import s.implicits._
+      val exp = Seq(
+        1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+        .toDF("digit", "exp_ppm")
+      val counted = Tables.lineitem(s, dir)
+        .select(substring(floor(col("l_extendedprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = counted.agg(sum(col("n")).as("tot"))
+      counted.crossJoin(broadcast(tot))
+        .join(broadcast(exp), "digit")
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div tot").as("obs_ppm"), col("exp_ppm"),
+          (expr("n * 1000000 div tot") - col("exp_ppm")).as("dev_ppm"))
+        .orderBy(col("digit"))
+    }),
   )
 
   // d = the distinct basis (raw string content for string columns, the
@@ -364,5 +398,23 @@ object Quality {
         one("documents: lang -> source", "documents", "lang", "source"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
     },
+
+    "dq6_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem
+        |),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+        |e(digit, exp_ppm) AS (VALUES
+        |  (1, CAST(301030 AS BIGINT)), (2, CAST(176091 AS BIGINT)),
+        |  (3, CAST(124939 AS BIGINT)), (4, CAST(96910 AS BIGINT)),
+        |  (5, CAST(79181 AS BIGINT)), (6, CAST(66947 AS BIGINT)),
+        |  (7, CAST(57992 AS BIGINT)), (8, CAST(51153 AS BIGINT)),
+        |  (9, CAST(45757 AS BIGINT)))
+        |SELECT c.digit, c.n, c.n * 1000000 // tot AS obs_ppm, e.exp_ppm,
+        |  (c.n * 1000000 // tot) - e.exp_ppm AS dev_ppm
+        |FROM c JOIN e ON c.digit = e.digit, t
+        |ORDER BY c.digit""".stripMargin,
   )
 }

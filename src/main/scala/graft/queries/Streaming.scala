@@ -214,6 +214,29 @@ object Streaming {
           sum(when($"okey" === $"fkey", 1L).otherwise(0L)).as("n_novel"))
         .orderBy($"source")
     }),
+
+    // TRENDING TOP-K per hour window — the "what's hot right now"
+    // leaderboard a monitoring surface keeps current: top-3 event types
+    // by count per tumbling hour, ties to the lexicographically-smaller
+    // type so the rank is a total order and replayable. Batch posture
+    // below (hour counts → map-side-heap TopKPerKey — the rank never
+    // sees more than k rows per window per partition); the INCREMENTAL
+    // execution is [[Streams.windowTopkBatch]]: per-micro-batch count
+    // deltas SUM-merged into versioned state (windows × types rows, not
+    // event volume), rank derived at read time, replays no-ops —
+    // StreamingSpec proves multi-batch accumulation lands exactly on
+    // this one-shot result and that a replayed batch id is a no-op.
+    "s14_trending_topk" -> ((s, dir) => {
+      import s.implicits._
+      val counted = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"window.start").as("w_start"),
+          $"event_type", $"n")
+      graft.plans.TopK.perKey(counted, keys = Seq(col("w_start")),
+        order = Seq(col("n").desc, col("event_type").asc), k = 3)
+        .orderBy($"w_start", col("n").desc, $"event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -363,5 +386,21 @@ object Streaming {
         |  CAST(SUM(CASE WHEN okey = fkey THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
         |FROM segs JOIN firsts USING (seg)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // ROW_NUMBER replays TopKPerKey's exact total order (n DESC,
+    // event_type ASC); integer counts, so no float ever ranks a row
+    "s14_trending_topk" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS w_start,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT c.*, ROW_NUMBER() OVER (
+        |    PARTITION BY w_start ORDER BY n DESC, event_type ASC) AS rn
+        |  FROM c
+        |)
+        |SELECT w_start, event_type, n FROM r WHERE rn <= 3
+        |ORDER BY w_start, n DESC, event_type""".stripMargin,
   )
 }

@@ -233,6 +233,49 @@ object Streams {
     spark.read.parquet(s"$dir/v$v")
   }
 
+  /** Incremental per-window COUNT state behind [[readWindowTopk]]
+    * (query `s14_trending_topk`'s streaming execution): the micro-batch
+    * is pre-aggregated to its (w_start, event_type) counts — the only
+    * thing that crosses into state; raw events never accumulate — and
+    * SUM-merged into the persisted count table. Rank is derived at READ
+    * time from the current version, so a late event bumps one window's
+    * count instead of re-ranking history, and the state size is
+    * windows × types, not event volume. batchId-versioned with the
+    * [[upsertServing]] marker dance: a replayed batch id (v >= batchId)
+    * is a no-op — the exactly-once-by-idempotence contract foreachBatch
+    * sinks must implement. */
+  def windowTopkBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val inc = batch
+      .select(expr("(unix_micros(ts) div 3600000000) * 3600").as("w_start"),
+        col("event_type"))
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val base =
+      if (java.nio.file.Files.exists(marker)) {
+        val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+        // replay guard: merging v>=batchId would double-count this batch
+        if (v.toLong >= batchId) return
+        Some(spark.read.parquet(s"$dir/v$v"))
+      } else None
+    val merged = base.map(_.unionByName(inc)).getOrElse(inc)
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(sum(col("n")).as("n"))
+    merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+  }
+
+  /** Current top-`k` event types per hour window from
+    * [[windowTopkBatch]] state (count DESC, event_type ASC ties). */
+  def readWindowTopk(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+    val counts = spark.read.parquet(s"$dir/v$v")
+    graft.plans.TopK.perKey(counts, keys = Seq(col("w_start")),
+      order = Seq(col("n").desc, col("event_type").asc), k = k)
+  }
+
   /** `readStream` documents source over a fixed symlink dir (same
     * mechanism as [[eventsStream]]). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {

@@ -202,6 +202,40 @@ class ScaleSpec extends SparkTestBase {
       s"the profile must melt one scan, not loop per column — found $scans scans: " + plan)
   }
 
+  test("dq6 Benford: integer ppm partitions the mass; expectations sum to 10^6") {
+    val df = SparkEntry.queries("dq6_benford")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9),
+      "sf0.001 prices must populate all nine leading digits")
+    // exp_ppm is a hard-constant partition of unity
+    assert(rows.map(_.getAs[Long]("exp_ppm")).sum == 1000000L)
+    // obs_ppm floors, so the sum can fall short only by < 9 ppm
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum > 999991L && obsSum <= 1000000L, s"obs_ppm sum $obsSum")
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.sources.Tables.lineitem(spark, sf0001).count())
+    // dev_ppm is consistent with its own definition
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_ppm") ==
+        r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm"))
+    }
+  }
+
+  test("gr5/d31/s14 plans: no cartesian, split label-join broadcasts, rank is TopKPerKey") {
+    val g = SparkEntry.queries("gr5_bfs_hops")(spark, sf0001)
+    g.collect()
+    assert(!g.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val d = SparkEntry.queries("d31_leakfree_split")(spark, sf0001)
+    d.collect()
+    val dp = d.queryExecution.executedPlan.toString
+    assert(!dp.contains("CartesianProduct"), dp)
+    assert(dp.contains("BroadcastHashJoin"),
+      "the edge-cover-sized label frame must broadcast over the corpus: " + dp)
+    val s = SparkEntry.queries("s14_trending_topk")(spark, sf0001)
+    assert(s.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "the per-window rank must run as the map-side-heap operator")
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()

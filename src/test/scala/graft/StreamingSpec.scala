@@ -342,6 +342,62 @@ class StreamingSpec extends SparkTestBase {
       3L -> (5L, "signup")), "replayed batch ids must not mutate the table")
   }
 
+  test("s14: incremental window top-k equals the one-shot rank; replay is a no-op") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_tk_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tk_out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(rows: (java.sql.Timestamp, String)*): Unit =
+      rows.map { case (t, e) => (t, e, 0L, 0L, 0.0) }
+        .toDF("ts", "event_type", "event_id", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    // hour 10: click x2, view x1  |  hour 11: view x1
+    write((ts("2024-01-01 10:00:00"), "click"), (ts("2024-01-01 10:10:00"), "click"),
+      (ts("2024-01-01 10:20:00"), "view"), (ts("2024-01-01 11:05:00"), "view"))
+    val schema = spark.read.parquet(src).schema
+    def state(): Seq[(Long, String, Long)] =
+      Streams.readWindowTopk(spark, out, k = 2).collect()
+        .map(r => (r.getAs[Long]("w_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n")))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+    val h11 = ts("2024-01-01 11:00:00").getTime / 1000
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.windowTopkBatch(b, out, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(state() == Seq((h10, "click", 2L), (h10, "view", 1L), (h11, "view", 1L)))
+      // batch 2 lands in the SAME hour-10 window: counts must SUM with
+      // version 0 (view 1+2=3 overtakes click 2) — merge, not replace
+      write((ts("2024-01-01 10:40:00"), "view"), (ts("2024-01-01 10:50:00"), "view"),
+        (ts("2024-01-01 11:30:00"), "purchase"))
+      q.processAllAvailable()
+      assert(state() == Seq((h10, "view", 3L), (h10, "click", 2L),
+        (h11, "purchase", 1L), (h11, "view", 1L)))
+    } finally q.stop()
+    // the incremental state must equal the ONE-SHOT rank over all events
+    val oneShot = spark.read.parquet(src)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("w_start"), $"event_type", $"n")
+    val oneTop = graft.plans.TopK.perKey(oneShot, keys = Seq(col("w_start")),
+      order = Seq(col("n").desc, col("event_type").asc), k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(state() == oneTop, "incremental state diverged from one-shot")
+    // replayed batch ids must not double-count — even with live content
+    val bogus = Seq((ts("2024-01-01 10:59:00"), "click", 0L, 0L, 0.0))
+      .toDF("ts", "event_type", "event_id", "user_id", "value")
+    Streams.windowTopkBatch(bogus, out, 1L)
+    Streams.windowTopkBatch(bogus, out, 0L)
+    assert(state() == oneTop, "replayed batch mutated the count state")
+  }
+
   test("RocksDB state store: recovery holds on the scale-grade backend") {
     // the default (HDFSBackedStateStoreProvider) keeps state on the JVM
     // heap — at 100 TB the state store must spill off-heap, which is
