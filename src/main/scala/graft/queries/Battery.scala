@@ -1230,6 +1230,25 @@ object Battery {
     "q64_skyline" -> ((s, dir) =>
       skyline2d(Tables.part(s, dir)
         .select(col("p_partkey"), col("p_size"), col("p_retailprice")))),
+
+    // RELATIVE-RANK windows: percent_rank ((rank-1)/(n-1)) and
+    // cume_dist (peers-through-me/n) — the remaining SQL:2003 rank
+    // family members q7/q37/q39 didn't cover. Both are ONE correctly-
+    // rounded double division of exact small integers, deterministic
+    // under any row order (ties share a rank by value, not position),
+    // so the gate hash-matches without a grid. The %100 keyed sample
+    // bounds verify output; the window itself is the usual
+    // partition-keyed sort — no whole-table single partition.
+    "q65_percent_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      Tables.lineitem(s, dir)
+        .filter($"l_orderkey" % 100 === 0)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -1834,5 +1853,12 @@ object Battery {
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin,
+
+    "q65_percent_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pr,
+        |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
   )
 }

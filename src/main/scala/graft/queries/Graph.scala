@@ -261,6 +261,42 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // PERSONALIZED PAGERANK from the duplication hub (teleport mass
+    // 0.15 returns to the SOURCE, not uniformly): where pr1 scores
+    // global centrality, PPR scores proximity-weighted relevance TO a
+    // chosen document — the similarity-graph analogue of "more like
+    // this one", and the standard seed-expansion primitive for finding
+    // a template family given one known member. Same iteration shape
+    // and dyadic contribution grid as pr1 (one edges⋈ranks equi-join +
+    // one dst-keyed map-side-combining fsum per step; the grid keeps
+    // every iteration bit-identical to the oracle's unrolled CTE);
+    // gr5's BFS gives hop distance from the hub, this gives the
+    // random-walk-with-restart weighting of the same neighborhood.
+    // The hub id is a one-row driver scalar (pageRank's n posture).
+    "gr6_personalized_pagerank" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      val hubId = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("a").asc).limit(1)
+        .select(col("a")).collect()(0).getLong(0)
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val withDeg = Materialize(sym.join(deg, "a"))
+      var rank = sym.select(col("a").as("node")).distinct()
+        .select(col("node"),
+          when(col("node") === hubId, lit(1.0)).otherwise(lit(0.0)).as("r"))
+      for (_ <- 1 to 3)
+        rank = withDeg.join(rank, col("a") === col("node"))
+          .select(col("b"), (col("r") / col("deg")).as("contrib"))
+          .groupBy(col("b"))
+          .agg((lit(0.85) * graft.ops.Num.fsum(col("contrib"))).as("rc"))
+          .select(col("b").as("node"),
+            (when(col("b") === hubId, lit(0.15)).otherwise(lit(0.0))
+              + col("rc")).as("r"))
+      rank.select(col("node").as("doc_id"), col("r").as("ppr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LEAKAGE-FREE SPLIT: d11 buckets per-DOC, which lets two near-
     // duplicates straddle train/test — the eval-contamination leak
     // decontamination (d10/d12) exists to prevent, reintroduced by the
@@ -569,6 +605,56 @@ object Graph {
         |)
         |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS hops
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // pr1's unrolled grid CTE with the teleport term moved onto the
+    // hub (CASE instead of 0.15/n) and r0 an indicator vector
+    "gr6_personalized_pagerank" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |hub AS (SELECT a FROM e0 GROUP BY a ORDER BY COUNT(*) DESC, a ASC LIMIT 1),
+        |nodes AS (SELECT DISTINCT a AS node FROM e0),
+        |deg AS (SELECT a, COUNT(*) AS deg FROM e0 GROUP BY a),
+        |r0 AS (
+        |  SELECT node, CASE WHEN node = (SELECT a FROM hub)
+        |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS r
+        |  FROM nodes
+        |),
+        |r1 AS (
+        |  SELECT e.b AS node,
+        |    CASE WHEN e.b = (SELECT a FROM hub) THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END +
+        |    0.85 * (CAST(CAST(SUM(CAST(round((r.r / d.deg) * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824) AS r
+        |  FROM e0 e JOIN r0 r ON e.a = r.node JOIN deg d ON e.a = d.a
+        |  GROUP BY e.b
+        |),
+        |r2 AS (
+        |  SELECT e.b AS node,
+        |    CASE WHEN e.b = (SELECT a FROM hub) THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END +
+        |    0.85 * (CAST(CAST(SUM(CAST(round((r.r / d.deg) * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824) AS r
+        |  FROM e0 e JOIN r1 r ON e.a = r.node JOIN deg d ON e.a = d.a
+        |  GROUP BY e.b
+        |),
+        |r3 AS (
+        |  SELECT e.b AS node,
+        |    CASE WHEN e.b = (SELECT a FROM hub) THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END +
+        |    0.85 * (CAST(CAST(SUM(CAST(round((r.r / d.deg) * 1073741824) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1073741824) AS r
+        |  FROM e0 e JOIN r2 r ON e.a = r.node JOIN deg d ON e.a = d.a
+        |  GROUP BY e.b
+        |)
+        |SELECT node AS doc_id, r AS ppr FROM r3 ORDER BY doc_id""".stripMargin,
 
     // cc1's closure + d11's md5 bucket CASE, keyed by the cluster
     // representative instead of the doc — singletons via COALESCE

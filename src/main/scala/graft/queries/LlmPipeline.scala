@@ -729,6 +729,60 @@ object LlmPipeline {
       verifyJaccard(cand, sh, 0.5).orderBy($"d1", $"d2")
     }),
 
+    // MINHASH ESTIMATOR CALIBRATION: for every LSH candidate pair,
+    // the 16-permutation signature-agreement estimate of Jaccard
+    // side by side with the exact shingle Jaccard — the audit that
+    // justifies (or indicts) d3's banding thresholds on a given
+    // corpus before anyone trusts them at 100 TB, where the exact
+    // verify is only affordable on the candidate sliver this query
+    // already bounds. EVERYTHING INTEGER: est_ppm = matches·62500
+    // (1/16 per agreeing permutation, exact), exact_ppm =
+    // inter·10⁶ div union, err_ppm their difference — no float ever
+    // decides a row, so the gate hash-matches without a grid. Scale
+    // shape: same signature/band/bucket machinery as d3 (shared
+    // Scaladoc there); the per-pair work adds one zip_with over two
+    // 16-long arrays and the shingle-set intersect already bounded
+    // by the candidate neighborhood.
+    "d32_minhash_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val base = sh
+        .withColumn("x", expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
+      val minCols = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"($a * x + $b) % ${MinHashParams.p}")).as(s"m$i")
+      }
+      val sig = base.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandCols = (0 until 4).map { bnd =>
+        val parts = (0 until 4).map(j => s"CAST(m${bnd * 4 + j} AS STRING)")
+        md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as(s"bk$bnd")
+      }
+      val bands = sig.select($"doc_id" +: bandCols: _*)
+        .select($"doc_id", posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val cand = candidatePairs(materialize(bands), Seq("band", "bkey"), MaxBucketSize)
+      val sigArr = sig.select($"doc_id",
+        array((0 until 16).map(i => col(s"m$i")): _*).as("ms"))
+      val ids = cand.select($"d1".as("doc_id"))
+        .union(cand.select($"d2".as("doc_id"))).distinct()
+      val sets = sh.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id")
+        .agg(collect_list($"shingle").as("shs"), count(lit(1)).as("n"))
+      cand
+        .join(sigArr.select($"doc_id".as("d1"), $"ms".as("ma")), "d1")
+        .join(sigArr.select($"doc_id".as("d2"), $"ms".as("mb")), "d2")
+        .join(sets.select($"doc_id".as("d1"), $"shs".as("sa"), $"n".as("na")), "d1")
+        .join(sets.select($"doc_id".as("d2"), $"shs".as("sb"), $"n".as("nb")), "d2")
+        .withColumn("matches",
+          expr("CAST(size(filter(zip_with(ma, mb, (a, b) -> a = b), v -> v)) AS BIGINT)"))
+        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+        .select($"d1", $"d2", $"matches",
+          ($"matches" * lit(62500L)).as("est_ppm"),
+          expr("inter * 1000000 div (na + nb - inter)").as("exact_ppm"),
+          ($"matches" * lit(62500L)
+            - expr("inter * 1000000 div (na + nb - inter)")).as("err_ppm"))
+        .orderBy($"d1", $"d2")
+    }),
+
     // SimHash: 60-bit fingerprint from per-token md5 bit votes, folded
     // in a SINGLE typed Aggregator pass — the 60× bit expansion lives
     // inside the aggregation buffer (map-side), so the exchange carries
@@ -2433,6 +2487,65 @@ object LlmPipeline {
         |SELECT c.d1, c.d2, j.jaccard
         |FROM cand c JOIN jacc j ON c.d1 = j.d1 AND c.d2 = j.d2
         |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin)
+    },
+
+    // d3's generated signature/band CTE, extended with the per-pair
+    // agreement count and the integer-ppm exact Jaccard; LEFT JOIN on
+    // the intersection so a zero-overlap candidate (pure band
+    // collision) keeps inter = 0 exactly as the Spark side does
+    "d32_minhash_calibration" -> {
+      val minExprs = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * x + $b) % ${MinHashParams.p}) AS m$i"
+      }.mkString(",\n|    ")
+      val bandSelects = (0 until 4).map { bnd =>
+        val parts = (bnd * 4 until bnd * 4 + 4).map(i => s"m$i").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $parts)) AS bkey FROM mh"
+      }.mkString("\n|  UNION ALL\n|  ")
+      val msList = (0 until 16).map(i => s"m$i").mkString(", ")
+      (docsCte.dropRight(1) + s""",
+        |xs AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef', substr(md5(shingle), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT AS x
+        |  FROM sh
+        |),
+        |mh AS (
+        |  SELECT doc_id,
+        |    $minExprs
+        |  FROM xs GROUP BY doc_id
+        |),
+        |bands AS (
+        |  $bandSelects
+        |),
+        |okb AS (
+        |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= $MaxBucketSize
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a
+        |  JOIN okb o ON a.band = o.band AND a.bkey = o.bkey
+        |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |),
+        |sigarr AS (SELECT doc_id, [$msList] AS ms FROM mh),
+        |iv AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.d1, c.d2,
+        |  CAST(len(list_filter(range(16), i -> sa.ms[i+1] = sb.ms[i+1])) AS BIGINT) AS matches,
+        |  CAST(len(list_filter(range(16), i -> sa.ms[i+1] = sb.ms[i+1])) * 62500 AS BIGINT) AS est_ppm,
+        |  COALESCE(iv.inter, 0) * 1000000 // (s1.n + s2.n - COALESCE(iv.inter, 0)) AS exact_ppm,
+        |  CAST(len(list_filter(range(16), i -> sa.ms[i+1] = sb.ms[i+1])) * 62500 AS BIGINT)
+        |    - COALESCE(iv.inter, 0) * 1000000 // (s1.n + s2.n - COALESCE(iv.inter, 0)) AS err_ppm
+        |FROM cand c
+        |JOIN sigarr sa ON c.d1 = sa.doc_id
+        |JOIN sigarr sb ON c.d2 = sb.doc_id
+        |JOIN sizes s1 ON c.d1 = s1.doc_id
+        |JOIN sizes s2 ON c.d2 = s2.doc_id
+        |LEFT JOIN iv ON c.d1 = iv.d1 AND c.d2 = iv.d2
+        |ORDER BY c.d1, c.d2""".stripMargin)
     },
 
     "d4_simhash" ->

@@ -222,6 +222,27 @@ class GraphSpec extends SparkTestBase {
     assert(out.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap == expect)
   }
 
+  test("gr6 PPR: hub dominates, mass stays in [0, 1], support within 3 hops") {
+    val dir = "/root/testdata/sf0.001"
+    val ppr = SparkEntry.queries("gr6_personalized_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr.nonEmpty)
+    ppr.values.foreach(v => assert(v >= 0.0 && v <= 1.0, s"ppr $v"))
+    // total mass can only leak (teleport returns to the hub; no source
+    // re-injection), never exceed the initial unit
+    assert(ppr.values.sum <= 1.0 + 1e-9, s"mass ${ppr.values.sum}")
+    // the hub holds the max rank: it receives ALL teleport mass
+    val hub = ppr.maxBy(_._2)._1
+    val hops = SparkEntry.queries("gr5_bfs_hops")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops(hub) == 0L, s"PPR argmax $hub must be gr5's hop-0 hub")
+    // positive rank implies reachability from the hub within 3 steps
+    ppr.filter(_._2 > 0.0).keys.foreach { n =>
+      assert(hops.get(n).exists(_ <= 3L),
+        s"node $n has positive PPR but no <=3-hop path from the hub")
+    }
+  }
+
   test("gr5: hub is hop 0, every hop-k node has a hop-(k-1) neighbor") {
     val out = SparkEntry.queries("gr5_bfs_hops")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

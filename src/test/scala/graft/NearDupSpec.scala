@@ -257,6 +257,28 @@ class NearDupSpec extends SparkTestBase {
     }.toSet
   }
 
+  test("d32 calibration: estimator algebra exact; identical docs read err 0") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("d32_minhash_calibration")(spark, dir).collect()
+    assert(rows.nonEmpty, "sf0.001 must yield LSH candidates")
+    rows.foreach { r =>
+      val (m, est, exact, err) = (r.getAs[Long]("matches"), r.getAs[Long]("est_ppm"),
+        r.getAs[Long]("exact_ppm"), r.getAs[Long]("err_ppm"))
+      assert(m >= 0L && m <= 16L, s"matches $m out of range")
+      assert(est == m * 62500L, "est_ppm must be the exact rational of matches/16")
+      assert(exact >= 0L && exact <= 1000000L, s"exact_ppm $exact")
+      assert(err == est - exact)
+      // a candidate survived banding, so at least one 4-row band agrees
+      assert(m >= 4L, s"band-collided pair with only $m agreeing perms")
+    }
+    // exact duplicates: every permutation agrees and both ppms saturate
+    val dups = rows.filter(_.getAs[Long]("exact_ppm") == 1000000L)
+    dups.foreach { r =>
+      assert(r.getAs[Long]("matches") == 16L && r.getAs[Long]("err_ppm") == 0L,
+        s"identical shingle sets must agree on all 16 perms: $r")
+    }
+  }
+
   test("winnowSelect equals the textbook rightmost-min reference; coverage holds") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
