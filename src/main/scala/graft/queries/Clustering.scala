@@ -413,9 +413,55 @@ object Clustering {
       .select($"bi".as("dim"), $"bv".as("loading"), $"nrm".as("eigval"))
   }
 
+  /** Deterministic ±1 sign tables for [[e2 random projection]]: 8 output
+    * dims × 64 input dims, signed by the low bit of MD5("rp:j:i") — a
+    * shared CONSTANT both the Spark plan and the DuckDB oracle bake in
+    * as literals (MinHashParams' posture: the randomness is fixed data,
+    * so the gate stays exact). */
+  private[graft] val rpSigns: Seq[Seq[Int]] =
+    (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$j:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 1) 1 else -1
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_embedding_pca" -> ((s, dir) =>
       pcaTopComponent(Tables.embeddings(s, dir)).orderBy(col("dim"))),
+
+    // JOHNSON–LINDENSTRAUSS SIGNED RANDOM PROJECTION 64→8: the cheap
+    // dimensionality reduction a pipeline runs before ANN indexing or
+    // dedup when the full embedding width is too expensive to shuffle —
+    // distances are preserved in expectation (the jl_ratio column IS
+    // the per-vector audit: ‖Pv‖²/(8·‖v‖²), mean ≈ 1 by the JL lemma,
+    // asserted in VecOpsSpec). Determinism: the sign matrix is baked
+    // constant data ([[rpSigns]]); every dot product is a SEQUENTIAL
+    // left fold in index order (zip_with + aggregate from 0.0 — the
+    // c1/VecSqDist posture matching DuckDB's list_reduce), and the
+    // ratio is one division of two such folds, so the gate is exact
+    // with no grid. Scale shape: pure per-row projection — narrow
+    // (9 doubles out of 64 floats), no shuffle at all before the
+    // keyed sample's sort; the sign matrix is 512 ints of plan
+    // constant, not even a broadcast.
+    "e2_random_projection" -> ((s, dir) => {
+      val ev = "transform(embedding, x -> CAST(x AS DOUBLE))"
+      def proj(j: Int): String = {
+        val arr = rpSigns(j).mkString("array(", ", ", ")")
+        s"aggregate(zip_with($ev, $arr, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+      }
+      val num = (0 until 8).map(j => s"(p$j * p$j)").mkString(" + ")
+      val den = s"aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id") +: col("embedding") +:
+          (0 until 8).map(j => expr(proj(j)).as(s"p$j")): _*)
+        .withColumn("jl_ratio",
+          expr(s"CASE WHEN $den > 0 THEN ($num) / (8 * $den) ELSE CAST(0 AS DOUBLE) END"))
+        .drop("embedding")
+        .orderBy(col("vec_id"))
+    }),
 
     "c1_kmeans" -> ((s, dir) =>
       kmeans(Tables.embeddings(s, dir), k = 8, iters = 2)
@@ -623,6 +669,30 @@ object Clustering {
 
   val oracleSql: Map[String, String] = Map(
     "e1_embedding_pca" -> pcaOracle,
+
+    // the same baked sign literals, the same index-ordered fold
+    // (list_reduce's first-element init == the Spark fold's 0.0 init,
+    // the established VecDot/VecSqDist contract)
+    "e2_random_projection" -> {
+      val projCols = (0 until 8).map { j =>
+        val arr = rpSigns(j).mkString("[", ", ", "]")
+        s"list_reduce(list_transform(range(64), i -> ev[i+1] * ($arr)[i+1]), (x, y) -> x + y) AS p$j"
+      }.mkString(",\n|    ")
+      val num = (0 until 8).map(j => s"(p$j * p$j)").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |),
+         |p AS (
+         |  SELECT vec_id,
+         |    $projCols,
+         |    list_reduce(list_transform(ev, x -> x * x), (x, y) -> x + y) AS den
+         |  FROM e
+         |)
+         |SELECT vec_id, ${(0 until 8).map(j => s"p$j").mkString(", ")},
+         |  CASE WHEN den > 0 THEN ($num) / (8 * den) ELSE CAST(0 AS DOUBLE) END AS jl_ratio
+         |FROM p ORDER BY vec_id""".stripMargin
+    },
 
     "d26_ann_pq" -> pqOracleFor(_ => "TRUE", a => s"${a}vec_id % 10 = 0"),
     "d27_incremental_ann_ingest" ->

@@ -118,6 +118,36 @@ object Export {
       }.toSeq
       parsed.toDF("doc_id", "lang", "source", "n_chars").orderBy($"doc_id")
     }),
+
+    // JDBC SINK roundtrip: the write-side twin of FromSQL
+    // (scanner/sql.go:20 reads; a full integration also SERVES results
+    // back to a warehouse). An aggregate lands in embedded Derby via
+    // Spark's JDBC writer and is read back through the same FromSQL
+    // path the reference's scanner semantics live behind — roundtrip
+    // identity, so the oracle is the direct aggregate. The write is
+    // the k-row RESULT, never the corpus: at 100 TB the pattern is
+    // "aggregate in Spark, publish the summary to the serving DB",
+    // and only the summary crosses the JDBC boundary. toDF rename:
+    // Derby uppercases unquoted identifiers, the gate compares by
+    // name — positional rename is immune to dialect case policy.
+    "g6_jdbc_sink_roundtrip" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftg6;create=true"
+      val agg = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ops.Num.dsum(col("o_totalprice")).as("total_price"))
+      agg.write.mode("overwrite").format("jdbc")
+        .option("url", url)
+        .option("dbtable", "ordstats")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .save()
+      graft.sources.Slice.fromSql(s, url,
+          "SELECT * FROM ordstats",
+          driver = Some("org.apache.derby.jdbc.EmbeddedDriver"),
+          sourceMeta = false)
+        .toDF("o_orderpriority", "n_orders", "total_price")
+        .orderBy(col("o_orderpriority"))
+    }),
   )
 
   /** Shared render-to-SQL fragment for the lineitem columns. */
@@ -158,5 +188,12 @@ object Export {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
         |  CAST(n_chars AS BIGINT) AS n_chars FROM documents
         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    // the Derby roundtrip is identity on BIGINT/DOUBLE, so the oracle
+    // is the direct aggregate (q1's decimal-stabilized sum posture)
+    "g6_jdbc_sink_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

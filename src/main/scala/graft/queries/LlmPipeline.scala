@@ -2305,6 +2305,77 @@ object LlmPipeline {
           count(lit(1)).as("n_docs_kept"), sum($"nt").as("n_tokens_kept"))
         .orderBy($"source")
     }),
+
+    // THE WHOLE PRE-TRAINING PIPELINE IN ONE PLAN: quality gate →
+    // exact dedup → benchmark decontamination → sqrt-weighted mixture
+    // sampling — p1's filter, d10's 8-gram screen and p4's rate chain
+    // composed END TO END the way a training run actually consumes
+    // them, so the mixture rates are computed over the CLEAN corpus's
+    // token mass (p4 computes them over the raw corpus; running the
+    // stages independently and intersecting is NOT the same query).
+    // One corpus scan feeds the gate; the dedup groupBy(md5) is the
+    // only corpus-wide shuffle before the gram explode; the benchmark
+    // gram set and the ≤|sources| rate table broadcast. Every stage
+    // keeps the established determinism posture (integer counts, md5
+    // buckets, the p4 dyadic rate grid), so the composition hash-gates
+    // even though four stages deep.
+    "p5_full_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val kept = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", $"source", $"text", toks($"text").as("toks"))
+        .select($"doc_id", $"source", $"text",
+          size($"toks").cast("long").as("nt"), $"toks")
+        .filter($"nt" >= 10)
+        .withColumn("rep_ratio",
+          lit(1.0) - graft.functions.DistinctBigrams($"toks").cast("double") /
+            (size($"toks") - 1))
+        .filter($"rep_ratio" <= 0.8)
+      val dedup = kept
+        .groupBy(md5($"text").as("fp"))
+        .agg(min($"doc_id").as("doc_id"),
+          expr("min_by(source, doc_id)").as("source"),
+          min($"nt").as("nt"), min($"text").as("text"))
+      // benchmark grams from the RAW src0 docs (p2's convention: the
+      // benchmark is external ground truth, not subject to the gate)
+      val bench = Tables.documents(s, dir)
+        .filter($"source" === "src0")
+        .select(toks($"text").as("toks")).filter(size($"toks") >= 8)
+        .select(explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          .as("g"))
+        .select(xxhash64($"g").as("g")).distinct()
+      val corpus = dedup.filter($"source" =!= "src0")
+      val contaminated = corpus
+        .select($"doc_id", toks($"text").as("toks")).filter(size($"toks") >= 8)
+        .select($"doc_id", explode(expr(
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          .as("g"))
+        .select($"doc_id", xxhash64($"g").as("g"))
+        .join(bench, "g").select($"doc_id").distinct()
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      val docs = graft.ops.Materialize(clean
+        .select($"doc_id", $"source", $"nt",
+          expr("CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), " +
+            "1, 8), 16, 10) AS BIGINT) % 10000").as("bucket")))
+      val n = docs.groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      val w = Window.partitionBy(lit(1))
+      val rates = n
+        .withColumn("sqq", graft.ops.Num.fquant(sqrt($"n_tokens".cast("double"))))
+        .withColumn("weight",
+          $"sqq".cast("double") /
+            sum($"sqq".cast(DecimalType(38, 0))).over(w).cast("double"))
+        .withColumn("tot", sum($"n_tokens").over(w).cast("double"))
+        .withColumn("rate_bp", floor(least(lit(1.0),
+          (lit(0.5) * $"tot") * $"weight" / $"n_tokens".cast("double")) * 10000)
+          .cast("long"))
+        .select($"source", $"rate_bp")
+      docs.join(broadcast(rates), "source")
+        .filter($"bucket" < $"rate_bp")
+        .groupBy($"source")
+        .agg(min($"rate_bp").as("rate_bp"),
+          count(lit(1)).as("n_docs_kept"), sum($"nt").as("n_tokens_kept"))
+        .orderBy($"source")
+    }),
   )
 
   /** Paint a w×h RGB image from `rgbAt`, push it through a REAL PNG
@@ -3535,6 +3606,75 @@ object LlmPipeline {
         |        substr(md5('mix:' || CAST(doc_id AS VARCHAR)), i+1, 1)) - 1),
         |      (acc, v) -> acc*16 + v) AS BIGINT) % 10000 AS bucket
         |  FROM documents
+        |),
+        |n AS (SELECT source, SUM(nt) AS n_tokens FROM d GROUP BY source),
+        |sq AS (SELECT source, n_tokens,
+        |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1073741824) AS BIGINT) AS sqq FROM n),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    CAST(sqq AS DOUBLE) /
+        |      CAST(CAST(SUM(sqq) OVER () AS BIGINT) AS DOUBLE) AS weight,
+        |    CAST(SUM(n_tokens) OVER () AS DOUBLE) AS tot
+        |  FROM sq
+        |),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(FLOOR(LEAST(1.0, (0.5 * tot) * weight /
+        |      CAST(n_tokens AS DOUBLE)) * 10000) AS BIGINT) AS rate_bp
+        |  FROM r
+        |)
+        |SELECT d.source, MIN(rates.rate_bp) AS rate_bp, COUNT(*) AS n_docs_kept,
+        |  SUM(d.nt) AS n_tokens_kept
+        |FROM d JOIN rates ON d.source = rates.source
+        |WHERE d.bucket < rates.rate_bp
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // p2's clean-corpus CTEs composed with p4's dyadic rate chain —
+    // the rates are over the CLEAN corpus token mass, which is the
+    // point of gating the composition, not just the stages
+    "p5_full_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    list_transform(range(len(string_split_regex(lower(text), '\s+')) - 1),
+        |      i -> array_to_string((string_split_regex(lower(text), '\s+'))[i+1:i+2], ' ')) AS bigrams
+        |  FROM documents
+        |),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tokens >= 10
+        |    AND 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) <= 0.8
+        |),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source,
+        |    min(n_tokens) AS nt, min(text) AS text
+        |  FROM kept GROUP BY md5(text)
+        |),
+        |bgrams AS (
+        |  SELECT DISTINCT
+        |    unnest(list_distinct(list_transform(range(len(toks)-7), i -> array_to_string(toks[i+1:i+8], ' ')))) AS g
+        |  FROM (SELECT string_split_regex(lower(text), '\s+') AS toks
+        |        FROM documents WHERE source = 'src0')
+        |  WHERE len(toks) >= 8
+        |),
+        |corpus AS (SELECT * FROM dedup WHERE source <> 'src0'),
+        |cgrams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(toks)-7), i -> array_to_string(toks[i+1:i+8], ' ')))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 8
+        |),
+        |contaminated AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b ON c.g = b.g),
+        |clean AS (
+        |  SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |),
+        |d AS (
+        |  SELECT doc_id, source, nt,
+        |    CAST(list_reduce(list_transform(range(8),
+        |      i -> strpos('0123456789abcdef',
+        |        substr(md5('mix:' || CAST(doc_id AS VARCHAR)), i+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v) AS BIGINT) % 10000 AS bucket
+        |  FROM clean
         |),
         |n AS (SELECT source, SUM(nt) AS n_tokens FROM d GROUP BY source),
         |sq AS (SELECT source, n_tokens,

@@ -236,6 +236,29 @@ class ScaleSpec extends SparkTestBase {
       "the per-window rank must run as the map-side-heap operator")
   }
 
+  test("p5 composition: rate table broadcasts, no cartesian, stages stay fused") {
+    val df = SparkEntry.queries("p5_full_pipeline")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-source rate table must broadcast over the sampled corpus: " + plan)
+    // sanity against the standalone mixture: p5 samples the CLEAN
+    // corpus, so its source set is a subset of p4's (src0 and any
+    // fully-cleaned source may drop out; nothing new can appear) and
+    // sampling can never keep more docs than the clean pool has
+    val p5 = df.collect().map(r =>
+      (r.getString(0), r.getAs[Long]("rate_bp"), r.getAs[Long]("n_docs_kept"))).toSeq
+    val p4srcs = SparkEntry.queries("p4_apply_mixture")(spark, sf0001)
+      .collect().map(_.getString(0)).toSet
+    assert(p5.nonEmpty)
+    p5.foreach { case (src, rate, kept) =>
+      assert(p4srcs.contains(src), s"p5 source $src missing from p4")
+      assert(src != "src0", "the benchmark source must never be sampled")
+      assert(rate >= 0L && rate <= 10000L && kept > 0L)
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()

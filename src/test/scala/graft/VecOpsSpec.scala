@@ -53,4 +53,24 @@ class VecOpsSpec extends SparkTestBase {
     val d0 = 0.25 - 2.0; val d1 = -1.5 - 0.5; val d2 = 3.0 - -0.125
     assert(VecOps.sqDist(ad, bd) == d0 * d0 + d1 * d1 + d2 * d2)
   }
+
+  test("e2 JL projection: norm ratio concentrates near 1; signs are balanced") {
+    // the sign matrix is baked data — each row should be near-balanced
+    // (a degenerate all-one row would make p_j a scaled sum, not a
+    // projection); md5 low bits give ~32±10 per 64
+    graft.queries.Clustering.rpSigns.foreach { row =>
+      assert(row.size == 64)
+      val pos = row.count(_ == 1)
+      assert(pos >= 18 && pos <= 46, s"sign row badly unbalanced: $pos/64")
+    }
+    val rows = SparkEntry.queries("e2_random_projection")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.map(_.getAs[Double]("jl_ratio"))
+    // JL with k=8: each ratio is chi^2_8/8-ish — loose per-row bounds,
+    // tight-ish mean (E=1, se ~ 0.5/sqrt(n))
+    ratios.foreach(r => assert(r > 0.01 && r < 6.0, s"jl_ratio $r"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 1.6, s"mean jl_ratio $mean")
+  }
 }
