@@ -297,6 +297,22 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // DEGREE DISTRIBUTION of the near-dup graph: the one-glance
+    // diagnostic that separates a power-law template disaster (a few
+    // mega-hubs — exactly what the hot-cap and k-core exist to handle)
+    // from benign sparse duplication. Pure integer counts; at scale
+    // it's two map-side-combining aggregations (node degree, then
+    // degree histogram) — the second one's key space is the distinct
+    // degree set, tiny by definition.
+    "gr7_degree_histogram" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    }),
+
     // LEAKAGE-FREE SPLIT: d11 buckets per-DOC, which lets two near-
     // duplicates straddle train/test — the eval-contamination leak
     // decontamination (d10/d12) exists to prevent, reintroduced by the
@@ -655,6 +671,26 @@ object Graph {
         |  GROUP BY e.b
         |)
         |SELECT node AS doc_id, r AS ppr FROM r3 ORDER BY doc_id""".stripMargin,
+
+    "gr7_degree_histogram" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |deg AS (SELECT a, COUNT(*) AS deg FROM e0 GROUP BY a)
+        |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
 
     // cc1's closure + d11's md5 bucket CASE, keyed by the cluster
     // representative instead of the doc — singletons via COALESCE

@@ -729,6 +729,61 @@ object LlmPipeline {
       verifyJaccard(cand, sh, 0.5).orderBy($"d1", $"d2")
     }),
 
+    // LSH PARAMETER SWEEP: the banding-config tuning table — the same
+    // 16-permutation signatures bucketed under FOUR band layouts
+    // (2×8, 4×4, 8×2, 16×1), each scored by candidate volume and by
+    // how many candidates verify at Jaccard ≥ 0.5. This is the table
+    // an operator reads before fixing (bands, rows) for a 100 TB run:
+    // more bands → recall up, candidate volume (≈ cost) up;
+    // precision_ppm quantifies the waste. The ≥ 0.5 verdict is the
+    // CROSS-MULTIPLIED INTEGER test (2·inter ≥ union — t29's posture:
+    // no float threshold ever decides a row), and the exact-verify
+    // join is bounded by the UNION of all four configs' candidates —
+    // the sweep never expands beyond what its own largest config
+    // already pays. Zero-overlap candidates (pure bucket collisions)
+    // keep inter = 0 on both sides (oracle LEFT JOIN + COALESCE).
+    "d33_lsh_param_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val base = sh
+        .withColumn("x", expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
+      val minCols = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"($a * x + $b) % ${MinHashParams.p}")).as(s"m$i")
+      }
+      val sig = materialize(base.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*))
+      def candFor(nb: Int, rw: Int): DataFrame = {
+        val bandCols = (0 until nb).map { bnd =>
+          val parts = (0 until rw).map(j => s"CAST(m${bnd * rw + j} AS STRING)")
+          md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as(s"bk$bnd")
+        }
+        val bands = sig.select($"doc_id" +: bandCols: _*)
+          .select($"doc_id", posexplode(array((0 until nb).map(b => col(s"bk$b")): _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        candidatePairs(materialize(bands), Seq("band", "bkey"), MaxBucketSize)
+          .select(lit(s"${nb}x$rw").as("config"), $"d1", $"d2")
+      }
+      val allCand = materialize(Seq((2, 8), (4, 4), (8, 2), (16, 1))
+        .map { case (nb, rw) => candFor(nb, rw) }.reduce(_ unionAll _))
+      val uniq = allCand.select($"d1", $"d2").distinct()
+      val ids = uniq.select($"d1".as("doc_id"))
+        .union(uniq.select($"d2".as("doc_id"))).distinct()
+      val sets = sh.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id")
+        .agg(collect_list($"shingle").as("shs"), count(lit(1)).as("n"))
+      val ex = uniq
+        .join(sets.select($"doc_id".as("d1"), $"shs".as("sa"), $"n".as("na")), "d1")
+        .join(sets.select($"doc_id".as("d2"), $"shs".as("sb"), $"n".as("nb2")), "d2")
+        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
+        .select($"d1", $"d2",
+          (expr("inter * 2") >= expr("na + nb2 - inter")).as("good"))
+      allCand.join(ex, Seq("d1", "d2"))
+        .groupBy($"config")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when($"good", 1L).otherwise(0L)).as("n_good"))
+        .withColumn("precision_ppm", expr("n_good * 1000000 div n_cand"))
+        .orderBy($"config")
+    }),
+
     // MINHASH ESTIMATOR CALIBRATION: for every LSH candidate pair,
     // the 16-permutation signature-agreement estimate of Jaccard
     // side by side with the exact shingle Jaccard — the audit that
@@ -2558,6 +2613,70 @@ object LlmPipeline {
         |SELECT c.d1, c.d2, j.jaccard
         |FROM cand c JOIN jacc j ON c.d1 = j.d1 AND c.d2 = j.d2
         |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin)
+    },
+
+    // the four band layouts generated from the same MinHashParams; the
+    // ≥ 0.5 verdict via the 2·inter ≥ union integer cross-multiply
+    "d33_lsh_param_sweep" -> {
+      val minExprs = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * x + $b) % ${MinHashParams.p}) AS m$i"
+      }.mkString(",\n|    ")
+      def candCte(tag: String, nb: Int, rw: Int): String = {
+        val bandSelects = (0 until nb).map { bnd =>
+          val parts = (bnd * rw until bnd * rw + rw).map(i => s"m$i").mkString(", ")
+          s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $parts)) AS bkey FROM mh"
+        }.mkString("\n|    UNION ALL\n|    ")
+        s"""bands_$tag AS (
+           |    $bandSelects
+           |  ),
+           |  okb_$tag AS (
+           |    SELECT band, bkey FROM bands_$tag GROUP BY band, bkey HAVING count(*) <= $MaxBucketSize
+           |  ),
+           |  cand_$tag AS (
+           |    SELECT DISTINCT '${nb}x$rw' AS config, a.doc_id AS d1, b.doc_id AS d2
+           |    FROM bands_$tag a
+           |    JOIN okb_$tag o ON a.band = o.band AND a.bkey = o.bkey
+           |    JOIN bands_$tag b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |  )""".stripMargin
+      }
+      val configs = Seq(("c2x8", 2, 8), ("c4x4", 4, 4), ("c8x2", 8, 2), ("c16x1", 16, 1))
+      val ctes = configs.map { case (t, nb, rw) => candCte(t, nb, rw) }.mkString(",\n|  ")
+      val candUnion = configs.map { case (t, _, _) => s"SELECT * FROM cand_$t" }
+        .mkString("\n|    UNION ALL\n|    ")
+      (docsCte.dropRight(1) + s""",
+        |xs AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef', substr(md5(shingle), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT AS x
+        |  FROM sh
+        |),
+        |mh AS (
+        |  SELECT doc_id,
+        |    $minExprs
+        |  FROM xs GROUP BY doc_id
+        |),
+        |  $ctes,
+        |allcand AS (
+        |    $candUnion
+        |),
+        |iv AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |scored AS (
+        |  SELECT c.config,
+        |    2 * COALESCE(iv.inter, 0) >= (s1.n + s2.n - COALESCE(iv.inter, 0)) AS good
+        |  FROM allcand c
+        |  JOIN sizes s1 ON c.d1 = s1.doc_id
+        |  JOIN sizes s2 ON c.d2 = s2.doc_id
+        |  LEFT JOIN iv ON c.d1 = iv.d1 AND c.d2 = iv.d2
+        |)
+        |SELECT config, COUNT(*) AS n_cand,
+        |  CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS precision_ppm
+        |FROM scored GROUP BY config ORDER BY config""".stripMargin)
     },
 
     // d3's generated signature/band CTE, extended with the per-pair

@@ -242,6 +242,30 @@ object Retrieval {
     // the top-1 window runs per (doc, n) partitions (never corpus-wide);
     // the 5-gram stats are a PURE PROJECTION (array_distinct inside the
     // row) — no shuffle; nothing joins across documents.
+    // TEXT NORMALIZATION ACCOUNTING: the canonicalization every
+    // pipeline runs before hashing/dedup (lowercase, edge-trim,
+    // whitespace-run collapse), measured instead of silently applied —
+    // per-doc raw vs normalized char counts, punctuation mass, and the
+    // integer-ppm savings the collapse buys. Everything is a LENGTH of
+    // a deterministic transform (no float, no locale: ASCII classes
+    // only), so the gate is exact; at scale it's a pure projection —
+    // zero shuffle before the keyed sample's sort.
+    "t30_normalization_stats" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .filter($"doc_id" % 10 === 0 && length($"text") > 0)
+        .select($"doc_id",
+          length($"text").cast("long").as("n_chars_raw"),
+          length(regexp_replace(trim(lower($"text")), "\\s+", " "))
+            .cast("long").as("n_chars_norm"),
+          (length(lower($"text")) -
+            length(regexp_replace(lower($"text"), "[^a-z0-9\\s]", "")))
+            .cast("long").as("n_punct"))
+        .withColumn("saved_ppm",
+          expr("(n_chars_raw - n_chars_norm) * 1000000 div n_chars_raw"))
+        .orderBy($"doc_id")
+    }),
+
     "t29_gopher_ngram_repetition" -> ((s, dir) => {
       import s.implicits._
       val d = graft.ops.Spread.fanout(Tables.documents(s, dir))
@@ -761,6 +785,19 @@ object Retrieval {
         |  CAST(SUM(CASE WHEN NOT f_len AND NOT f_wordlen AND NOT f_toptoken
         |           AND NOT f_ttr AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM rules GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // 'g' flag: DuckDB regexp_replace is first-match by default where
+    // Spark replaces every occurrence
+    "t30_normalization_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS BIGINT) AS n_chars_norm,
+        |  CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |  (CAST(length(text) AS BIGINT) - CAST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS BIGINT)) * 1000000
+        |    // CAST(length(text) AS BIGINT) AS saved_ppm
+        |FROM documents
+        |WHERE doc_id % 10 = 0 AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "t29_gopher_ngram_repetition" ->
       """WITH d AS (

@@ -279,6 +279,25 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("d33 sweep: four configs, consistent counts, volume grows with bands") {
+    val rows = SparkEntry.queries("d33_lsh_param_sweep")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_cand"), r.getAs[Long]("n_good"), r.getAs[Long]("precision_ppm")))
+      .toMap
+    assert(rows.keySet == Set("2x8", "4x4", "8x2", "16x1"))
+    rows.foreach { case (cfg, (cand, good, ppm)) =>
+      assert(good <= cand, s"$cfg: $good > $cand")
+      assert(ppm == good * 1000000L / cand, s"$cfg precision inconsistent")
+    }
+    // absent cap effects, more bands can only add candidate pairs; on
+    // this fixture the cap never binds (buckets are tiny), so the
+    // pigeonhole superset relation must hold end to end
+    assert(rows("16x1")._1 >= rows("8x2")._1)
+    assert(rows("8x2")._1 >= rows("4x4")._1)
+    assert(rows("4x4")._1 >= rows("2x8")._1)
+  }
+
   test("winnowSelect equals the textbook rightmost-min reference; coverage holds") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
