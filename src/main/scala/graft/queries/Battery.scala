@@ -1231,6 +1231,42 @@ object Battery {
       skyline2d(Tables.part(s, dir)
         .select(col("p_partkey"), col("p_size"), col("p_retailprice")))),
 
+    // SESSION TRANSITION MATRIX: Markov transition counts between
+    // event types WITHIN s3's sessions (30-minute inactivity gap) —
+    // the clickstream product analytics that separates "error follows
+    // purchase" from global co-occurrence (q46's funnel asks about a
+    // fixed path; this reports every observed step). Transition
+    // probabilities are integer ppm of the source row's mass, so no
+    // float decides anything. Scale shape: the sessionize windows run
+    // per-user (s3/s9's partitioning — never corpus-wide), the lag
+    // runs per (user, session), and the transition count is a
+    // map-side-combining |types|² aggregate; the row-total window is
+    // over the tiny transition matrix itself.
+    "q66_session_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          expr("unix_micros(ts)").as("us"), $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val sess = e
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_s",
+          when($"prev_us".isNull || $"us" - $"prev_us" >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum($"new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wts = Window.partitionBy($"user_id", $"sid").orderBy($"us", $"event_id")
+      sess.withColumn("prev_type", lag($"event_type", 1).over(wts))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum($"n").over(Window.partitionBy($"prev_type")))
+        .select($"prev_type", $"event_type".as("next_type"), $"n",
+          expr("n * 1000000 div row_total").as("p_ppm"))
+        .orderBy($"prev_type", $"next_type")
+    }),
+
     // RELATIVE-RANK windows: percent_rank ((rank-1)/(n-1)) and
     // cume_dist (peers-through-me/n) — the remaining SQL:2003 rank
     // family members q7/q37/q39 didn't cover. Both are ONE correctly-
@@ -1860,5 +1896,37 @@ object Battery {
         |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    // s3's sessionization CTE, then a per-session LAG and an
+    // integer-ppm row-normalized transition count
+    "q66_session_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1 AS us, event_id FROM events
+        |),
+        |f AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |),
+        |s AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f
+        |),
+        |t AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM s
+        |),
+        |c AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n FROM t
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |  n * 1000000 // CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
   )
 }

@@ -431,6 +431,40 @@ object Clustering {
     "e1_embedding_pca" -> ((s, dir) =>
       pcaTopComponent(Tables.embeddings(s, dir)).orderBy(col("dim"))),
 
+    // INT8 QUANTIZATION AUDIT: per-dimension min/max-scaled 8-bit
+    // codes (the standard 4× embedding compression before ANN
+    // serving), with the per-dim error envelope an operator checks
+    // BEFORE flipping the index to int8 — max reconstruction error
+    // and the saturated-code counts that reveal outlier dims. The
+    // whole quantize→dequantize chain is IEEE ops in one fixed
+    // textual order on both engines (and integer counts for the
+    // saturation columns), so the audit hash-gates. Scale shape: one
+    // melt (vec, dim, value), a 64-row min/max broadcast back over
+    // the melt, and a 64-group map-side-combining rollup — the
+    // embedding table is scanned once and never reshuffled except by
+    // the dim key.
+    "e3_int8_quantization_audit" -> ((s, dir) => {
+      val m = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .as(Seq("dim", "v")))
+      val stats = m.groupBy(col("dim"))
+        .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+      m.join(broadcast(stats), "dim")
+        .withColumn("q", expr(
+          "CASE WHEN dmax > dmin THEN CAST(round(((v - dmin) * 255.0) / (dmax - dmin)) AS BIGINT) ELSE 0L END"))
+        .withColumn("err", expr(
+          "CASE WHEN dmax > dmin THEN abs(v - (dmin + (q * (dmax - dmin)) / 255.0)) ELSE CAST(0 AS DOUBLE) END"))
+        .groupBy(col("dim"))
+        .agg(min(col("dmin")).as("dmin"), min(col("dmax")).as("dmax"),
+          max(col("err")).as("max_abs_err"),
+          sum(when(col("q") === 0L, 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("q") === 255L, 1L).otherwise(0L)).as("n_hi"))
+        .select(col("dim").cast("long").as("dim"), col("dmin"), col("dmax"),
+          col("max_abs_err"), col("n_lo"), col("n_hi"))
+        .orderBy(col("dim"))
+    }),
+
     // JOHNSON–LINDENSTRAUSS SIGNED RANDOM PROJECTION 64→8: the cheap
     // dimensionality reduction a pipeline runs before ANN indexing or
     // dedup when the full embedding width is too expensive to shuffle —
@@ -669,6 +703,36 @@ object Clustering {
 
   val oracleSql: Map[String, String] = Map(
     "e1_embedding_pca" -> pcaOracle,
+
+    // identical CASE-guarded quantize→dequantize chain, same textual
+    // op order; round() on non-negative operands is half-up in both
+    "e3_int8_quantization_audit" ->
+      """WITH m AS (
+        |  SELECT vec_id, i.i AS dim, ev[i.i+1] AS v FROM (
+        |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |    FROM embeddings
+        |  ) t CROSS JOIN LATERAL (SELECT unnest(range(64)) AS i) i
+        |),
+        |st AS (SELECT dim, MIN(v) AS dmin, MAX(v) AS dmax FROM m GROUP BY dim),
+        |qz AS (
+        |  SELECT m.dim, v, dmin, dmax,
+        |    CASE WHEN dmax > dmin
+        |      THEN CAST(round(((v - dmin) * 255.0) / (dmax - dmin)) AS BIGINT)
+        |      ELSE 0 END AS q
+        |  FROM m JOIN st ON m.dim = st.dim
+        |),
+        |e AS (
+        |  SELECT dim, dmin, dmax, q,
+        |    CASE WHEN dmax > dmin
+        |      THEN abs(v - (dmin + (q * (dmax - dmin)) / 255.0))
+        |      ELSE CAST(0 AS DOUBLE) END AS err
+        |  FROM qz
+        |)
+        |SELECT dim, MIN(dmin) AS dmin, MIN(dmax) AS dmax,
+        |  MAX(err) AS max_abs_err,
+        |  CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN q = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
 
     // the same baked sign literals, the same index-ordered fold
     // (list_reduce's first-element init == the Spark fold's 0.0 init,

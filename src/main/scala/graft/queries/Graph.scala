@@ -297,6 +297,32 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // SOFT DEDUP: instead of cc2's drop-the-losers, every document is
+    // kept and DOWNWEIGHTED by its duplicate-cluster size (weight =
+    // 10⁶ div |cluster| ppm — the SoftDeDup posture: duplicated mass
+    // contributes once in expectation, but no individual variant is
+    // lost, which matters when near-dups carry real variation the
+    // keeper policy would discard). Integer weights, so the gate is
+    // exact. Scale: the corpus-sized left join against the edge-cover-
+    // sized label frame broadcasts (d31's posture); cluster sizes are
+    // one map-side-combining count over the label frame.
+    "d34_soft_dedup_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val labels = ConnectedComponents.run(edges, "d1", "d2")
+        .select(col("node").as("doc_id"), col("label"))
+      val withLbl = docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      val sizes = withLbl.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      withLbl.join(sizes, "cluster_id")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          expr("1000000 div cluster_size").as("weight_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DEGREE DISTRIBUTION of the near-dup graph: the one-glance
     // diagnostic that separates a power-law template disaster (a few
     // mega-hubs — exactly what the hot-cap and k-core exist to handle)
@@ -671,6 +697,42 @@ object Graph {
         |  GROUP BY e.b
         |)
         |SELECT node AS doc_id, r AS ppr FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // cc1's closure + per-cluster size + the integer downweight;
+    // singleton docs via the LEFT JOIN COALESCE
+    "d34_soft_dedup_weights" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |lab AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |wl AS (
+        |  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+        |),
+        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM wl GROUP BY cluster_id)
+        |SELECT wl.doc_id, wl.cluster_id, sz.cluster_size,
+        |  1000000 // sz.cluster_size AS weight_ppm
+        |FROM wl JOIN sz ON wl.cluster_id = sz.cluster_id
+        |WHERE wl.doc_id % 20 = 0
+        |ORDER BY wl.doc_id""".stripMargin,
 
     "gr7_degree_histogram" ->
       """WITH docs AS (

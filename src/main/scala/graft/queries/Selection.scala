@@ -107,6 +107,36 @@ object Selection {
         .orderBy($"doc_id")
     }),
 
+    // TOKEN-BUDGET GREEDY SELECTION: per language, admit documents in
+    // (n_chars DESC, doc_id) order while the running token sum stays
+    // inside a 20 000-token budget — the quota pass that turns "rank
+    // the corpus by quality" into "this is what fits the training
+    // budget, per language" (d16 keeps a COUNT per stratum; this keeps
+    // a COST — the constraint training actually has). Deterministic
+    // total order and integer cumulative sums, so the gate is exact.
+    // Scale shape: one per-language window (the t9 packing posture —
+    // partitioned by the stratum key, never a global sort) and a
+    // map-side-combining per-language rollup; the budget comparison
+    // prunes everything past the prefix before the aggregate.
+    "sel3_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"lang", $"n_chars",
+          size(split(lower($"text"), "\\s+")).cast("long").as("nt"))
+      val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum($"nt").over(w))
+        .filter($"cum" <= 20000L)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum($"nt").as("tokens_kept"),
+          max($"cum").as("budget_used"))
+        .select($"lang", $"n_docs_kept", $"tokens_kept", $"budget_used",
+          expr("tokens_kept * 1000000 div 20000").as("util_ppm"))
+        .orderBy($"lang")
+    }),
+
     // GREEDY K-CENTER CORESET (farthest-first / Gonzalez): k documents'
     // embeddings that 2-approximate the optimal k-center cover — the
     // geometric "coverage" selection a pipeline uses to pick maximally
@@ -195,6 +225,25 @@ object Selection {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "sel3_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |c AS (
+        |  SELECT lang, nt,
+        |    SUM(nt) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |)
+        |SELECT lang, COUNT(*) AS n_docs_kept,
+        |  CAST(SUM(nt) AS BIGINT) AS tokens_kept,
+        |  CAST(MAX(cum) AS BIGINT) AS budget_used,
+        |  CAST(SUM(nt) AS BIGINT) * 1000000 // 20000 AS util_ppm
+        |FROM c WHERE cum <= 20000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d28_priority_sample" ->
       s"""WITH pri AS (

@@ -259,6 +259,41 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("e3 int8 audit: error bounded by half a step; extremes saturate") {
+    val rows = SparkEntry.queries("e3_int8_quantization_audit")(spark, sf0001)
+      .collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (dmin, dmax) = (r.getAs[Double]("dmin"), r.getAs[Double]("dmax"))
+      val err = r.getAs[Double]("max_abs_err")
+      if (dmax > dmin) {
+        val step = (dmax - dmin) / 255.0
+        assert(err <= step / 2.0 * (1 + 1e-9),
+          s"dim ${r.getAs[Long]("dim")}: err $err > step/2 ${step / 2}")
+        // the min and max values quantize to the end codes exactly
+        assert(r.getAs[Long]("n_lo") >= 1L && r.getAs[Long]("n_hi") >= 1L)
+      }
+    }
+  }
+
+  test("q66 transitions: row mass accounts for every non-initial event") {
+    val rows = SparkEntry.queries("q66_session_transitions")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // per source row the ppm shares can only undershoot by < #cells
+    rows.groupBy(_.getString(0)).foreach { case (prev, cells) =>
+      val ppm = cells.map(_.getAs[Long]("p_ppm")).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - cells.length,
+        s"$prev: ppm mass $ppm over ${cells.length} cells")
+    }
+    // total transitions = events - session starts (each session
+    // contributes length-1 transitions)
+    val nTrans = rows.map(_.getAs[Long]("n")).sum
+    val sess = SparkEntry.queries("s3_session")(spark, sf0001).collect()
+    val nEvents = graft.sources.Tables.events(spark, sf0001).count()
+    assert(nTrans == nEvents - sess.length,
+      s"$nTrans transitions vs $nEvents events - ${sess.length} sessions")
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()

@@ -140,4 +140,39 @@ class SelectionSpec extends SparkTestBase {
     assert(psel.contains("BroadcastNestedLoopJoin"), psel)
     assert(!psel.contains("CartesianProduct"), psel)
   }
+
+  test("sel3: budget respected and greedy-maximal; equals a local replay") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("sel3_token_budget")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs_kept"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Long]("budget_used"))).toMap
+    assert(out.nonEmpty)
+    // local replay: same order, same greedy prefix-by-budget
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("nt"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("nt")))
+    // cumsum is monotone (nt >= 0), so the window filter keeps exactly
+    // the maximal PREFIX in (n_chars DESC, doc_id) order
+    val expect = docs.groupBy(_._2).map { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      var cum = 0L; var kept = 0L
+      ordered.takeWhile { r => cum += r._4; cum <= 20000L }
+        .foreach(_ => kept += 1)
+      val toks = ordered.take(kept.toInt).map(_._4).sum
+      lang -> (kept, toks, toks)
+    }
+    expect.foreach { case (lang, (kept, toks, cum)) =>
+      if (kept > 0)
+        assert(out(lang) == ((kept, toks, cum)), s"$lang: ${out.get(lang)} vs ($kept,$toks,$cum)")
+    }
+    out.values.foreach { case (_, toksKept, used) =>
+      assert(used <= 20000L && toksKept <= used)
+    }
+  }
 }
