@@ -297,6 +297,21 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // COMPONENT-SIZE HISTOGRAM: the dedup-impact summary — how many
+    // 2-doc pairs vs 50-doc template families cc2's resolution will
+    // collapse (gr7 profiles node degrees; this profiles whole
+    // clusters, which is what the keeper policy actually acts on).
+    // Singleton docs (no edge) are not components and are excluded —
+    // d34 accounts for them. Two integer aggregations over the label
+    // frame; the histogram key space is the distinct size set.
+    "gr8_component_size_histogram" -> ((s, dir) => {
+      val edges = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      ConnectedComponents.run(edges, "d1", "d2")
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // SOFT DEDUP: instead of cc2's drop-the-losers, every document is
     // kept and DOWNWEIGHTED by its duplicate-cluster size (weight =
     // 10⁶ div |cluster| ppm — the SoftDeDup posture: duplicated mass
@@ -697,6 +712,33 @@ object Graph {
         |  GROUP BY e.b
         |)
         |SELECT node AS doc_id, r AS ppr FROM r3 ORDER BY doc_id""".stripMargin,
+
+    "gr8_component_size_histogram" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |lab AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+        |sz AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // cc1's closure + per-cluster size + the integer downweight;
     // singleton docs via the LEFT JOIN COALESCE

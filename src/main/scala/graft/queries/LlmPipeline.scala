@@ -729,6 +729,29 @@ object LlmPipeline {
       verifyJaccard(cand, sh, 0.5).orderBy($"d1", $"d2")
     }),
 
+    // CROSS-SOURCE PROVENANCE MATRIX: which sources share VERBATIM
+    // 10-token segments with which — the "who copies from whom" table
+    // that tells a corpus curator where boilerplate and mirrored
+    // content flow between crawls (d21 compares vocabularies — soft
+    // affinity; this counts hard verbatim segment collisions, p3's
+    // segment grain). The join key is the (source, segment-hash)
+    // DISTINCT projection, so pair expansion per segment is bounded by
+    // SOURCE cardinality squared — never by document count — and the
+    // matrix itself is ≤ |sources|² rows. Hash-keyed internally
+    // (xxhash64 — the p3/s12 trade: 8-byte shuffle keys; the string-
+    // keyed oracle makes the same decisions modulo a 2⁻⁶⁴ collision).
+    "d35_cross_source_seg_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val segs = segmentize(
+          graft.ops.Spread.fanout(Tables.documents(s, dir)), Seq("source", "doc_id"))
+        .select($"source", xxhash64($"seg").as("k")).distinct()
+      val m = materialize(segs)
+      m.as("a").join(m.as("b"), $"a.k" === $"b.k" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+        .agg(count(lit(1)).as("n_shared_segs"))
+        .orderBy($"s1", $"s2")
+    }),
+
     // LSH PARAMETER SWEEP: the banding-config tuning table — the same
     // 16-permutation signatures bucketed under FOUR band layouts
     // (2×8, 4×4, 8×2, 16×1), each scored by candidate volume and by
@@ -2614,6 +2637,20 @@ object LlmPipeline {
         |FROM cand c JOIN jacc j ON c.d1 = j.d1 AND c.d2 = j.d2
         |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin)
     },
+
+    // string-keyed segment join replicating the hash-keyed decisions
+    // (p3's convention); same 10-token segment grain as s12
+    "d35_cross_source_seg_matrix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |),
+        |segs AS (
+        |  SELECT DISTINCT source, array_to_string(t[s.i*10+1 : s.i*10+10], ' ') AS seg
+        |  FROM d CROSS JOIN LATERAL (SELECT unnest(range(CAST(ceil(len(t)/10.0) AS INT))) AS i) s
+        |)
+        |SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_shared_segs
+        |FROM segs a JOIN segs b ON a.seg = b.seg AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
 
     // the four band layouts generated from the same MinHashParams; the
     // ≥ 0.5 verdict via the 2·inter ≥ union integer cross-multiply

@@ -255,6 +255,31 @@ object Quality {
         .orderBy(col("fd"))
     }),
 
+    // MEDIAN IMPUTATION: the standard repair step between dq2's
+    // constraint report and a training job — NULLs filled by the
+    // per-group median, with an audit flag so downstream can weigh
+    // imputed rows. Missingness is SYNTHESIZED deterministically
+    // (every 13th event — d19's snapshot convention: the fixture has
+    // no NULLs, the operator must handle them). Exact medians agree
+    // across engines (dq4's precedent); the ≤|types|-row median table
+    // broadcasts, the fact table is never reshuffled, and the keyed
+    // sample bounds verify output.
+    "dq7_impute_median" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"event_id", $"event_type",
+          when($"event_id" % 13 === 0, lit(null).cast("double"))
+            .otherwise($"value").as("v"))
+      val med = e.filter($"v".isNotNull).groupBy($"event_type")
+        .agg(expr("median(v)").as("med"))
+      e.join(broadcast(med), "event_type")
+        .select($"event_id", $"event_type",
+          coalesce($"v", $"med").as("v_imputed"),
+          $"v".isNull.as("was_imputed"))
+        .filter($"event_id" % 50 === 0)
+        .orderBy($"event_id")
+    }),
+
     // BENFORD FIRST-DIGIT DRIFT: the fraud/corruption smoke test a
     // quality gate runs on naturally-generated monetary columns —
     // organically-produced amounts follow log10(1+1/d) first-digit
@@ -398,6 +423,19 @@ object Quality {
         one("documents: lang -> source", "documents", "lang", "source"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
     },
+
+    "dq7_impute_median" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+        |  FROM events
+        |),
+        |m AS (SELECT event_type, median(v) AS med FROM e WHERE v IS NOT NULL GROUP BY 1)
+        |SELECT event_id, e.event_type, COALESCE(v, med) AS v_imputed,
+        |  v IS NULL AS was_imputed
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |WHERE event_id % 50 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "dq6_benford" ->
       """WITH d AS (

@@ -243,6 +243,18 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("gr8: component sizes >= 2 and node mass equals cc1's universe") {
+    val dir = "/root/testdata/sf0.001"
+    val hist = SparkEntry.queries("gr8_component_size_histogram")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.nonEmpty)
+    // an edge-derived component has at least its two endpoints
+    hist.foreach { case (size, n) => assert(size >= 2L && n >= 1L) }
+    val nodeMass = hist.map { case (size, n) => size * n }.sum
+    val cc1 = SparkEntry.queries("cc1_dup_clusters")(spark, dir).count()
+    assert(nodeMass == cc1, s"histogram mass $nodeMass != cc1 nodes $cc1")
+  }
+
   test("gr5: hub is hop 0, every hop-k node has a hop-(k-1) neighbor") {
     val out = SparkEntry.queries("gr5_bfs_hops")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -294,6 +294,32 @@ class ScaleSpec extends SparkTestBase {
       s"$nTrans transitions vs $nEvents events - ${sess.length} sessions")
   }
 
+  test("dq7: imputed rows carry the group median, observed rows untouched") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("dq7_impute_median")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("was_imputed")),
+      "the synthesized missingness must hit the sample")
+    // recompute the medians over the same synthesized-missing frame
+    val meds = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        when(col("event_id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("event_type")).agg(expr("median(v)").as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val raw = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (id, tpe, v, imp) = (r.getAs[Long]("event_id"), r.getString(1),
+        r.getAs[Double]("v_imputed"), r.getAs[Boolean]("was_imputed"))
+      if (imp) assert(v == meds(tpe), s"event $id: $v != median ${meds(tpe)}")
+      else assert(v == raw(id), s"event $id: observed value mutated")
+      assert(imp == (id % 13 == 0))
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
