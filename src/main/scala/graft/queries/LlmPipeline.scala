@@ -729,6 +729,32 @@ object LlmPipeline {
       verifyJaccard(cand, sh, 0.5).orderBy($"d1", $"d2")
     }),
 
+    // DEDUP SAVINGS: the headline number a dedup run reports — per
+    // language, token mass before vs after cc2's cluster resolution,
+    // and the integer-ppm savings. Composes the near-dup cluster
+    // machinery with token accounting (the cost model training
+    // actually budgets in); the loser set is edge-cover-sized, so the
+    // anti-join broadcasts (cc2's posture) and the corpus is scanned
+    // once for both sides of the before/after.
+    "t31_dedup_savings" -> ((s, dir) => {
+      import s.implicits._
+      val docs = materialize(graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", $"lang", size(toks($"text")).cast("long").as("nt")))
+      val edges = graft.queries.Graph.cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val losers = graft.ops.ConnectedComponents.run(edges, "d1", "d2")
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      val kept = docs.join(losers, Seq("doc_id"), "left_anti")
+      docs.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs_raw"), sum($"nt").as("tokens_raw"))
+        .join(kept.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs_kept"), sum($"nt").as("tokens_kept")), "lang")
+        .select($"lang", $"n_docs_raw", $"n_docs_kept",
+          $"tokens_raw", $"tokens_kept",
+          expr("(tokens_raw - tokens_kept) * 1000000 div tokens_raw").as("savings_ppm"))
+        .orderBy($"lang")
+    }),
+
     // CROSS-SOURCE PROVENANCE MATRIX: which sources share VERBATIM
     // 10-token segments with which — the "who copies from whom" table
     // that tells a corpus curator where boilerplate and mirrored
@@ -1802,6 +1828,53 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // PATCHIFY (ViT preprocessing): the 4×4 patch grid a vision
+    // transformer consumes, computed through the REAL codec path (m4's
+    // contract — paint → PNG encode → decode → patch sums), with edge
+    // patches keeping their true (smaller) pixel counts rather than
+    // padding. Per patch: pixel count and the exact integer RGB mass —
+    // the quantities a patch-embedding pipeline normalizes by. The
+    // oracle replays the arithmetic from the painted-pixel formula
+    // (m5's trick), so a decoder or grid bug goes red. Scale: the
+    // codec pass is batch-shaped mapPartitions over a fanned-out scan;
+    // the output is a pure per-doc projection (patch rows never join
+    // across docs), keyed sample bounds verify output.
+    "m11_image_patchify" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .filter(_ % 50 == 0)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.flatMap { id =>
+            val w = 8 + (id % 16).toInt
+            val h = 8 + (id % 11).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (x <- 0 until w; y <- 0 until h)
+              img.setRGB(x, y,
+                ((id * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val sums = collection.mutable.Map.empty[(Int, Int), (Long, Long)]
+            for (x <- 0 until im.getWidth; y <- 0 until im.getHeight) {
+              val p = im.getRGB(x, y)
+              val rgb = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+              val k = (x / 4, y / 4)
+              val (n, s0) = sums.getOrElse(k, (0L, 0L))
+              sums(k) = (n + 1, s0 + rgb)
+            }
+            sums.toSeq.sortBy(_._1).map { case ((px, py), (n, s0)) =>
+              (id, px, py, n, s0)
+            }
+          })
+        }
+        .toDF("doc_id", "patch_x", "patch_y", "n_px", "sum_rgb")
+        .orderBy($"doc_id", $"patch_x", $"patch_y")
+    }),
+
     // PERCEPTUAL image dedup (dHash): the multimodal member of the
     // dedup family — images that LOOK alike cluster even when their
     // bytes differ. Per doc a real PNG is painted (gradient keyed by a
@@ -2638,6 +2711,54 @@ object LlmPipeline {
         |WHERE j.jaccard >= 0.5 ORDER BY c.d1, c.d2""".stripMargin)
     },
 
+    // cc1's closure for the loser set, then before/after token
+    // accounting per language (INNER join: a language losing every
+    // doc would drop out on both sides identically)
+    "t31_dedup_savings" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |losers AS (
+        |  SELECT node FROM (SELECT node, min(lbl) AS l FROM reach GROUP BY node)
+        |  WHERE node <> l
+        |),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents
+        |),
+        |raw AS (
+        |  SELECT lang, COUNT(*) AS n_docs_raw, CAST(SUM(nt) AS BIGINT) AS tokens_raw
+        |  FROM t GROUP BY lang
+        |),
+        |kept AS (
+        |  SELECT lang, COUNT(*) AS n_docs_kept, CAST(SUM(nt) AS BIGINT) AS tokens_kept
+        |  FROM t WHERE doc_id NOT IN (SELECT node FROM losers)
+        |  GROUP BY lang
+        |)
+        |SELECT raw.lang, n_docs_raw, n_docs_kept, tokens_raw, tokens_kept,
+        |  (tokens_raw - tokens_kept) * 1000000 // tokens_raw AS savings_ppm
+        |FROM raw JOIN kept ON raw.lang = kept.lang
+        |ORDER BY raw.lang""".stripMargin,
+
     // string-keyed segment join replicating the hash-keyed decisions
     // (p3's convention); same 10-token segment grain as s12
     "d35_cross_source_seg_matrix" ->
@@ -3468,6 +3589,26 @@ object LlmPipeline {
         |  CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
         |  CAST(SUM(v & 255) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // patch grid replayed arithmetically from the painted-pixel
+    // formula; edge patches keep their true pixel counts
+    "m11_image_patchify" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        |    CAST(8 + doc_id % 11 AS INT) AS height
+        |  FROM documents WHERE doc_id % 50 = 0
+        |),
+        |px AS (
+        |  SELECT doc_id, x // 4 AS patch_x, y // 4 AS patch_y,
+        |    (doc_id * 2654435761 + x * 31 + y * 17) & 16777215 AS v
+        |  FROM (SELECT doc_id, width, height, unnest(range(width)) AS x FROM dims)
+        |  CROSS JOIN LATERAL (SELECT unnest(range(height)) AS y)
+        |)
+        |SELECT doc_id, CAST(patch_x AS INT) AS patch_x, CAST(patch_y AS INT) AS patch_y,
+        |  COUNT(*) AS n_px,
+        |  CAST(SUM(((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) AS BIGINT) AS sum_rgb
+        |FROM px GROUP BY doc_id, patch_x, patch_y
+        |ORDER BY doc_id, patch_x, patch_y""".stripMargin,
 
     // the whole perceptual pipeline replayed arithmetically from the
     // painted-pixel formula (m5's trick): gray → 9×8 floor-mean cells →

@@ -320,6 +320,31 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("m11 patchify: pixel mass conserved, grid dims match ceil(w/4)*ceil(h/4)") {
+    val rows = SparkEntry.queries("m11_image_patchify")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, patches) =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + (id % 11).toInt
+      assert(patches.map(_.getAs[Long]("n_px")).sum == w.toLong * h,
+        s"doc $id: pixel mass lost")
+      val expGrid = ((w + 3) / 4) * ((h + 3) / 4)
+      assert(patches.length == expGrid, s"doc $id: ${patches.length} != $expGrid")
+    }
+  }
+
+  test("t31 savings: kept side equals cc2's surviving corpus per language") {
+    val t31 = SparkEntry.queries("t31_dedup_savings")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs_kept")).toMap
+    val cc2 = SparkEntry.queries("cc2_cluster_resolve")(spark, sf0001).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(t31.nonEmpty && t31 == cc2.filter { case (l, _) => t31.contains(l) })
+    SparkEntry.queries("t31_dedup_savings")(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_raw"))
+      assert(r.getAs[Long]("savings_ppm") >= 0L)
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
