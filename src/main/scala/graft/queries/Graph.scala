@@ -272,26 +272,29 @@ object Graph {
     // every iteration bit-identical to the oracle's unrolled CTE);
     // gr5's BFS gives hop distance from the hub, this gives the
     // random-walk-with-restart weighting of the same neighborhood.
-    // The hub id is a one-row driver scalar (pageRank's n posture).
+    // The hub is a broadcast 1-row frame, NOT a driver collect: an
+    // empty edge set then degrades to an empty result exactly like
+    // gr5 and the oracle, instead of crashing on collect()(0).
     "gr6_personalized_pagerank" -> ((s, dir) => {
       val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
       val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
-      val hubId = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
-        .orderBy(col("dg").desc, col("a").asc).limit(1)
-        .select(col("a")).collect()(0).getLong(0)
-      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val deg = Materialize(sym.groupBy(col("a")).agg(count(lit(1)).as("deg")))
+      val hub = deg.orderBy(col("deg").desc, col("a").asc).limit(1)
+        .select(col("a").as("hub"))
       val withDeg = Materialize(sym.join(deg, "a"))
       var rank = sym.select(col("a").as("node")).distinct()
+        .crossJoin(broadcast(hub))
         .select(col("node"),
-          when(col("node") === hubId, lit(1.0)).otherwise(lit(0.0)).as("r"))
+          when(col("node") === col("hub"), lit(1.0)).otherwise(lit(0.0)).as("r"))
       for (_ <- 1 to 3)
         rank = withDeg.join(rank, col("a") === col("node"))
           .select(col("b"), (col("r") / col("deg")).as("contrib"))
           .groupBy(col("b"))
           .agg((lit(0.85) * graft.ops.Num.fsum(col("contrib"))).as("rc"))
+          .crossJoin(broadcast(hub))
           .select(col("b").as("node"),
-            (when(col("b") === hubId, lit(0.15)).otherwise(lit(0.0))
+            (when(col("b") === col("hub"), lit(0.15)).otherwise(lit(0.0))
               + col("rc")).as("r"))
       rank.select(col("node").as("doc_id"), col("r").as("ppr"))
         .orderBy(col("doc_id"))

@@ -704,22 +704,8 @@ object LlmPipeline {
     // carries only #docs rows.
     "d3_dedup_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      // base hash: first 8 md5 hex digits → 32-bit int (conv); then
-      // h_i = (a_i*x + b_i) mod p, p prime > 2^32 (no BIGINT overflow)
       val sh = shingles(s, dir)
-      val base = sh
-        .withColumn("x", expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
-      val minCols = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
-        min(expr(s"($a * x + $b) % ${MinHashParams.p}")).as(s"m$i")
-      }
-      val sig = base.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-      val bandCols = (0 until 4).map { bnd =>
-        val parts = (0 until 4).map(j => s"CAST(m${bnd * 4 + j} AS STRING)")
-        md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as(s"bk$bnd")
-      }
-      val bands = sig.select($"doc_id" +: bandCols: _*)
-        .select($"doc_id", posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val bands = minhashBands(minhashSig(sh), nb = 4, rw = 4)
       // candidates meet only inside a (size-capped) band bucket; exact
       // verification restricted to the CANDIDATES — the point of LSH:
       // at scale the full pair set is never materialized
@@ -794,23 +780,11 @@ object LlmPipeline {
     "d33_lsh_param_sweep" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles(s, dir)
-      val base = sh
-        .withColumn("x", expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
-      val minCols = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
-        min(expr(s"($a * x + $b) % ${MinHashParams.p}")).as(s"m$i")
-      }
-      val sig = materialize(base.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*))
-      def candFor(nb: Int, rw: Int): DataFrame = {
-        val bandCols = (0 until nb).map { bnd =>
-          val parts = (0 until rw).map(j => s"CAST(m${bnd * rw + j} AS STRING)")
-          md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as(s"bk$bnd")
-        }
-        val bands = sig.select($"doc_id" +: bandCols: _*)
-          .select($"doc_id", posexplode(array((0 until nb).map(b => col(s"bk$b")): _*)))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-        candidatePairs(materialize(bands), Seq("band", "bkey"), MaxBucketSize)
+      val sig = minhashSig(sh)
+      def candFor(nb: Int, rw: Int): DataFrame =
+        candidatePairs(materialize(minhashBands(sig, nb, rw)),
+            Seq("band", "bkey"), MaxBucketSize)
           .select(lit(s"${nb}x$rw").as("config"), $"d1", $"d2")
-      }
       val allCand = materialize(Seq((2, 8), (4, 4), (8, 2), (16, 1))
         .map { case (nb, rw) => candFor(nb, rw) }.reduce(_ unionAll _))
       val uniq = allCand.select($"d1", $"d2").distinct()
@@ -850,19 +824,8 @@ object LlmPipeline {
     "d32_minhash_calibration" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles(s, dir)
-      val base = sh
-        .withColumn("x", expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
-      val minCols = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
-        min(expr(s"($a * x + $b) % ${MinHashParams.p}")).as(s"m$i")
-      }
-      val sig = base.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-      val bandCols = (0 until 4).map { bnd =>
-        val parts = (0 until 4).map(j => s"CAST(m${bnd * 4 + j} AS STRING)")
-        md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as(s"bk$bnd")
-      }
-      val bands = sig.select($"doc_id" +: bandCols: _*)
-        .select($"doc_id", posexplode(array((0 until 4).map(b => col(s"bk$b")): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val sig = minhashSig(sh)
+      val bands = minhashBands(sig, nb = 4, rw = 4)
       val cand = candidatePairs(materialize(bands), Seq("band", "bkey"), MaxBucketSize)
       val sigArr = sig.select($"doc_id",
         array((0 until 16).map(i => col(s"m$i")): _*).as("ms"))
@@ -2569,6 +2532,37 @@ object LlmPipeline {
     * p3/s12 dedup on (C4's three-sentence span, minus sentence
     * boundaries the synthetic docs lack). Keeps `keep`, adds
     * (seg_idx, seg); a pure projection+generator, no shuffle. */
+  /** The 16-permutation minhash SIGNATURE over the shingle index —
+    * ONE Spark-side definition for d3/d32/d33 (their generated oracles
+    * derive from the same [[MinHashParams]], so neither side can drift
+    * alone). Base hash: first 8 md5 hex digits → 32-bit int (conv);
+    * then h_i = (a_i·x + b_i) mod p, p prime > 2³² (no BIGINT
+    * overflow). MATERIALIZED: every consumer joins or explodes the
+    * signature frame more than once, and without the checkpoint each
+    * consumer replays the whole shingle scan + 16 min-aggregations. */
+  private def minhashSig(sh: DataFrame): DataFrame = {
+    val base = sh.withColumn("x",
+      expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
+    val minCols = MinHashParams.ab.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * x + $b) % ${MinHashParams.p}")).as(s"m$i")
+    }
+    materialize(base.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*))
+  }
+
+  /** (nb bands × rw rows) band-key explode of a [[minhashSig]] frame —
+    * the banding layout parameterized once for d3 (4×4), d32 (4×4) and
+    * d33's sweep. */
+  private def minhashBands(sig: DataFrame, nb: Int, rw: Int): DataFrame = {
+    val bandCols = (0 until nb).map { bnd =>
+      val parts = (0 until rw).map(j => s"CAST(m${bnd * rw + j} AS STRING)")
+      md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as(s"bk$bnd")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until nb).map(b => col(s"bk$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
   private[graft] def segmentize(docs: DataFrame, keep: Seq[String]): DataFrame =
     docs
       .select(keep.map(col) :+ toks(col("text")).as("toks"): _*)

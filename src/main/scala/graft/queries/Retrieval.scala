@@ -261,8 +261,14 @@ object Retrieval {
           (length(lower($"text")) -
             length(regexp_replace(lower($"text"), "[^a-z0-9\\s]", "")))
             .cast("long").as("n_punct"))
-        .withColumn("saved_ppm",
-          expr("(n_chars_raw - n_chars_norm) * 1000000 div n_chars_raw"))
+        // sign-split so both engines divide a NON-NEGATIVE numerator:
+        // lower() can EXPAND length (e.g. İ → i + combining dot), and
+        // Spark's div truncates toward zero where DuckDB's // floors —
+        // they disagree exactly on negative numerators
+        .withColumn("saved_ppm", expr(
+          "CASE WHEN n_chars_raw >= n_chars_norm" +
+            " THEN (n_chars_raw - n_chars_norm) * 1000000 div n_chars_raw" +
+            " ELSE -((n_chars_norm - n_chars_raw) * 1000000 div n_chars_raw) END"))
         .orderBy($"doc_id")
     }),
 
@@ -793,8 +799,12 @@ object Retrieval {
         |  CAST(length(text) AS BIGINT) AS n_chars_raw,
         |  CAST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS BIGINT) AS n_chars_norm,
         |  CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
-        |  (CAST(length(text) AS BIGINT) - CAST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS BIGINT)) * 1000000
-        |    // CAST(length(text) AS BIGINT) AS saved_ppm
+        |  CASE WHEN length(text) >= length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |    THEN (CAST(length(text) AS BIGINT) - CAST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS BIGINT)) * 1000000
+        |      // CAST(length(text) AS BIGINT)
+        |    ELSE -((CAST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS BIGINT) - CAST(length(text) AS BIGINT)) * 1000000
+        |      // CAST(length(text) AS BIGINT))
+        |  END AS saved_ppm
         |FROM documents
         |WHERE doc_id % 10 = 0 AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,

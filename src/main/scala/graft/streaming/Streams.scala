@@ -247,11 +247,15 @@ object Streams {
   def windowTopkBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    // the SAME window('1 hour') definition as the batch-posture query
+    // (one definition, crawlOrderKey's posture — an integer-micros
+    // reformulation here already disagreed with window() on pre-1970
+    // timestamps: div truncates where window() floors)
     val inc = batch
-      .select(expr("(unix_micros(ts) div 3600000000) * 3600").as("w_start"),
-        col("event_type"))
-      .groupBy(col("w_start"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"))
     val base =
       if (java.nio.file.Files.exists(marker)) {
         val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim

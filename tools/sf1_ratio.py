@@ -15,6 +15,10 @@ sf01 = json.load(open(sys.argv[2]))["queries"]
 thr = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
 
 common = sorted(set(sf1) & set(sf01))
+if not common or sum(sf01[q] for q in common) == 0:
+    print(f"no comparable queries ({len(common)} common, sf0.1 total 0) — "
+          "check the BENCH files belong to the same surface")
+    sys.exit(1)
 rows = []
 for q in common:
     a, b = sf01[q], sf1[q]
