@@ -145,16 +145,8 @@ object Graph {
       val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
       val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
         .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
-      var labels = sym.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (t <- 1 to 3) {
-        val counted = sym.join(labels, col("b") === col("node"))
-          .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        val best = graft.plans.TopK.perKey(counted, keys = Seq(col("a")),
-          order = Seq(col("cnt").desc, col("lbl").asc), k = 1)
-        labels = Materialize(best.select(col("a").as("node"), col("lbl")))
-      }
-      labels.select(col("node").as("doc_id"), col("lbl").as("community"))
+      lpaLabels(sym, rounds = 3)
+        .select(col("node").as("doc_id"), col("lbl").as("community"))
         .orderBy(col("doc_id"))
     }),
 
@@ -300,6 +292,45 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // MODULARITY SCORING of gr3's communities: Newman's Q per
+    // community as an EXACT RATIONAL — q_num = 4·m·L_c − D_c², over
+    // the shared denominator q_den = 4·m² (Q = Σ q_num / q_den) —
+    // because the float form subtracts two tiny quantities and no
+    // grid makes that portable, while the integer numerators are
+    // exact in both engines. The score that tells you whether gr3's
+    // partition actually beats random (Q > 0) before a keeper policy
+    // trusts it. Envelope: D_c ≤ 2m, so q_num needs m < ~1.5·10⁹
+    // undirected edges in int64 — beyond that, lift the squares to
+    // DECIMAL(38,0) (Num's capacity-note posture). Scale shape: LPA's
+    // per-round joins (shared lpaLabels core), then two label-keyed
+    // map-side-combining aggregations; the 1-row edge count
+    // broadcasts.
+    "gr9_modularity" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      val labels = lpaLabels(sym, rounds = 3)
+      val mDf = pairs.agg(count(lit(1)).as("m"))
+      val intra = pairs
+        .join(labels.select(col("node").as("d1"), col("lbl").as("l1")), "d1")
+        .join(labels.select(col("node").as("d2"), col("lbl").as("l2")), "d2")
+        .filter(col("l1") === col("l2"))
+        .groupBy(col("l1").as("community")).agg(count(lit(1)).as("intra_edges"))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      labels.join(deg, col("node") === col("a"))
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("degree_sum"))
+        .join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(mDf))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("degree_sum"),
+          (lit(4L) * col("m") * coalesce(col("intra_edges"), lit(0L))
+            - col("degree_sum") * col("degree_sum")).as("q_num"),
+          (lit(4L) * col("m") * col("m")).as("q_den"))
+        .orderBy(col("community"))
+    }),
+
     // COMPONENT-SIZE HISTOGRAM: the dedup-impact summary — how many
     // 2-doc pairs vs 50-doc template families cc2's resolution will
     // collapse (gr7 profiles node degrees; this profiles whole
@@ -389,6 +420,24 @@ object Graph {
         .orderBy(col("split"))
     }),
   )
+
+  /** `rounds` synchronous label-propagation steps over a SYMMETRIC
+    * (a, b) edge frame (Raghavan et al.; deterministic count DESC,
+    * label ASC ties) — gr3's core, shared with gr9's modularity
+    * scoring so the community definition cannot drift between the
+    * partition and its quality metric. Returns (node, lbl). */
+  private[graft] def lpaLabels(sym: DataFrame, rounds: Int): DataFrame = {
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val counted = sym.join(labels, col("b") === col("node"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val best = graft.plans.TopK.perKey(counted, keys = Seq(col("a")),
+        order = Seq(col("cnt").desc, col("lbl").asc), k = 1)
+      labels = Materialize(best.select(col("a").as("node"), col("lbl")))
+    }
+    labels
+  }
 
   /** Multi-source BFS over a SYMMETRIC (a, b) edge frame: `sources`
     * (single column `node`) start at hop 0; returns (node, hops) for
@@ -715,6 +764,58 @@ object Graph {
         |  GROUP BY e.b
         |)
         |SELECT node AS doc_id, r AS ppr FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // gr3's unrolled LPA CTE + the exact-rational modularity terms;
+    // no division anywhere, so sign never meets an integer-division
+    // dialect difference
+    "gr9_modularity" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+        |c1 AS (SELECT e.a, l.lbl, COUNT(*) AS cnt FROM edges e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT a AS node, lbl FROM (
+        |  SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.a, l.lbl, COUNT(*) AS cnt FROM edges e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT a AS node, lbl FROM (
+        |  SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.a, l.lbl, COUNT(*) AS cnt FROM edges e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT a AS node, lbl FROM (
+        |  SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn
+        |  FROM c3) WHERE rn = 1),
+        |mm AS (SELECT COUNT(*) AS m FROM pairs),
+        |intra AS (
+        |  SELECT x.lbl AS community, COUNT(*) AS intra_edges
+        |  FROM pairs p JOIN l3 x ON p.d1 = x.node JOIN l3 y ON p.d2 = y.node
+        |  WHERE x.lbl = y.lbl GROUP BY 1
+        |),
+        |degs AS (SELECT a, COUNT(*) AS dg FROM edges GROUP BY a),
+        |com AS (
+        |  SELECT l.lbl AS community, COUNT(*) AS n_nodes,
+        |    CAST(SUM(d.dg) AS BIGINT) AS degree_sum
+        |  FROM l3 l JOIN degs d ON l.node = d.a GROUP BY 1
+        |)
+        |SELECT c.community, c.n_nodes,
+        |  COALESCE(i.intra_edges, 0) AS intra_edges, c.degree_sum,
+        |  4 * mm.m * COALESCE(i.intra_edges, 0) - c.degree_sum * c.degree_sum AS q_num,
+        |  4 * mm.m * mm.m AS q_den
+        |FROM com c LEFT JOIN intra i ON c.community = i.community, mm
+        |ORDER BY c.community""".stripMargin,
 
     "gr8_component_size_histogram" ->
       """WITH RECURSIVE docs AS (

@@ -255,6 +255,30 @@ class GraphSpec extends SparkTestBase {
     assert(nodeMass == cc1, s"histogram mass $nodeMass != cc1 nodes $cc1")
   }
 
+  test("gr9: modularity terms are consistent and the partition beats random") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("gr9_modularity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val m = math.sqrt(rows.head.getAs[Long]("q_den") / 4.0).toLong
+    rows.foreach { r =>
+      val (nn, le, ds, qn, qd) = (r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("intra_edges"), r.getAs[Long]("degree_sum"),
+        r.getAs[Long]("q_num"), r.getAs[Long]("q_den"))
+      assert(qd == 4L * m * m)
+      assert(qn == 4L * m * le - ds * ds, "q_num inconsistent with its own terms")
+      assert(le <= nn * (nn - 1) / 2, s"more intra edges than pairs: $le vs $nn nodes")
+      assert(ds <= 2L * m)
+    }
+    // degree mass across communities covers every edge end exactly once
+    assert(rows.map(_.getAs[Long]("degree_sum")).sum == 2L * m)
+    // intra edges cannot exceed the edge budget; LPA on a near-dup
+    // graph must beat the random-graph null (Q > 0)
+    assert(rows.map(_.getAs[Long]("intra_edges")).sum <= m)
+    val q = rows.map(_.getAs[Long]("q_num")).sum.toDouble /
+      rows.head.getAs[Long]("q_den")
+    assert(q > 0.0, s"modularity $q not better than random")
+  }
+
   test("gr5: hub is hop 0, every hop-k node has a hop-(k-1) neighbor") {
     val out = SparkEntry.queries("gr5_bfs_hops")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
