@@ -525,6 +525,58 @@ object Clustering {
       pqSearch(Tables.embeddings(s, dir), kNbrs = 3,
           dbPred = col("vec_id") % 5 =!= 0, qPred = col("vec_id") % 5 === 0)
         .orderBy(col("vec_id"), col("rn"))),
+
+    // MATRYOSHKA TRUNCATION AUDIT (Kusupati et al.: MRL embeddings are
+    // trained so a prefix of the dims is itself a usable embedding):
+    // before flipping retrieval to prefix-truncated vectors (4× less
+    // memory + bandwidth here: 64→16 dims), measure what the cheaper
+    // geometry costs — per query, top-5 by full-dim cosine vs top-5 by
+    // first-16-dim cosine, reported as the integer overlap count plus
+    // both rank-1 ids. Both cosines come out of ONE pair formulation
+    // (the full and prefix dots ride the same pair row), and each
+    // ranking is pruned by the map-side-heap TopK BEFORE any exchange —
+    // the n² stream is never shuffled or materialized; at corpus scale
+    // the pair generation itself would be replaced by the ANN family
+    // (d6/d7/d26), this audit is what justifies that switch. Output is
+    // integers + ids only — ranks need bit-identical cosines (d5's
+    // proven fold contract, reused verbatim for both widths), but the
+    // gate hashes no floats. Ties break (cos DESC, nbr ASC) — a total
+    // order, so heap pruning is exact.
+    "e4_matryoshka_overlap" -> ((s, dir) => {
+      import graft.functions.VecDot
+      val e = graft.ops.Spread.fanout(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("vt", expr("slice(v, 1, 16)"))
+      val n = e.select(col("vec_id"), col("v"), col("vt"),
+        sqrt(VecDot(col("v"), col("v"))).as("nf"),
+        sqrt(VecDot(col("vt"), col("vt"))).as("nt"))
+      def pairs = n.as("a").crossJoin(n.as("b"))
+        .filter(col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+          (VecDot(col("a.v"), col("b.v")) / (col("a.nf") * col("b.nf"))).as("cosf"),
+          (VecDot(col("a.vt"), col("b.vt")) / (col("a.nt") * col("b.nt"))).as("cost"))
+      val topF = graft.plans.TopK.perKey(pairs,
+        keys = Seq(col("vec_id")), order = Seq(col("cosf").desc, col("nbr").asc), k = 5)
+      val topT = graft.plans.TopK.perKey(pairs,
+        keys = Seq(col("vec_id")), order = Seq(col("cost").desc, col("nbr").asc), k = 5)
+      val wF = Window.partitionBy(col("vec_id")).orderBy(col("cosf").desc, col("nbr").asc)
+      val wT = Window.partitionBy(col("vec_id")).orderBy(col("cost").desc, col("nbr").asc)
+      val ov = topF.select(col("vec_id"), col("nbr"))
+        .join(topT.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+      val n1F = topF.withColumn("rn", row_number().over(wF))
+        .filter(col("rn") === 1).select(col("vec_id"), col("nbr").as("nbr_full"))
+      val n1T = topT.withColumn("rn", row_number().over(wT))
+        .filter(col("rn") === 1).select(col("vec_id"), col("nbr").as("nbr_trunc"))
+      e.select(col("vec_id"))
+        .join(ov, Seq("vec_id"), "left")
+        .join(n1F, Seq("vec_id"))
+        .join(n1T, Seq("vec_id"))
+        .select(col("vec_id"), coalesce(col("c"), lit(0L)).as("overlap5"),
+          col("nbr_full"), col("nbr_trunc"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   // two Lloyd iterations unrolled as CTEs, shared by c1 and d20;
@@ -827,5 +879,48 @@ object Clustering {
         |),
         |w2 AS (SELECT w1.d, w1.w - 0.5*g2.g AS w FROM w1 JOIN g2 ON w1.d = g2.d)
         |SELECT CAST(d AS BIGINT) AS d, w FROM w2 ORDER BY d""".stripMargin,
+
+    // d5's pair/rank CTE with BOTH widths on one pair row: full-dim and
+    // first-16-dim cosine, each ranked by its own (cos DESC, nbr ASC)
+    // window; output is the integer intersection of the two top-5 sets
+    // plus the two rank-1 ids — no floats reach the hash
+    "e4_matryoshka_overlap" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v, v[1:16] AS vt,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS nf,
+        |    sqrt(list_reduce(list_transform(v[1:16], x -> x*x), (x, y) -> x + y)) AS nt
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.nf * b.nf) AS cosf,
+        |    list_reduce(list_transform(range(16), i -> a.vt[i+1]*b.vt[i+1]), (x, y) -> x + y)
+        |      / (a.nt * b.nt) AS cost
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |rf AS (SELECT vec_id, nbr,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosf DESC, nbr ASC) AS rn
+        |       FROM pairs),
+        |rt AS (SELECT vec_id, nbr,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cost DESC, nbr ASC) AS rn
+        |       FROM pairs),
+        |tf AS (SELECT vec_id, nbr FROM rf WHERE rn <= 5),
+        |tt AS (SELECT vec_id, nbr FROM rt WHERE rn <= 5),
+        |ov AS (SELECT tf.vec_id, COUNT(*) AS c
+        |       FROM tf JOIN tt ON tf.vec_id = tt.vec_id AND tf.nbr = tt.nbr
+        |       GROUP BY tf.vec_id)
+        |SELECT e.vec_id,
+        |  CAST(COALESCE(ov.c, 0) AS BIGINT) AS overlap5,
+        |  f1.nbr AS nbr_full, t1.nbr AS nbr_trunc
+        |FROM e
+        |LEFT JOIN ov ON ov.vec_id = e.vec_id
+        |JOIN (SELECT vec_id, nbr FROM rf WHERE rn = 1) f1 ON f1.vec_id = e.vec_id
+        |JOIN (SELECT vec_id, nbr FROM rt WHERE rn = 1) t1 ON t1.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
   )
 }

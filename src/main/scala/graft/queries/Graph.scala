@@ -419,6 +419,36 @@ object Graph {
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("split"))
     }),
+
+    // SAMPLED HARMONIC CENTRALITY (Boldi–Vigna's harmonic variant of
+    // closeness, estimated from pivots à la Eppstein–Wang): exact
+    // closeness needs all-pairs distances — O(n·m) is off the table at
+    // corpus scale — so the standard estimator runs BFS from a small
+    // fixed pivot set and scores every node by its harmonic proximity
+    // to the pivots it can reach. Pivots here are the 8 smallest node
+    // ids in the edge set (deterministic, no RNG); one multi-source
+    // frontier expansion carries all 8 BFS trees at once — per-round
+    // work is the (src, frontier-node) pair set's edge neighborhood,
+    // never 8 separate graph passes. The score is kept EXACT: hop
+    // distances are 1..4, lcm(1..4)=12, so Σ 12/d is an integer
+    // (h12 = 12·harmonic mass) — no float sum to make portable, the
+    // same exact-rational posture as gr9's modularity. Nodes no pivot
+    // reaches are absent on both sides (gr5's posture); d=0 self-rows
+    // are excluded so a pivot is scored only by the OTHER pivots.
+    "gr10_harmonic_centrality" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      val pivots = sym.select(col("a")).distinct()
+        .orderBy(col("a").asc).limit(8).select(col("a").as("src"))
+      bfsHopsPerSource(sym, pivots, rounds = 4)
+        .filter(col("hops") > 0)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_pivots_reached"),
+          sum(expr("12 div hops")).as("h12"))
+        .select(col("node").as("doc_id"), col("n_pivots_reached"), col("h12"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** `rounds` synchronous label-propagation steps over a SYMMETRIC
@@ -459,6 +489,36 @@ object Graph {
           .join(visited.select(col("node")), Seq("node"), "left_anti"))
       visited = Materialize(
         visited.union(next.select(col("node"), lit(i.toLong).as("hops"))))
+      frontier = next
+    }
+    visited
+  }
+
+  /** Multi-source BFS that keeps the trees SEPARATE: `sources` (single
+    * column `src`) each start their own BFS at hop 0, and the frontier
+    * rows are (src, node) pairs — one synchronized expansion advances
+    * all trees per round instead of looping bfsHops once per source
+    * (k passes over the edge set → 1). Same first-reach-is-min-distance
+    * and no-re-expansion guarantees as [[bfsHops]], just keyed by
+    * (src, node); per-round cost is the frontier pair set's edge
+    * neighborhood, bounded by k·(bfsHops cost) but typically far less
+    * because trees saturate. Returns (src, node, hops), hops <= rounds.
+    * GraphSpec asserts per-source independence against k single-source
+    * runs. */
+  private[graft] def bfsHopsPerSource(sym: DataFrame, sources: DataFrame,
+                                      rounds: Int): DataFrame = {
+    var visited = Materialize(
+      sources.select(col("src"), col("src").as("node"), lit(0L).as("hops")))
+    var frontier = visited.select(col("src"), col("node"))
+    for (i <- 1 to rounds) {
+      val next = Materialize(
+        sym.join(frontier.select(col("src"), col("node").as("a")), Seq("a"))
+          .select(col("src"), col("b").as("node")).distinct()
+          .join(visited.select(col("src"), col("node")),
+            Seq("src", "node"), "left_anti"))
+      visited = Materialize(
+        visited.union(next.select(col("src"), col("node"),
+          lit(i.toLong).as("hops"))))
       frontier = next
     }
     visited
@@ -969,5 +1029,39 @@ object Graph {
         |  CASE WHEN n_wedges > 0 THEN CAST(3 AS DOUBLE) * t / n_wedges
         |       ELSE CAST(0 AS DOUBLE) END AS gcc
         |FROM st, ec, tri""".stripMargin,
+
+    // gr5's depth-capped recursive reach, but seeded by the 8 smallest
+    // node ids and keyed (src, node): min(d) per pair, then the exact
+    // integer harmonic mass Σ 12//d over d>0 (lcm(1..4)=12 keeps the
+    // score on integers — no float aggregation to make portable)
+    "gr10_harmonic_centrality" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |pivots AS (SELECT a AS src FROM (SELECT DISTINCT a FROM e0) ORDER BY src ASC LIMIT 8),
+        |reach(src, node, d) AS (
+        |  SELECT src, src, 0 FROM pivots
+        |  UNION
+        |  SELECT r.src, e.b, r.d + 1 FROM e0 e JOIN reach r ON e.a = r.node WHERE r.d < 4
+        |),
+        |dist AS (SELECT src, node, min(d) AS d FROM reach GROUP BY src, node)
+        |SELECT node AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pivots_reached,
+        |  CAST(SUM(12 // d) AS BIGINT) AS h12
+        |FROM dist WHERE d > 0
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }

@@ -92,4 +92,25 @@ class ClusteringSpec extends SparkTestBase {
     assert(math.abs(cos) > 0.9999, s"direction cos=$cos")
     assert(math.abs(eig - lastNrm) / lastNrm < 1e-3, s"eig $eig vs local $lastNrm")
   }
+
+  test("e4: full-width rank-1 agrees with d5; overlap bounded and consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val e4 = SparkEntry.queries("e4_matryoshka_overlap")(spark, dir).collect()
+    assert(e4.nonEmpty)
+    // d5 is the proven brute-force ranking; e4's full-dim side must be
+    // the same ranking (same fold contract), so the rank-1 ids agree
+    val d5top = SparkEntry.queries("d5_cosine_topk")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr")).toMap
+    e4.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val ov = r.getAs[Long]("overlap5")
+      assert(ov >= 0L && ov <= 5L, s"overlap $ov out of range")
+      assert(r.getAs[Long]("nbr_full") == d5top(id),
+        s"vec $id: e4 full rank-1 ${r.getAs[Long]("nbr_full")} != d5 ${d5top(id)}")
+      // a shared rank-1 id is in both top-5 sets by definition
+      if (r.getAs[Long]("nbr_full") == r.getAs[Long]("nbr_trunc"))
+        assert(ov >= 1L, s"vec $id: shared rank-1 but empty intersection")
+    }
+  }
 }

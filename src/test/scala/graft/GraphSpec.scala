@@ -193,6 +193,36 @@ class GraphSpec extends SparkTestBase {
     assert(m === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
   }
 
+  test("bfsHopsPerSource: trees are independent — equal to k single-source runs") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+    val pairs = edges.toDF("a", "b")
+    val sym = pairs.union(pairs.select(col("b"), col("a"))).toDF("a", "b")
+    val multi = graft.queries.Graph.bfsHopsPerSource(
+        sym, Seq(1L, 6L, 10L).toDF("src"), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val single = Seq(1L, 6L, 10L).flatMap { s =>
+      hops(edges, Seq(s), 3).map { case (n, h) => (s, n) -> h }
+    }.toMap
+    assert(multi === single)
+    // the min-over-sources collapse reproduces plain multi-source bfsHops
+    val collapsed = multi.groupBy(_._1._2).map { case (n, m) => n -> m.values.min }
+    assert(collapsed === hops(edges, Seq(1L, 6L, 10L), 3))
+  }
+
+  test("gr10: harmonic mass is exact on the 12-grid and bounded by reached pivots") {
+    val rows = SparkEntry.queries("gr10_harmonic_centrality")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val reached = r.getAs[Long]("n_pivots_reached")
+      val h12 = r.getAs[Long]("h12")
+      // each reached pivot contributes 12/d for d in 1..4: [3, 12] per pivot
+      assert(h12 >= 3L * reached && h12 <= 12L * reached,
+        s"h12 $h12 outside [3, 12]·$reached")
+    }
+  }
+
   test("d31: no near-dup cluster spans splits; totals cover the corpus") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("d31_leakfree_split")(spark, dir).collect()
