@@ -741,6 +741,47 @@ object LlmPipeline {
         .orderBy($"lang")
     }),
 
+    // BOILERPLATE STRIP REPORT (CCNet's paragraph-dedup posture at
+    // p3's 10-token segment grain): a segment that recurs across >= 5
+    // DISTINCT documents of the SAME source is boilerplate — nav bars,
+    // license headers, template chrome — and a curation run strips it
+    // before training. Where p3 keeps the first occurrence globally,
+    // this removes EVERY occurrence of a high-DF segment and reports
+    // the per-source damage: documents touched, tokens removed, integer
+    // ppm of the source's token mass. Scale shape: the DF aggregation
+    // is keyed by (source, xxhash64(seg)) — 8-byte segment keys, never
+    // segment strings, on the exchange (the string-keyed oracle makes
+    // the same decisions modulo a 2⁻⁶⁴ collision); the boilerplate set
+    // is df-filtered tiny, so the removal join is a broadcast left-semi
+    // and the segment stream is scanned from ONE materialized frame for
+    // both the totals and the removed side.
+    "t32_boilerplate_strip" -> ((s, dir) => {
+      import s.implicits._
+      val segs = materialize(
+        segmentize(graft.ops.Spread.fanout(Tables.documents(s, dir)),
+            Seq("source", "doc_id"))
+          .select($"source", $"doc_id",
+            size(split($"seg", " ")).cast("long").as("seg_toks"),
+            xxhash64($"seg").as("k")))
+      val bp = segs.select($"source", $"k", $"doc_id").distinct()
+        .groupBy($"source", $"k").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 5).select($"source", $"k")
+      val tot = segs.groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          sum($"seg_toks").as("total_tokens"))
+      val rem = segs.join(bp, Seq("source", "k"), "left_semi")
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("docs_affected"),
+          sum($"seg_toks").as("removed_tokens"))
+      tot.join(rem, Seq("source"), "left")
+        .select($"source", $"n_docs", $"total_tokens",
+          coalesce($"docs_affected", lit(0L)).as("docs_affected"),
+          coalesce($"removed_tokens", lit(0L)).as("removed_tokens"))
+        .withColumn("removed_ppm",
+          expr("removed_tokens * 1000000 div total_tokens"))
+        .orderBy($"source")
+    }),
+
     // CROSS-SOURCE PROVENANCE MATRIX: which sources share VERBATIM
     // 10-token segments with which — the "who copies from whom" table
     // that tells a corpus curator where boilerplate and mirrored
@@ -1880,6 +1921,82 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // AUDIO ACTIVITY SEGMENTATION (the VAD precursor every speech-data
+    // pipeline runs before transcription: find the spoken stretches,
+    // bill decode/ASR only for those): per doc a 16-bit PCM WAV with
+    // alternating ACTIVE and SILENT frame stretches is synthesized and
+    // really encoded+decoded (m6's codec path — a codec that drops
+    // frames or flips endianness shifts the frame grid and goes red),
+    // then frame energies (exact integer Σv², 30-sample frames) become
+    // ROWS and the segmentation is relational: threshold → islands-
+    // and-gaps (frame_idx − row_number over active frames = run id) →
+    // per-run lengths → the per-doc manifest (segments, longest run,
+    // active frames, total energy). The oracle replays synth arithmetic
+    // per frame and the same window algebra. Scale: the codec pass is
+    // batch-shaped over a fanned-out scan; the frame stream shuffles
+    // once on doc_id for the windows (a real pipeline partitions by
+    // recording id exactly like this), and everything downstream of the
+    // threshold is frames-that-are-active sized, not corpus sized.
+    "m12_audio_energy_segments" -> ((s, dir) => {
+      import s.implicits._
+      val frames = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions(_.grouped(64).flatMap(_.iterator.flatMap { id =>
+          val gid = (id % 16).toInt
+          val amp = 1 + (id % 4).toInt
+          val nFrames = 12 + gid % 5
+          val n = nFrames * 30
+          val pcm = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            val f = t / 30
+            val active = (gid * 7 + f * 3) % 5 < 2
+            val v = if (active) amp * (((id * 31 + t * 17) % 199) - 99).toInt else 0
+            pcm(t * 2) = (v & 0xff).toByte
+            pcm(t * 2 + 1) = ((v >> 8) & 0xff).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          // decode through the REAL codec and reduce to frame energies
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val data = try in.readAllBytes() finally in.close()
+          val nf = data.length / 2 / 30
+          (0 until nf).iterator.map { f =>
+            var e = 0L; var i = 0
+            while (i < 30) {
+              val v = ((data((f * 30 + i) * 2) & 0xff) |
+                (data((f * 30 + i) * 2 + 1) << 8)).toLong
+              e += v * v
+              i += 1
+            }
+            (id, f.toLong, e)
+          }
+        })).toDF("doc_id", "f", "energy")
+      val act = frames.filter($"energy" > 0)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"f")))
+        .withColumn("grp", $"f" - $"rn")
+      val runs = act.groupBy($"doc_id", $"grp").agg(count(lit(1)).as("run_len"))
+      val segs = runs.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segments"), max($"run_len").as("longest_run"))
+      frames.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when($"energy" > 0, 1L).otherwise(0L)).as("active_frames"),
+          sum($"energy").as("total_energy"))
+        .join(segs, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_frames", $"active_frames",
+          coalesce($"n_segments", lit(0L)).as("n_segments"),
+          coalesce($"longest_run", lit(0L)).as("longest_run"),
+          $"total_energy")
+        .orderBy($"doc_id")
+    }),
+
     // HAMMING-NEAR perceptual retrieval — m7's promise made real: when
     // noise makes same-class hashes NEARLY equal instead of equal,
     // exact hash grouping breaks and retrieval needs d13's pigeonhole.
@@ -2753,6 +2870,46 @@ object LlmPipeline {
         |FROM raw JOIN kept ON raw.lang = kept.lang
         |ORDER BY raw.lang""".stripMargin,
 
+    // p3's segment CTE + within-source document frequency; string-keyed
+    // where Spark shuffles xxhash64 keys (same decisions mod 2^-64)
+    "t32_boilerplate_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |),
+        |segs AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(t[s.i*10+1 : s.i*10+10], ' ') AS seg
+        |  FROM d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(CAST(ceil(len(t)/10.0) AS INT))) AS i) s
+        |),
+        |sg AS (
+        |  SELECT doc_id, source, seg,
+        |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_toks
+        |  FROM segs
+        |),
+        |bp AS (
+        |  SELECT source, seg
+        |  FROM (SELECT source, seg, COUNT(DISTINCT doc_id) AS df FROM sg GROUP BY source, seg)
+        |  WHERE df >= 5
+        |),
+        |tot AS (
+        |  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, SUM(seg_toks) AS total_tokens
+        |  FROM sg GROUP BY source
+        |),
+        |rem AS (
+        |  SELECT s.source, COUNT(DISTINCT s.doc_id) AS docs_affected,
+        |    SUM(s.seg_toks) AS removed_tokens
+        |  FROM sg s JOIN bp b ON s.source = b.source AND s.seg = b.seg
+        |  GROUP BY s.source
+        |)
+        |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+        |  CAST(t.total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(COALESCE(r.docs_affected, 0) AS BIGINT) AS docs_affected,
+        |  CAST(COALESCE(r.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+        |  CAST(COALESCE(r.removed_tokens, 0) * 1000000 // t.total_tokens AS BIGINT) AS removed_ppm
+        |FROM tot t LEFT JOIN rem r ON r.source = t.source
+        |ORDER BY t.source""".stripMargin,
+
     // string-keyed segment join replicating the hash-keyed decisions
     // (p3's convention); same 10-token segment grain as s12
     "d35_cross_source_seg_matrix" ->
@@ -3603,6 +3760,51 @@ object LlmPipeline {
         |  CAST(SUM(((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)) AS BIGINT) AS sum_rgb
         |FROM px GROUP BY doc_id, patch_x, patch_y
         |ORDER BY doc_id, patch_x, patch_y""".stripMargin,
+
+    // synth arithmetic replayed per frame (v = amp·base, so energy =
+    // amp²·Σbase² exactly) + the same islands-and-gaps window algebra;
+    // a codec that shifts the frame grid diverges from this replay
+    "m12_audio_energy_segments" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, doc_id % 16 AS gid, 1 + (doc_id % 4) AS amp
+        |  FROM documents
+        |),
+        |fr AS (
+        |  SELECT id, gid, amp, unnest(range(12 + gid % 5)) AS f FROM p
+        |),
+        |en AS (
+        |  SELECT id, f,
+        |    CASE WHEN (gid*7 + f*3) % 5 < 2 THEN
+        |      amp * amp * list_reduce(
+        |        list_transform(range(30),
+        |          i -> CAST(((id*31 + (f*30+i)*17) % 199 - 99)
+        |                  * ((id*31 + (f*30+i)*17) % 199 - 99) AS BIGINT)),
+        |        (x, y) -> x + y)
+        |    ELSE 0 END AS energy
+        |  FROM fr
+        |),
+        |act AS (
+        |  SELECT id, f, f - ROW_NUMBER() OVER (PARTITION BY id ORDER BY f) AS grp
+        |  FROM en WHERE energy > 0
+        |),
+        |runs AS (SELECT id, grp, COUNT(*) AS run_len FROM act GROUP BY id, grp),
+        |segs AS (
+        |  SELECT id, COUNT(*) AS n_segments, MAX(run_len) AS longest_run
+        |  FROM runs GROUP BY id
+        |),
+        |tot AS (
+        |  SELECT id, COUNT(*) AS n_frames,
+        |    SUM(CASE WHEN energy > 0 THEN 1 ELSE 0 END) AS active_frames,
+        |    SUM(energy) AS total_energy
+        |  FROM en GROUP BY id
+        |)
+        |SELECT t.id AS doc_id, CAST(t.n_frames AS BIGINT) AS n_frames,
+        |  CAST(t.active_frames AS BIGINT) AS active_frames,
+        |  CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(COALESCE(s.longest_run, 0) AS BIGINT) AS longest_run,
+        |  CAST(t.total_energy AS BIGINT) AS total_energy
+        |FROM tot t LEFT JOIN segs s ON s.id = t.id
+        |ORDER BY doc_id""".stripMargin,
 
     // the whole perceptual pipeline replayed arithmetically from the
     // painted-pixel formula (m5's trick): gray → 9×8 floor-mean cells →

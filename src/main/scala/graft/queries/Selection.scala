@@ -222,6 +222,38 @@ object Selection {
         .select($"rnk", $"doc_id", $"n_tokens", $"score", $"w")
         .orderBy($"rnk")
     }),
+
+    // CURRICULUM STAGING: order each source's documents by a quality
+    // key and cut the ordering into 3 equal tranches — stage 1 is the
+    // cleanest third a curriculum schedule trains first, stage 3 the
+    // tail it anneals in late (or drops). The quality key is the
+    // type-token ratio held on INTEGERS (distinct·10⁶ div total — no
+    // float reaches the ordering or the gate) with doc_id as the total-
+    // order tie-break, so NTILE is deterministic; the report is the
+    // per-(source, stage) manifest a scheduler consumes: doc count,
+    // token mass, and the tranche's ttr span. Scale shape: the ntile
+    // window partitions by source — per-source ordering shuffles only
+    // that source's (id, key) pairs, the full text never rides the
+    // exchange; the stage manifest is a bounded |sources|·3-row frame.
+    "sel4_curriculum_stages" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"source", split(lower($"text"), "\\s+").as("toks"))
+        .select($"doc_id", $"source",
+          size($"toks").cast("long").as("nt"),
+          size(array_distinct($"toks")).cast("long").as("nd"))
+        .withColumn("ttr_ppm", expr("nd * 1000000 div nt"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"ttr_ppm".desc, $"doc_id".asc)
+      d.withColumn("stage", ntile(3).over(w))
+        .groupBy($"source", $"stage")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("total_tokens"),
+          min($"ttr_ppm").as("min_ttr_ppm"), max($"ttr_ppm").as("max_ttr_ppm"))
+        .select($"source", $"stage".cast("long").as("stage"), $"n_docs",
+          $"total_tokens", $"min_ttr_ppm", $"max_ttr_ppm")
+        .orderBy($"source", $"stage")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -315,5 +347,32 @@ object Selection {
          |)
          |SELECT rnk, doc_id, n_tokens, score, w
          |FROM ranked WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+
+    // integer ttr key + NTILE over the same (key DESC, doc_id ASC)
+    // total order — deterministic tranche cuts on both engines
+    "sel4_curriculum_stages" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+        |  FROM d
+        |),
+        |q AS (
+        |  SELECT doc_id, source, nt, nd * 1000000 // nt AS ttr_ppm,
+        |    NTILE(3) OVER (PARTITION BY source ORDER BY nd * 1000000 // nt DESC, doc_id ASC) AS stage
+        |  FROM k
+        |)
+        |SELECT source, CAST(stage AS BIGINT) AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(ttr_ppm) AS BIGINT) AS min_ttr_ppm,
+        |  CAST(MAX(ttr_ppm) AS BIGINT) AS max_ttr_ppm
+        |FROM q GROUP BY source, stage
+        |ORDER BY source, stage""".stripMargin,
   )
 }

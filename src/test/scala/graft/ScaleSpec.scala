@@ -345,6 +345,60 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("m12 segmentation: frame grid intact through the codec; runs match the mask") {
+    val rows = SparkEntry.queries("m12_audio_energy_segments")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gid = (id % 16).toInt
+      val nf = 12 + gid % 5
+      assert(r.getAs[Long]("n_frames") == nf.toLong,
+        s"doc $id: codec shifted the frame grid")
+      // replay the activity mask and its runs locally
+      val mask = (0 until nf).map(f => (gid * 7 + f * 3) % 5 < 2)
+      assert(r.getAs[Long]("active_frames") == mask.count(identity).toLong)
+      val runs = mask.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true)                                 => 1 :: acc
+        case (acc, false) if acc.nonEmpty && acc.head > 0 => 0 :: acc
+        case (acc, false)                                => acc
+      }.filter(_ > 0)
+      assert(r.getAs[Long]("n_segments") == runs.length.toLong, s"doc $id runs")
+      assert(r.getAs[Long]("longest_run") == runs.max.toLong, s"doc $id longest")
+      assert(r.getAs[Long]("total_energy") > 0L)
+    }
+  }
+
+  test("t32 boilerplate: removal bounded by totals; high-DF rule replayed") {
+    val rows = SparkEntry.queries("t32_boilerplate_strip")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tot = r.getAs[Long]("total_tokens"); val rem = r.getAs[Long]("removed_tokens")
+      assert(rem >= 0L && rem <= tot)
+      assert(r.getAs[Long]("docs_affected") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("removed_ppm") == rem * 1000000L / tot)
+    }
+    // local replay of the within-source df>=5 rule at the segment grain
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("source", "doc_id", "lower(text) AS t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def segsOf(t: String): Seq[String] =
+      t.split("\\s+").toSeq.grouped(10).map(_.mkString(" ")).toSeq
+    val perSrc = docs.groupBy(_._1)
+    val expRemoved = perSrc.map { case (src, ds) =>
+      val df = ds.flatMap { case (_, id, t) => segsOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val bp = df.filter(_._2 >= 5).keySet
+      src -> ds.map { case (_, _, t) =>
+        segsOf(t).filter(bp).map(_.split(" ").length.toLong).sum
+      }.sum
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("removed_tokens") == expRemoved(r.getAs[String]("source")),
+        s"${r.getAs[String]("source")}: removed mismatch vs local replay")
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()

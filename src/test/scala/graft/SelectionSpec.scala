@@ -175,4 +175,24 @@ class SelectionSpec extends SparkTestBase {
       assert(used <= 20000L && toksKept <= used)
     }
   }
+
+  test("sel4: stages balanced within 1 doc; tranche ttr spans are ordered") {
+    val rows = SparkEntry.queries("sel4_curriculum_stages")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byStage = rs.map(r => r.getAs[Long]("stage") -> r).toMap
+      assert(byStage.keySet.subsetOf(Set(1L, 2L, 3L)), s"$src: stages ${byStage.keySet}")
+      // NTILE balance: tranche sizes differ by at most one
+      val sizes = rs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1L, s"$src: unbalanced tranches $sizes")
+      // ordering by ttr DESC means stage k's floor >= stage k+1's ceiling
+      val stages = byStage.keys.toSeq.sorted
+      stages.zip(stages.tail).foreach { case (a, b) =>
+        assert(byStage(a).getAs[Long]("min_ttr_ppm") >=
+          byStage(b).getAs[Long]("max_ttr_ppm"),
+          s"$src: stage $a floor below stage $b ceiling")
+      }
+    }
+  }
 }
