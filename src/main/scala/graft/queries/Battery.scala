@@ -1285,6 +1285,39 @@ object Battery {
           cume_dist().over(w).as("cd"))
         .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
     }),
+
+    // REVENUE CONCENTRATION (the Pareto question every account team
+    // asks: how much of a market do the top buyers carry?): per nation,
+    // the top-3 customers' share of order revenue in integer ppm. Money
+    // rides EXACT CENTS — round(price·100) is the same double→integer
+    // step in both engines (TPC-H prices have 2 decimals, so cents are
+    // exact), and everything downstream is BIGINT arithmetic: no float
+    // sum ever forms. Shape: revenue pre-aggregates per customer BEFORE
+    // the window (orders shuffle once on custkey, map-side combined),
+    // the rank window then sorts per-nation CUSTOMER rows — thousands,
+    // not order rows — and the 25-row nation table broadcasts onto the
+    // bounded result.
+    "q67_revenue_concentration" -> ((s, dir) => {
+      import s.implicits._
+      val rev = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val cr = Tables.customer(s, dir)
+        .join(rev, $"c_custkey" === $"o_custkey")
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"cents".desc, $"c_custkey".asc)
+      cr.withColumn("rn", row_number().over(w))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_buyers"),
+          sum($"cents").as("total_cents"),
+          sum(when($"rn" <= 3, $"cents").otherwise(0L)).as("top3_cents"))
+        .join(broadcast(Tables.nation(s, dir)),
+          $"n_nationkey" === $"c_nationkey")
+        .select($"n_name".as("nation"), $"n_buyers", $"total_cents",
+          $"top3_cents",
+          expr("top3_cents * 1000000 div total_cents").as("top3_share_ppm"))
+        .orderBy($"nation")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -1896,6 +1929,33 @@ object Battery {
         |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    // exact-cents revenue (round(price*100) — the same double→integer
+    // step both engines take), rank window over customer aggregates,
+    // integer-ppm share
+    "q67_revenue_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |),
+        |r AS (
+        |  SELECT c.c_nationkey, rev.cents,
+        |    ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+        |                       ORDER BY rev.cents DESC, c.c_custkey ASC) AS rn
+        |  FROM customer c JOIN rev ON c.c_custkey = rev.o_custkey
+        |),
+        |agg AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_buyers,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |    CAST(SUM(CASE WHEN rn <= 3 THEN cents ELSE 0 END) AS BIGINT) AS top3_cents
+        |  FROM r GROUP BY c_nationkey
+        |)
+        |SELECT n.n_name AS nation, CAST(a.n_buyers AS BIGINT) AS n_buyers,
+        |  a.total_cents, a.top3_cents,
+        |  a.top3_cents * 1000000 // a.total_cents AS top3_share_ppm
+        |FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
+        |ORDER BY nation""".stripMargin,
 
     // s3's sessionization CTE, then a per-session LAG and an
     // integer-ppm row-normalized transition count

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{ConnectedComponents, Materialize}
@@ -448,6 +449,75 @@ object Graph {
           sum(expr("12 div hops")).as("h12"))
         .select(col("node").as("doc_id"), col("n_pivots_reached"), col("h12"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DEGREE ASSORTATIVITY (Newman's r: do hubs attach to hubs?): on a
+    // near-dup graph, r > 0 means template families chain into bigger
+    // families (transitive closure will snowball), r < 0 means hubs
+    // absorb leaves (clusters stay star-shaped) — the number that
+    // predicts how cc1's components grow with corpus size. Over the
+    // SYMMETRIC edge list Sx=Sy and Sxx=Syy, so Pearson's r collapses
+    // to a ratio of two integers — (M·Σdadb − (Σda)²) / (M·Σda² −
+    // (Σda)²) — computed EXACTLY in int64 and divided once as doubles
+    // (gr9's exact-rational posture; envelope M·Σd² < 2^63 ≈ fine to
+    // ~10⁸ directed edges at these degree scales, loud overflow past
+    // it). Shape: one degree aggregation, two broadcast-able joins to
+    // decorate edge endpoints, one global agg — no window, no n².
+    "gr11_degree_assortativity" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      sym
+        .join(deg.select(col("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("a").as("b"), col("dg").as("db")), Seq("b"))
+        .agg(count(lit(1)).as("m_directed"),
+          sum(col("da") * col("db")).as("sxy"),
+          sum(col("da")).as("sx"),
+          sum(col("da") * col("da")).as("sxx"))
+        .select(col("m_directed"), col("sxy"), col("sx"), col("sxx"),
+          (col("m_directed") * col("sxy") - col("sx") * col("sx")).as("r_num"),
+          (col("m_directed") * col("sxx") - col("sx") * col("sx")).as("r_den"))
+        .withColumn("assortativity",
+          col("r_num").cast("double") / col("r_den").cast("double"))
+    }),
+
+    // KEEPER-POLICY COMPARISON: cc2 keeps each cluster's MIN doc_id —
+    // cheap and deterministic, but curation pipelines routinely keep
+    // the LONGEST member instead (most content retained per cluster).
+    // This runs both policies over cc1's clusters and reports where
+    // they disagree, per cluster: size, both keepers, both kept
+    // lengths, and the agreement flag — the audit a pipeline owner
+    // reads before switching policy. Ties on length break to the lower
+    // doc_id, so the longest-policy is a total order too. Shape: the
+    // corpus joins the edge-cover-sized label frame (broadcasts under
+    // AQE), the policy window sorts only CLUSTER MEMBERS (edge-cover-
+    // sized), never the corpus.
+    "d36_keep_longest_policy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val edges = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val members = docs.join(
+        ConnectedComponents.run(edges, "d1", "d2")
+          .select(col("node").as("doc_id"), col("label").as("cluster_id")),
+        Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val longest = members.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper_longest"),
+          col("n_chars").as("kept_chars_longest"))
+      val minid = members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("keeper_minid"))
+      val minChars = members.select(col("doc_id").as("keeper_minid"),
+        col("n_chars").as("kept_chars_minid"))
+      longest.join(minid, Seq("cluster_id"))
+        .join(minChars, Seq("keeper_minid"))
+        .select(col("cluster_id"), col("cluster_size"),
+          col("keeper_longest"), col("kept_chars_longest"),
+          col("keeper_minid"), col("kept_chars_minid"),
+          (col("keeper_longest") === col("keeper_minid")).as("policy_agrees"))
+        .orderBy(col("cluster_id"))
     }),
   )
 
@@ -1063,5 +1133,92 @@ object Graph {
         |  CAST(SUM(12 // d) AS BIGINT) AS h12
         |FROM dist WHERE d > 0
         |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // degree-decorated symmetric edges, integer sufficient statistics,
+    // one double division at the very end (Sx=Sy on a symmetric list)
+    "gr11_degree_assortativity" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |deg AS (SELECT a, COUNT(*) AS dg FROM e0 GROUP BY a),
+        |j AS (
+        |  SELECT x.dg AS da, y.dg AS db
+        |  FROM e0 JOIN deg x ON e0.a = x.a JOIN deg y ON e0.b = y.a
+        |),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m_directed,
+        |    CAST(SUM(da * db) AS BIGINT) AS sxy,
+        |    CAST(SUM(da) AS BIGINT) AS sx,
+        |    CAST(SUM(da * da) AS BIGINT) AS sxx
+        |  FROM j
+        |)
+        |SELECT m_directed, sxy, sx, sxx,
+        |  m_directed * sxy - sx * sx AS r_num,
+        |  m_directed * sxx - sx * sx AS r_den,
+        |  CAST(m_directed * sxy - sx * sx AS DOUBLE)
+        |    / CAST(m_directed * sxx - sx * sx AS DOUBLE) AS assortativity
+        |FROM st""".stripMargin,
+
+    // cc1's transitive closure + both keeper policies side by side:
+    // a (chars DESC, id ASC) window pick vs the min-id aggregate
+    "d36_keep_longest_policy" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        |mem AS (
+        |  SELECT l.cluster_id, l.doc_id, d.n_chars
+        |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+        |),
+        |lng AS (
+        |  SELECT cluster_id, doc_id AS keeper_longest, n_chars AS kept_chars_longest
+        |  FROM (SELECT cluster_id, doc_id, n_chars,
+        |          ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                             ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |        FROM mem)
+        |  WHERE rn = 1
+        |),
+        |mn AS (
+        |  SELECT cluster_id, COUNT(*) AS cluster_size, MIN(doc_id) AS keeper_minid
+        |  FROM mem GROUP BY cluster_id
+        |)
+        |SELECT l.cluster_id, CAST(m.cluster_size AS BIGINT) AS cluster_size,
+        |  l.keeper_longest, l.kept_chars_longest,
+        |  m.keeper_minid, mc.n_chars AS kept_chars_minid,
+        |  l.keeper_longest = m.keeper_minid AS policy_agrees
+        |FROM lng l JOIN mn m ON m.cluster_id = l.cluster_id
+        |JOIN mem mc ON mc.doc_id = m.keeper_minid
+        |ORDER BY l.cluster_id""".stripMargin,
   )
 }

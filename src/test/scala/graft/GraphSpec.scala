@@ -223,6 +223,42 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("gr11: assortativity equals a local replay and sits in [-1, 1]") {
+    val r = SparkEntry.queries("gr11_degree_assortativity")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val edges = graft.queries.Graph.cachedEdges(
+        spark, "/root/testdata/sf0.001", minShared = 5, maxDf = 100)
+      .collect().flatMap(e => Seq(e.getLong(0) -> e.getLong(1), e.getLong(1) -> e.getLong(0)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = edges.length.toLong
+    val sxy = edges.map { case (a, b) => deg(a) * deg(b) }.sum
+    val sx = edges.map { case (a, _) => deg(a) }.sum
+    val sxx = edges.map { case (a, _) => deg(a) * deg(a) }.sum
+    assert(r.getAs[Long]("m_directed") == m)
+    assert(r.getAs[Long]("r_num") == m * sxy - sx * sx)
+    assert(r.getAs[Long]("r_den") == m * sxx - sx * sx)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12, s"r=$a outside [-1,1]")
+  }
+
+  test("d36: both keepers live in their cluster; longest beats min-id on chars") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("d36_keep_longest_policy")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val clusters = SparkEntry.queries("cc1_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(r.getAs[Long]("cluster_size") >= 2L)
+      assert(clusters(r.getAs[Long]("keeper_longest")) == cid)
+      assert(clusters(r.getAs[Long]("keeper_minid")) == cid)
+      assert(r.getAs[Long]("kept_chars_longest") >= r.getAs[Long]("kept_chars_minid"),
+        s"cluster $cid: longest policy kept fewer chars than min-id")
+      assert(r.getAs[Boolean]("policy_agrees") ==
+        (r.getAs[Long]("keeper_longest") == r.getAs[Long]("keeper_minid")))
+    }
+  }
+
   test("d31: no near-dup cluster spans splits; totals cover the corpus") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("d31_leakfree_split")(spark, dir).collect()

@@ -399,6 +399,36 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("q67: cents are exact, shares bounded, top-3 replayed locally") {
+    val rows = SparkEntry.queries("q67_revenue_concentration")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // local replay in exact cents
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT)", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCust = orders.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byNation = perCust.toSeq.flatMap { case (ck, c) =>
+      cust.get(ck).map(n => (n, ck, c))
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total_cents"); val top3 = r.getAs[Long]("top3_cents")
+      assert(top3 >= 0L && top3 <= total)
+      assert(r.getAs[Long]("top3_share_ppm") == top3 * 1000000L / total)
+    }
+    val spark3 = rows.map(r => r.getAs[String]("nation") -> r.getAs[Long]("top3_cents")).toMap
+    val nationName = spark.read.parquet(s"$sf0001/nation.parquet")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byNation.foreach { case (nk, cs) =>
+      val exp = cs.map(t => (t._3, t._2)).sortBy { case (c, ck) => (-c, ck) }
+        .take(3).map(_._1).sum
+      assert(spark3(nationName(nk)) == exp, s"nation $nk: top-3 cents mismatch")
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
