@@ -258,6 +258,23 @@ object LlmPipeline {
       |GROUP BY doc_id, n_chars
       |ORDER BY doc_id""".stripMargin
 
+  /** t33: the same merge-table replay aggregated per language. */
+  private def bpeFertilityOracleSql(steps: Int): String =
+    bpeCtes(steps) + s""",
+      |wt AS (SELECT word, COUNT(*) AS n_sym FROM c$steps GROUP BY word),
+      |dw AS (
+      |  SELECT lang,
+      |    unnest(string_split_regex(lower(text), '\\s+')) AS word
+      |  FROM documents
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(wt.n_sym) AS BIGINT) AS bpe_tokens,
+      |  CAST(SUM(wt.n_sym) AS BIGINT) * 1000000 // COUNT(*) AS fertility_ppm
+      |FROM dw JOIN wt USING (word)
+      |WHERE length(word) >= 1
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Shared CTE chain: word table, char-split c0, and one
     * rule/merge block per step ending at c`steps`. */
   private def bpeCtes(steps: Int): String = {
@@ -1438,6 +1455,32 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // TOKENIZER FERTILITY per language (tokens emitted per whitespace
+    // word — THE metric for how well a tokenizer fits each language:
+    // high fertility means more sequence positions, hence more compute
+    // and effectively less context, for the same content; the number
+    // multilingual tokenizer papers lead with). Reuses t18's persisted
+    // merge table (cachedBpe — training is the write-once artifact,
+    // this is a read) and reports integer ppm per lang, so the gate
+    // hashes no floats. Shape: the per-word symbol count is a word-
+    // cardinality aggregate that joins the exploded corpus stream
+    // broadcast-style (vocabulary ≪ corpus); one lang-keyed agg ends
+    // the plan.
+    "t33_tokenizer_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val wordTok = cachedBpe(s, dir, BpeSteps)._2
+        .groupBy($"word").agg(count(lit(1)).as("n_sym"))
+      Tables.documents(s, dir)
+        .select($"lang", explode(toks($"text")).as("word"))
+        .filter(length($"word") >= 1)
+        .join(wordTok, "word")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("ws_tokens"), sum($"n_sym").as("bpe_tokens"))
+        .select($"lang", $"ws_tokens", $"bpe_tokens",
+          expr("bpe_tokens * 1000000 div ws_tokens").as("fertility_ppm"))
+        .orderBy($"lang")
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -2607,6 +2650,49 @@ object LlmPipeline {
           count(lit(1)).as("n_docs_kept"), sum($"nt").as("n_tokens_kept"))
         .orderBy($"source")
     }),
+
+    // DATASET CARD: the per-source summary a published dataset ships
+    // with (and the first artifact a data-governance review asks for) —
+    // doc count, token mass, language breadth, near-dup rate, and a
+    // central quality statistic, in one bounded |sources|-row table.
+    // The median is the LOWER MEDIAN picked by rank — rn == (n+1) div 2
+    // under the (ttr_ppm, doc_id) total order — an exact integer both
+    // engines select identically (no interpolation, no float
+    // percentile). Near-dup rate reuses cc1's transitive clusters:
+    // losers (node ≠ label) are edge-cover-sized, so the membership
+    // probe is a broadcast left-semi. Shape: token stats and the median
+    // window read ONE materialized projection; nothing corpus-sized
+    // shuffles twice.
+    "p6_dataset_card" -> ((s, dir) => {
+      import s.implicits._
+      val docs = materialize(graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", $"source", $"lang", toks($"text").as("toks"))
+        .select($"doc_id", $"source", $"lang",
+          size($"toks").cast("long").as("nt"),
+          size(array_distinct($"toks")).cast("long").as("nd"))
+        .withColumn("ttr_ppm", expr("nd * 1000000 div nt")))
+      val losers = graft.ops.ConnectedComponents.run(
+          graft.queries.Graph.cachedEdges(s, dir, minShared = 5, maxDf = 100),
+          "d1", "d2")
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      val base = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("total_tokens"),
+          countDistinct($"lang").as("n_langs"))
+      val dup = docs.join(losers, Seq("doc_id"), "left_semi")
+        .groupBy($"source").agg(count(lit(1)).as("dup_docs"))
+      val med = docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"ttr_ppm", $"doc_id")))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"source")))
+        .filter($"rn" === expr("(cnt + 1) div 2"))
+        .select($"source", $"ttr_ppm".as("median_ttr_ppm"))
+      base.join(dup, Seq("source"), "left").join(med, Seq("source"))
+        .select($"source", $"n_docs", $"total_tokens", $"n_langs",
+          coalesce($"dup_docs", lit(0L)).as("dup_docs"), $"median_ttr_ppm")
+        .withColumn("dup_ppm", expr("dup_docs * 1000000 div n_docs"))
+        .orderBy($"source")
+    }),
   )
 
   /** Paint a w×h RGB image from `rgbAt`, push it through a REAL PNG
@@ -3507,6 +3593,7 @@ object LlmPipeline {
     "t18_bpe_train" -> bpeOracleSql(BpeSteps),
 
     "t19_bpe_tokenize" -> bpeTokenizeOracleSql(BpeSteps),
+    "t33_tokenizer_fertility" -> bpeFertilityOracleSql(BpeSteps),
 
     "d19_snapshot_diff" ->
       """WITH old AS (
@@ -4190,6 +4277,71 @@ object LlmPipeline {
         |FROM d JOIN rates ON d.source = rates.source
         |WHERE d.bucket < rates.rate_bp
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // cc1's loser set + one stats pass + the rank-picked lower median
+    "p6_dataset_card" ->
+      """WITH RECURSIVE dtok AS (
+        |  SELECT doc_id, source, lang,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM dtok WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |losers AS (
+        |  SELECT node FROM (SELECT node, min(lbl) AS l FROM reach GROUP BY node)
+        |  WHERE node <> l
+        |),
+        |d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(toks) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+        |  FROM dtok
+        |),
+        |q AS (SELECT doc_id, source, lang, nt, nd * 1000000 // nt AS ttr_ppm FROM d),
+        |base AS (
+        |  SELECT source, COUNT(*) AS n_docs, SUM(nt) AS total_tokens,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM q GROUP BY source
+        |),
+        |dup AS (
+        |  SELECT source, COUNT(*) AS dup_docs FROM q
+        |  WHERE doc_id IN (SELECT node FROM losers)
+        |  GROUP BY source
+        |),
+        |med AS (
+        |  SELECT source, ttr_ppm AS median_ttr_ppm
+        |  FROM (SELECT source, ttr_ppm, doc_id,
+        |          ROW_NUMBER() OVER (PARTITION BY source ORDER BY ttr_ppm, doc_id) AS rn,
+        |          COUNT(*) OVER (PARTITION BY source) AS cnt
+        |        FROM q)
+        |  WHERE rn = (cnt + 1) // 2
+        |)
+        |SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+        |  CAST(b.total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(b.n_langs AS BIGINT) AS n_langs,
+        |  CAST(COALESCE(u.dup_docs, 0) AS BIGINT) AS dup_docs,
+        |  m.median_ttr_ppm,
+        |  CAST(COALESCE(u.dup_docs, 0) * 1000000 // b.n_docs AS BIGINT) AS dup_ppm
+        |FROM base b
+        |LEFT JOIN dup u ON u.source = b.source
+        |JOIN med m ON m.source = b.source
+        |ORDER BY b.source""".stripMargin,
 
     // first-occurrence decisions replicated on the segment STRING (the
     // Spark side groups by xxhash64(seg) — same decisions modulo a

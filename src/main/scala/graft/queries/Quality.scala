@@ -313,6 +313,49 @@ object Quality {
           (expr("n * 1000000 div tot") - col("exp_ppm")).as("dev_ppm"))
         .orderBy(col("digit"))
     }),
+
+    // SPEARMAN RANK CORRELATION between fact measures — the profiling
+    // step that finds redundant or mechanically-coupled measures
+    // (price ≈ f(quantity)) before anyone trains on both. Pearson's r
+    // on raw doubles can't cross the engine gate (huge variance sums
+    // exceed every portable grid), but Spearman on DETERMINISTIC ranks
+    // is exact. Ranks demand a TOTAL order, so the measures are first
+    // aggregated to the ORDER grain — the fixture's (orderkey,
+    // linenumber) is NOT unique, and any rank over a non-key is
+    // engine-arbitrary — as exact integer units/cents/basis-points
+    // (round(x·10^k) — 2-decimal provenance makes it lossless, and no
+    // float survives into the ordering). rho = 1 − 6·Σd²/(n(n²−1)) is
+    // then a ratio of two int64s divided once as doubles. Envelope:
+    // n³ < 2⁶³ to ~2 million sampled orders, loud overflow beyond.
+    // Shape: one order-keyed pre-aggregation (map-side combined), the
+    // three metrics MELT into one (metric, v, key) stream, ONE window
+    // pass ranks all three partitions, and pairs meet by an equi-join
+    // on the unique order key — no per-metric re-scan, no cross join.
+    "dq8_spearman_corr" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val agg = Tables.lineitem(s, dir)
+        .filter($"l_orderkey" % 10 === 0)
+        .groupBy($"l_orderkey")
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("quantity"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("extendedprice"),
+          sum(expr("CAST(round(l_discount * 10000) AS BIGINT)")).as("discount"))
+      val m = agg.select($"l_orderkey",
+        expr("stack(3, 'discount', discount, 'extendedprice', extendedprice, " +
+          "'quantity', quantity) AS (metric, v)"))
+      val w = Window.partitionBy($"metric").orderBy($"v", $"l_orderkey")
+      val ranked = m.withColumn("rk", row_number().over(w).cast("long"))
+      ranked.as("x").join(ranked.as("y"),
+          $"x.l_orderkey" === $"y.l_orderkey" && $"x.metric" < $"y.metric")
+        .select($"x.metric".as("metric_x"), $"y.metric".as("metric_y"),
+          (($"x.rk" - $"y.rk") * ($"x.rk" - $"y.rk")).as("d2"))
+        .groupBy($"metric_x", $"metric_y")
+        .agg(count(lit(1)).as("n"), sum($"d2").as("sum_d2"))
+        .select($"metric_x", $"metric_y", $"n", $"sum_d2",
+          ((($"n" * $"n" * $"n" - $"n") - lit(6L) * $"sum_d2").cast("double")
+            / ($"n" * $"n" * $"n" - $"n").cast("double")).as("rho"))
+        .orderBy($"metric_x", $"metric_y")
+    }),
   )
 
   // d = the distinct basis (raw string content for string columns, the
@@ -454,5 +497,46 @@ object Quality {
         |  (c.n * 1000000 // tot) - e.exp_ppm AS dev_ppm
         |FROM c JOIN e ON c.digit = e.digit, t
         |ORDER BY c.digit""".stripMargin,
+
+    // same order-grain integer aggregation, the same (v, orderkey)
+    // total order for the ranks, exact integer d² sums, one double
+    // division at the end
+    "dq8_spearman_corr" ->
+      """WITH a AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS quantity,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS extendedprice,
+        |    CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS discount
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |  GROUP BY l_orderkey
+        |),
+        |m AS (
+        |  SELECT l_orderkey, u.metric, u.v
+        |  FROM a
+        |  CROSS JOIN LATERAL (
+        |    SELECT * FROM (VALUES
+        |      ('discount', discount),
+        |      ('extendedprice', extendedprice),
+        |      ('quantity', quantity)) AS t(metric, v)
+        |  ) u
+        |),
+        |r AS (
+        |  SELECT l_orderkey, metric,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY metric
+        |      ORDER BY v, l_orderkey) AS BIGINT) AS rk
+        |  FROM m
+        |),
+        |p AS (
+        |  SELECT x.metric AS metric_x, y.metric AS metric_y,
+        |    (x.rk - y.rk) * (x.rk - y.rk) AS d2
+        |  FROM r x JOIN r y
+        |    ON x.l_orderkey = y.l_orderkey AND x.metric < y.metric
+        |)
+        |SELECT metric_x, metric_y, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+        |  CAST((COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*)) - 6 * CAST(SUM(d2) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS DOUBLE) AS rho
+        |FROM p GROUP BY metric_x, metric_y
+        |ORDER BY metric_x, metric_y""".stripMargin,
   )
 }

@@ -429,6 +429,65 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("t33 fertility: per-lang totals reconcile with t19's per-doc tokenization") {
+    val t33 = SparkEntry.queries("t33_tokenizer_fertility")(spark, sf0001).collect()
+    assert(t33.nonEmpty)
+    t33.foreach { r =>
+      // every word is at least one symbol, so fertility >= 1.0 (1e6 ppm)
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+    val t19tot = SparkEntry.queries("t19_bpe_tokenize")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("bpe_tokens"))
+      .collect().head.getLong(0)
+    assert(t33.map(_.getAs[Long]("bpe_tokens")).sum == t19tot,
+      "lang-level and doc-level BPE token mass disagree")
+  }
+
+  test("dq8 Spearman: rho equals a local replay under the same tie-break") {
+    val rows = SparkEntry.queries("dq8_spearman_corr")(spark, sf0001).collect()
+    assert(rows.length == 3)
+    // order-grain integer aggregates: l_orderkey is the unique key the
+    // rank total-order hangs off (line-level rows are NOT unique here)
+    val sample = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter("l_orderkey % 10 = 0")
+      .groupBy("l_orderkey")
+      .agg(
+        org.apache.spark.sql.functions.expr("SUM(CAST(round(l_quantity) AS BIGINT))").as("quantity"),
+        org.apache.spark.sql.functions.expr("SUM(CAST(round(l_extendedprice * 100) AS BIGINT))").as("extendedprice"),
+        org.apache.spark.sql.functions.expr("SUM(CAST(round(l_discount * 10000) AS BIGINT))").as("discount"))
+      .selectExpr("CAST(l_orderkey AS BIGINT) AS ok", "quantity", "extendedprice", "discount")
+      .collect()
+    def ranks(metric: String): Map[Long, Long] =
+      sample.map(r => (r.getAs[Long]("ok"), r.getAs[Long](metric)))
+        .sortBy { case (ok, v) => (v, ok) }
+        .zipWithIndex.map { case ((k, _), i) => k -> (i + 1).toLong }.toMap
+    rows.foreach { r =>
+      val rx = ranks(r.getAs[String]("metric_x")); val ry = ranks(r.getAs[String]("metric_y"))
+      val n = sample.length.toLong
+      val d2 = rx.map { case (k, v) => (v - ry(k)) * (v - ry(k)) }.sum
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("sum_d2") == d2, s"${r.getAs[String]("metric_x")}: d2 mismatch")
+      val rho = r.getAs[Double]("rho")
+      assert(rho >= -1.0 && rho <= 1.0)
+    }
+  }
+
+  test("p6 card: doc masses cover the corpus; dup totals equal cc1's losers") {
+    val rows = SparkEntry.queries("p6_dataset_card")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val corpusDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpusDocs)
+    val losers = SparkEntry.queries("cc1_dup_clusters")(spark, sf0001).collect()
+      .count(r => r.getLong(0) != r.getLong(1)).toLong
+    assert(rows.map(_.getAs[Long]("dup_docs")).sum == losers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_ppm") ==
+        r.getAs[Long]("dup_docs") * 1000000L / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1L)
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
