@@ -526,6 +526,43 @@ object Clustering {
           dbPred = col("vec_id") % 5 =!= 0, qPred = col("vec_id") % 5 === 0)
         .orderBy(col("vec_id"), col("rn"))),
 
+    // EMBEDDING DISTRIBUTION DRIFT (the monitoring twin of dq3's
+    // feature drift, in embedding space): assign BOTH cohorts to the
+    // SAME frozen seed centroids — d7's fixed-codebook posture; a
+    // retrained codebook would confound model drift with data drift —
+    // and compare per-cell occupancy between the reference cohort
+    // (even vec_ids) and the new one (odd). The report is integer ppm
+    // per cell plus the signed ppm delta: the number a drift alarm
+    // thresholds before anyone retrains an ANN index or reruns
+    // selection. Shape: one broadcast-crossJoin assignment with the
+    // map-side TopK argmin (c1's shape), then bounded k·2-row
+    // aggregates; the corpus shuffles once on nothing larger than
+    // (vec_id, cid). Full-outer on the cell id so a cohort missing a
+    // cell reads 0, not an absent row.
+    "e5_embedding_drift" -> ((s, dir) => {
+      val e = prep(Tables.embeddings(s, dir))
+      val asg = assign(e, centroids(Tables.embeddings(s, dir), k = 8, iters = 0))
+        .select(col("vec_id"), col("cid"))
+      val c = asg.withColumn("cohort", (col("vec_id") % 2).cast("long"))
+        .groupBy(col("cid"), col("cohort")).agg(count(lit(1)).as("n"))
+      val tot = c.groupBy(col("cohort")).agg(sum(col("n")).as("tot"))
+      val ppm = c.join(tot, Seq("cohort"))
+        .select(col("cid"), col("cohort"), col("n"),
+          expr("n * 1000000 div tot").as("ppm"))
+      val old = ppm.filter(col("cohort") === 0)
+        .select(col("cid"), col("n").as("n_ref"), col("ppm").as("ppm_ref"))
+      val nw = ppm.filter(col("cohort") === 1)
+        .select(col("cid"), col("n").as("n_new"), col("ppm").as("ppm_new"))
+      old.join(nw, Seq("cid"), "full_outer")
+        .select(col("cid"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("ppm_ref"), lit(0L)).as("ppm_ref"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("ppm_new"), lit(0L)).as("ppm_new"))
+        .withColumn("drift_ppm", col("ppm_new") - col("ppm_ref"))
+        .orderBy(col("cid"))
+    }),
+
     // MATRYOSHKA TRUNCATION AUDIT (Kusupati et al.: MRL embeddings are
     // trained so a prefix of the dims is itself a usable embedding):
     // before flipping retrieval to prefix-truncated vectors (4× less
@@ -879,6 +916,46 @@ object Clustering {
         |),
         |w2 AS (SELECT w1.d, w1.w - 0.5*g2.g AS w FROM w1 JOIN g2 ON w1.d = g2.d)
         |SELECT CAST(d AS BIGINT) AS d, w FROM w2 ORDER BY d""".stripMargin,
+
+    // the kmeansCte assignment against the RAW seeds (no Lloyd step),
+    // then integer cohort occupancy and a signed ppm delta
+    "e5_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(range(len(e.v)),
+        |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+        |  FROM e CROSS JOIN c0 c
+        |),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM s1) WHERE rn = 1
+        |),
+        |c AS (
+        |  SELECT cid, vec_id % 2 AS cohort, COUNT(*) AS n
+        |  FROM asg GROUP BY cid, vec_id % 2
+        |),
+        |t AS (SELECT cohort, SUM(n) AS tot FROM c GROUP BY cohort),
+        |ppm AS (
+        |  SELECT c.cid, c.cohort, c.n, c.n * 1000000 // t.tot AS ppm
+        |  FROM c JOIN t ON c.cohort = t.cohort
+        |),
+        |o AS (SELECT cid, n AS n_ref, ppm AS ppm_ref FROM ppm WHERE cohort = 0),
+        |w AS (SELECT cid, n AS n_new, ppm AS ppm_new FROM ppm WHERE cohort = 1)
+        |SELECT COALESCE(o.cid, w.cid) AS cid,
+        |  CAST(COALESCE(o.n_ref, 0) AS BIGINT) AS n_ref,
+        |  CAST(COALESCE(o.ppm_ref, 0) AS BIGINT) AS ppm_ref,
+        |  CAST(COALESCE(w.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(COALESCE(w.ppm_new, 0) AS BIGINT) AS ppm_new,
+        |  CAST(COALESCE(w.ppm_new, 0) - COALESCE(o.ppm_ref, 0) AS BIGINT) AS drift_ppm
+        |FROM o FULL OUTER JOIN w ON o.cid = w.cid
+        |ORDER BY cid""".stripMargin,
 
     // d5's pair/rank CTE with BOTH widths on one pair row: full-dim and
     // first-16-dim cosine, each ranked by its own (cos DESC, nbr ASC)

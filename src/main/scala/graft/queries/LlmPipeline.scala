@@ -703,6 +703,46 @@ object LlmPipeline {
       nearDupJaccard(sh, MaxShingleDf, 0.5).orderBy($"d1", $"d2")
     }),
 
+    // DEDUP AGGRESSIVENESS SWEEP: the tuning table for d2's Jaccard
+    // threshold — at 30/50/70/90 percent, how many pairs survive and
+    // how many documents they touch. d33 sweeps the LSH banding (the
+    // recall knob); this sweeps the VERIFY threshold (the precision
+    // knob) — together they are the two-axis calibration a dedup run
+    // commits to before burning a 100 TB pass. Resemblance is on the
+    // RARE-shingle sets (df ≤ 100 excluded hot boilerplate — the same
+    // candidate universe d2 prunes in; hot shingles carry no identity
+    // signal). Every threshold test is integer cross-multiplication
+    // (inter·100 ≥ t·(union)) — no float division decides a pair — and
+    // the 4-row threshold table broadcasts over ONE materialized pair
+    // frame; per-threshold work is a re-filter, never a re-join.
+    "d37_jaccard_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val sh = materialize(shingleIndex(Tables.documents(s, dir))
+        .select($"doc_id", xxhash64($"shingle").as("shingle")))
+      val ok = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" <= MaxShingleDf).select($"shingle")
+      val fl = materialize(sh.join(ok, Seq("shingle"), "left_semi"))
+      val st = fl.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val bk = fl.groupBy($"shingle")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      val pairs = materialize(bucketPairs(bk)
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+        .join(st.select($"doc_id".as("d1"), $"n".as("na")), "d1")
+        .join(st.select($"doc_id".as("d2"), $"n".as("nb")), "d2"))
+      val th = Seq(30L, 50L, 70L, 90L).toDF("t100")
+      val surviving = pairs.crossJoin(broadcast(th))
+        .filter($"inter" * 100 >= $"t100" * ($"na" + $"nb" - $"inter"))
+      val np = surviving.groupBy($"t100").agg(count(lit(1)).as("n_pairs"))
+      val nd = surviving
+        .select($"t100", explode(array($"d1", $"d2")).as("doc_id")).distinct()
+        .groupBy($"t100").agg(count(lit(1)).as("n_docs"))
+      th.join(np, Seq("t100"), "left").join(nd, Seq("t100"), "left")
+        .select($"t100",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_docs", lit(0L)).as("n_docs"))
+        .orderBy($"t100")
+    }),
+
     // directional containment ≥ 0.5 — the EXCERPT detector (Broder's
     // containment vs resemblance); see [[containmentPairs]]
     "d24_containment_dedup" -> ((s, dir) => {
@@ -2830,6 +2870,51 @@ object LlmPipeline {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    // rare-shingle resemblance replayed on strings; thresholds by the
+    // same integer cross-multiplication, 0-rows kept via the left join
+    "d37_jaccard_threshold_sweep" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+        |fl AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+        |st AS (SELECT doc_id, COUNT(*) AS n FROM fl GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM fl a JOIN fl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pj AS (
+        |  SELECT p.d1, p.d2, p.inter, x.n AS na, y.n AS nb
+        |  FROM p JOIN st x ON p.d1 = x.doc_id JOIN st y ON p.d2 = y.doc_id
+        |),
+        |th(t100) AS (VALUES (CAST(30 AS BIGINT)), (CAST(50 AS BIGINT)),
+        |                    (CAST(70 AS BIGINT)), (CAST(90 AS BIGINT))),
+        |s AS (
+        |  SELECT th.t100, pj.d1, pj.d2
+        |  FROM pj CROSS JOIN th
+        |  WHERE pj.inter * 100 >= th.t100 * (pj.na + pj.nb - pj.inter)
+        |),
+        |np AS (SELECT t100, COUNT(*) AS n_pairs FROM s GROUP BY t100),
+        |nd AS (
+        |  SELECT t100, COUNT(*) AS n_docs FROM (
+        |    SELECT DISTINCT t100, doc_id FROM (
+        |      SELECT t100, d1 AS doc_id FROM s
+        |      UNION ALL SELECT t100, d2 FROM s))
+        |  GROUP BY t100
+        |)
+        |SELECT th.t100,
+        |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+        |FROM th LEFT JOIN np ON np.t100 = th.t100
+        |LEFT JOIN nd ON nd.t100 = th.t100
+        |ORDER BY th.t100""".stripMargin,
 
     "d2_dedup_ngram_jaccard" ->
       (docsCte.dropRight(1) + s""",

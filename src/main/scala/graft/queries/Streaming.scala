@@ -237,6 +237,27 @@ object Streaming {
         order = Seq(col("n").desc, col("event_type").asc), k = 3)
         .orderBy($"w_start", col("n").desc, $"event_type")
     }),
+
+    // STREAMING LATENCY PERCENTILES (the SLO monitor): per event type,
+    // p50/p95 from an INTEGER histogram — floor(value) buckets whose
+    // counts are the entire monitor state (kilobytes per type, merge =
+    // SUM; the reason production monitors keep histograms, not
+    // samples). The percentile is nearest-rank decided on exact
+    // integers (cum·100 ≥ tot·q → smallest bucket), so no float ever
+    // forms; batch posture here, and the SAME percentilesFromBuckets
+    // definition serves the incremental path (Streams.latencyHistBatch
+    // + readLatencyPercentiles — batchId-versioned, replay-idempotent;
+    // StreamingSpec proves accumulation == one-shot and replay no-op).
+    // Scale: one (type, bucket) map-side-combining count, windows over
+    // the BOUNDED bucket table, never event volume.
+    "s15_latency_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val b = Tables.events(s, dir)
+        .select($"event_type", floor($"value").cast("long").as("bucket"))
+        .groupBy($"event_type", $"bucket").agg(count(lit(1)).as("n"))
+      graft.streaming.Streams.percentilesFromBuckets(b)
+        .orderBy($"event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -402,5 +423,31 @@ object Streaming {
         |)
         |SELECT w_start, event_type, n FROM r WHERE rn <= 3
         |ORDER BY w_start, n DESC, event_type""".stripMargin,
+
+    // integer floor-buckets, exact-integer nearest-rank pick
+    "s15_latency_percentiles" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT event_type, bucket, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM b
+        |),
+        |p50 AS (SELECT event_type, MIN(bucket) AS p50_bucket
+        |        FROM c WHERE cum * 100 >= tot * 50 GROUP BY 1),
+        |p95 AS (SELECT event_type, MIN(bucket) AS p95_bucket
+        |        FROM c WHERE cum * 100 >= tot * 95 GROUP BY 1),
+        |base AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+        |    MAX(bucket) AS max_bucket
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT base.event_type, n_events, max_bucket, p50_bucket, p95_bucket
+        |FROM base JOIN p50 USING (event_type) JOIN p95 USING (event_type)
+        |ORDER BY base.event_type""".stripMargin,
   )
 }

@@ -280,6 +280,63 @@ object Streams {
       order = Seq(col("n").desc, col("event_type").asc), k = k)
   }
 
+  /** Incremental LATENCY-HISTOGRAM state (s15): the SLO monitor's whole
+    * state is per-(event_type, integer-bucket) counts, which merge by
+    * SUM — kilobytes per type regardless of event volume, the reason
+    * production percentile monitors keep histograms instead of samples.
+    * Same batchId-versioned, replay-idempotent layout as
+    * [[windowTopkBatch]]; percentiles are DERIVED AT READ by
+    * [[percentilesFromBuckets]], never stored. */
+  def latencyHistBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val inc = batch
+      .select(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val base =
+      if (java.nio.file.Files.exists(marker)) {
+        val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+        // replay guard: merging v>=batchId would double-count this batch
+        if (v.toLong >= batchId) return
+        Some(spark.read.parquet(s"$dir/v$v"))
+      } else None
+    val merged = base.map(_.unionByName(inc)).getOrElse(inc)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+    merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+  }
+
+  /** Current percentile report from [[latencyHistBatch]] state. */
+  def readLatencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+    percentilesFromBuckets(spark.read.parquet(s"$dir/v$v"))
+  }
+
+  /** Nearest-rank percentile pick over integer histogram buckets —
+    * smallest bucket whose cumulative count reaches q% of the total,
+    * decided entirely on exact integers (cum·100 ≥ tot·q). ONE
+    * definition shared by the batch-posture query (s15) and the
+    * incremental read path, so the two cannot drift. Input: one row
+    * per (event_type, bucket) with count `n`. */
+  def percentilesFromBuckets(b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wt = Window.partitionBy(col("event_type"))
+    val cum = b.withColumn("cum", sum(col("n")).over(wc))
+      .withColumn("tot", sum(col("n")).over(wt))
+    val p50 = cum.filter(col("cum") * 100 >= col("tot") * 50)
+      .groupBy(col("event_type")).agg(min(col("bucket")).as("p50_bucket"))
+    val p95 = cum.filter(col("cum") * 100 >= col("tot") * 95)
+      .groupBy(col("event_type")).agg(min(col("bucket")).as("p95_bucket"))
+    b.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"), max(col("bucket")).as("max_bucket"))
+      .join(p50, Seq("event_type"))
+      .join(p95, Seq("event_type"))
+  }
+
   /** `readStream` documents source over a fixed symlink dir (same
     * mechanism as [[eventsStream]]). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {

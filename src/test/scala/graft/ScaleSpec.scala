@@ -488,6 +488,43 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("e5 drift: cohort masses cover the corpus; ppm and deltas reconcile") {
+    val rows = SparkEntry.queries("e5_embedding_drift")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_ref")).sum + rows.map(_.getAs[Long]("n_new")).sum == n)
+    val totRef = rows.map(_.getAs[Long]("n_ref")).sum
+    val totNew = rows.map(_.getAs[Long]("n_new")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ppm_ref") ==
+        (if (totRef == 0) 0L else r.getAs[Long]("n_ref") * 1000000L / totRef))
+      assert(r.getAs[Long]("ppm_new") ==
+        (if (totNew == 0) 0L else r.getAs[Long]("n_new") * 1000000L / totNew))
+      assert(r.getAs[Long]("drift_ppm") ==
+        r.getAs[Long]("ppm_new") - r.getAs[Long]("ppm_ref"))
+    }
+    // floor-division undershoot is bounded by the cell count
+    assert(math.abs(rows.map(_.getAs[Long]("ppm_ref")).sum - 1000000L) <= rows.length)
+    assert(math.abs(rows.map(_.getAs[Long]("ppm_new")).sum - 1000000L) <= rows.length)
+  }
+
+  test("d37 sweep: survivors monotonically shrink as the threshold rises") {
+    val rows = SparkEntry.queries("d37_jaccard_threshold_sweep")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("t100"))
+    assert(rows.map(_.getAs[Long]("t100")).toSeq == Seq(30L, 50L, 70L, 90L))
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"),
+        "a higher threshold admitted more pairs")
+      assert(lo.getAs[Long]("n_docs") >= hi.getAs[Long]("n_docs"),
+        "a higher threshold touched more docs")
+    }
+    rows.foreach { r =>
+      // each surviving pair touches at most 2 distinct docs
+      assert(r.getAs[Long]("n_docs") <= 2L * r.getAs[Long]("n_pairs"))
+    }
+    assert(rows.head.getAs[Long]("n_pairs") > 0L, "fixture must have near-dups at 0.3")
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()

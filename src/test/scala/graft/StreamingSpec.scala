@@ -404,6 +404,60 @@ class StreamingSpec extends SparkTestBase {
     assert(state() == oneTop(), "replayed batch mutated the count state")
   }
 
+  test("s15: incremental latency histogram equals the one-shot percentiles; replay no-op") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_lp_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lp_out").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def write(rows: (String, Double)*): Unit =
+      rows.map { case (e, v) => (t0, e, 0L, 0L, v) }
+        .toDF("ts", "event_type", "event_id", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    write(("click", 1.5), ("click", 2.5), ("click", 99.9), ("view", 10.0))
+    val schema = spark.read.parquet(src).schema
+    def state(): Seq[(String, Long, Long, Long, Long)] =
+      Streams.readLatencyPercentiles(spark, out).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("p50_bucket"),
+          r.getAs[Long]("p95_bucket"))).sortBy(_._1).toSeq
+    def oneShot(): Seq[(String, Long, Long, Long, Long)] =
+      Streams.percentilesFromBuckets(spark.read.parquet(src)
+          .select(col("event_type"),
+            org.apache.spark.sql.functions.floor(col("value")).cast("long").as("bucket"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))
+        .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("p50_bucket"),
+          r.getAs[Long]("p95_bucket"))).sortBy(_._1).toSeq
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.latencyHistBatch(b, out, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(state() == oneShot(), "batch-1 state diverged from one-shot")
+      // batch 2 adds mass to existing types and a new type: counts SUM
+      write(("click", 3.2), ("view", 50.0), ("purchase", 7.0))
+      q.processAllAvailable()
+      val s2 = state()
+      assert(s2 == oneShot(), "merged state diverged from one-shot")
+      val click = s2.find(_._1 == "click").get
+      // click values 1.5, 2.5, 99.9, 3.2 → buckets 1,2,99,3: p50 at the
+      // 2nd of 4 (bucket 2), p95 at the 4th (bucket 99)
+      assert(click._4 == 2L && click._5 == 99L,
+        s"nearest-rank pick broke on the outlier tail: $click")
+    } finally q.stop()
+    val bogus = Seq((t0, "click", 0L, 0L, 1.0))
+      .toDF("ts", "event_type", "event_id", "user_id", "value")
+    Streams.latencyHistBatch(bogus, out, 1L)
+    Streams.latencyHistBatch(bogus, out, 0L)
+    assert(state() == oneShot(), "replayed batch mutated the histogram state")
+  }
+
   test("RocksDB state store: recovery holds on the scale-grade backend") {
     // the default (HDFSBackedStateStoreProvider) keeps state on the JVM
     // heap — at 100 TB the state store must spill off-heap, which is
