@@ -1318,6 +1318,35 @@ object Battery {
           expr("top3_cents * 1000000 div total_cents").as("top3_share_ppm"))
         .orderBy($"nation")
     }),
+
+    // TIME-WEIGHTED AVERAGE over an irregular series (billing/exposure
+    // semantics: a reading HOLDS until the next one, so each value is
+    // weighted by how long it was current — the aggregation metering
+    // and position systems need and plain AVG gets wrong). LOCF holds
+    // come from one LEAD window per user; the weighted mass is EXACT
+    // INTEGERS — cents·micros per hold (envelope: 5e15/term, int64-
+    // safe to ~10³ holds/user at these gaps; loud overflow beyond) —
+    // and the single double division happens once at the end. The last
+    // reading of each user has no successor and carries no weight, by
+    // definition of hold-until-next. Scale: one user-keyed window
+    // shuffle (the series' natural partitioning), then a map-side-
+    // combining agg; no self-join of the series against itself.
+    "q68_time_weighted_avg" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      e.withColumn("dt", lead($"us", 1).over(w) - $"us")
+        .filter($"dt".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_holds"), sum($"dt").as("twa_den"),
+          sum($"cents" * $"dt").as("twa_num"))
+        .filter($"twa_den" > 0)
+        .select($"user_id", $"n_holds", $"twa_den", $"twa_num",
+          ($"twa_num".cast("double") / $"twa_den".cast("double")).as("twa_cents"))
+        .orderBy($"user_id")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -1956,6 +1985,29 @@ object Battery {
         |  a.top3_cents * 1000000 // a.total_cents AS top3_share_ppm
         |FROM agg a JOIN nation n ON n.n_nationkey = a.c_nationkey
         |ORDER BY nation""".stripMargin,
+
+    // the same LEAD-hold formulation in exact cents·micros; one double
+    // division at the end (events.ts truncates to µs on the Spark read,
+    // so the oracle works in epoch_us too)
+    "q68_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1 AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |),
+        |d AS (
+        |  SELECT user_id, cents,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+        |  CAST(SUM(dt) AS BIGINT) AS twa_den,
+        |  CAST(SUM(cents * dt) AS BIGINT) AS twa_num,
+        |  CAST(CAST(SUM(cents * dt) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) AS twa_cents
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY user_id HAVING SUM(dt) > 0
+        |ORDER BY user_id""".stripMargin,
 
     // s3's sessionization CTE, then a per-session LAG and an
     // integer-ppm row-normalized transition count

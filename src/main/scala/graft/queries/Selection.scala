@@ -137,6 +137,39 @@ object Selection {
         .orderBy($"lang")
     }),
 
+    // BUDGET→QUALITY FRONTIER: sel3 fills ONE budget; this sweeps the
+    // budget axis (25/50/75% of each language's token mass) and reports
+    // what each budget BUYS — kept docs/tokens and the quality floor
+    // (minimum ttr admitted) — the curve a data lead reads to pick the
+    // compute point before committing a full pass. Greedy by the same
+    // integer quality key as sel4 (ttr_ppm DESC, doc_id ASC — a total
+    // order, so the prefix is deterministic); admission is cum ≤
+    // total·ppm/10⁶ on exact integers. Shape: ONE ranked-cumsum window
+    // pass over the corpus projection; the 3-row budget table
+    // broadcasts and each budget is a re-filter of the same cumsum —
+    // never a re-sort.
+    "sel5_budget_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"lang", split(lower($"text"), "\\s+").as("toks"))
+        .select($"doc_id", $"lang",
+          size($"toks").cast("long").as("nt"),
+          size(array_distinct($"toks")).cast("long").as("nd"))
+        .withColumn("ttr_ppm", expr("nd * 1000000 div nt"))
+      val w = Window.partitionBy($"lang").orderBy($"ttr_ppm".desc, $"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = d.withColumn("cum", sum($"nt").over(w))
+        .withColumn("tot", sum($"nt").over(Window.partitionBy($"lang")))
+      val budgets = Seq(250000L, 500000L, 750000L).toDF("budget_ppm")
+      cum.crossJoin(broadcast(budgets))
+        .filter($"cum" * 1000000L <= $"tot" * $"budget_ppm")
+        .groupBy($"lang", $"budget_ppm")
+        .agg(count(lit(1)).as("n_kept"), sum($"nt").as("tokens_kept"),
+          min($"ttr_ppm").as("floor_ttr_ppm"))
+        .orderBy($"lang", $"budget_ppm")
+    }),
+
     // GREEDY K-CENTER CORESET (farthest-first / Gonzalez): k documents'
     // embeddings that 2-approximate the optimal k-center cover — the
     // geometric "coverage" selection a pipeline uses to pick maximally
@@ -347,6 +380,37 @@ object Selection {
          |)
          |SELECT rnk, doc_id, n_tokens, score, w
          |FROM ranked WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+
+    // the same ranked cumsum; admission by integer cross-multiplication
+    "sel5_budget_frontier" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |k AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+        |  FROM d
+        |),
+        |q AS (SELECT doc_id, lang, nt, nd * 1000000 // nt AS ttr_ppm FROM k),
+        |c AS (
+        |  SELECT lang, nt, ttr_ppm,
+        |    SUM(nt) OVER (PARTITION BY lang ORDER BY ttr_ppm DESC, doc_id ASC
+        |                  ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(nt) OVER (PARTITION BY lang) AS tot
+        |  FROM q
+        |),
+        |b(budget_ppm) AS (VALUES (CAST(250000 AS BIGINT)),
+        |                         (CAST(500000 AS BIGINT)),
+        |                         (CAST(750000 AS BIGINT)))
+        |SELECT lang, budget_ppm, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(nt) AS BIGINT) AS tokens_kept,
+        |  CAST(MIN(ttr_ppm) AS BIGINT) AS floor_ttr_ppm
+        |FROM c CROSS JOIN b
+        |WHERE cum * 1000000 <= tot * budget_ppm
+        |GROUP BY lang, budget_ppm
+        |ORDER BY lang, budget_ppm""".stripMargin,
 
     // integer ttr key + NTILE over the same (key DESC, doc_id ASC)
     // total order — deterministic tranche cuts on both engines

@@ -525,6 +525,55 @@ class ScaleSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("n_pairs") > 0L, "fixture must have near-dups at 0.3")
   }
 
+  test("q68 TWA: bounded by held extremes and equal to a local replay") {
+    val rows = SparkEntry.queries("q68_time_weighted_avg")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("cents")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val seq = events(uid).sortBy(t => (t._2, t._3))
+      val holds = seq.zip(seq.tail).map { case (a, b) => (a._4, b._2 - a._2) }
+      val den = holds.map(_._2).sum
+      val num = holds.map { case (c, dt) => c * dt }.sum
+      assert(r.getAs[Long]("twa_den") == den, s"user $uid den")
+      assert(r.getAs[Long]("twa_num") == num, s"user $uid num")
+      val held = holds.filter(_._2 > 0).map(_._1)
+      val twa = r.getAs[Double]("twa_cents")
+      assert(twa >= held.min - 1e-9 && twa <= held.max + 1e-9,
+        s"user $uid: TWA $twa outside held range [${held.min}, ${held.max}]")
+    }
+  }
+
+  test("sel5 frontier: bigger budgets keep more and admit lower floors") {
+    val rows = SparkEntry.queries("sel5_budget_frontier")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val seq = rs.sortBy(_.getAs[Long]("budget_ppm"))
+      seq.zip(seq.tail).foreach { case (lo, hi) =>
+        assert(lo.getAs[Long]("n_kept") <= hi.getAs[Long]("n_kept"), s"$lang docs")
+        assert(lo.getAs[Long]("tokens_kept") <= hi.getAs[Long]("tokens_kept"), s"$lang toks")
+        assert(lo.getAs[Long]("floor_ttr_ppm") >= hi.getAs[Long]("floor_ttr_ppm"),
+          s"$lang: smaller budget admitted a lower-quality doc")
+      }
+    }
+    // budget respected against the corpus's own language masses
+    val tot = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("lang", "CAST(size(split(lower(text), '\\\\s+')) AS BIGINT) AS nt")
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("nt").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tot")).toMap
+    rows.foreach { r =>
+      val budget = tot(r.getAs[String]("lang")) * r.getAs[Long]("budget_ppm") / 1000000L
+      assert(r.getAs[Long]("tokens_kept") <= budget,
+        s"${r.getAs[String]("lang")}@${r.getAs[Long]("budget_ppm")}: budget exceeded")
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
