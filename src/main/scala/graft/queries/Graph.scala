@@ -482,6 +482,36 @@ object Graph {
           col("r_num").cast("double") / col("r_den").cast("double"))
     }),
 
+    // TWO-HOP REACH (triadic closure / "related documents"): for each
+    // node, how many documents sit exactly at distance 2 — reachable
+    // through a shared neighbor but never directly compared. This is
+    // the candidate-expansion count a "more like this" recommender or
+    // an agglomerative dedup round would generate next, and the
+    // per-node number that predicts transitive-closure blowup BEFORE
+    // cc1 runs (Σ n_fof bounds the next round's new-pair volume).
+    // Shape: one self-join on the shared endpoint — work Σ deg², the
+    // standard friend-of-friend pass, kept sane by cachedEdges' hot-key
+    // df cap — then a distinct and an anti-join against the direct
+    // neighborhood; everything is (node, node) pairs on equi-keys,
+    // never a cartesian.
+    "gr12_two_hop_reach" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("n_direct"))
+      val twoHop = sym.as("x")
+        .join(sym.as("y"), col("x.b") === col("y.a"))
+        .filter(col("x.a") =!= col("y.b"))
+        .select(col("x.a").as("a"), col("y.b").as("c")).distinct()
+      val fof = twoHop
+        .join(sym.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_anti")
+        .groupBy(col("a")).agg(count(lit(1)).as("n_fof"))
+      deg.join(fof, Seq("a"), "left")
+        .select(col("a").as("doc_id"), col("n_direct"),
+          coalesce(col("n_fof"), lit(0L)).as("n_fof"))
+        .orderBy(col("doc_id"))
+    }),
+
     // KEEPER-POLICY COMPARISON: cc2 keeps each cluster's MIN doc_id —
     // cheap and deterministic, but curation pipelines routinely keep
     // the LONGEST member instead (most content retained per cluster).
@@ -1171,6 +1201,42 @@ object Graph {
         |  CAST(m_directed * sxy - sx * sx AS DOUBLE)
         |    / CAST(m_directed * sxx - sx * sx AS DOUBLE) AS assortativity
         |FROM st""".stripMargin,
+
+    // the same self-join / distinct / anti-join algebra on the string-
+    // shingle edges; direct neighbors excluded from the reach set
+    "gr12_two_hop_reach" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |deg AS (SELECT a, COUNT(*) AS n_direct FROM e0 GROUP BY a),
+        |th AS (
+        |  SELECT DISTINCT x.a, y.b AS c
+        |  FROM e0 x JOIN e0 y ON x.b = y.a
+        |  WHERE x.a <> y.b
+        |),
+        |fof AS (
+        |  SELECT th.a, COUNT(*) AS n_fof
+        |  FROM th
+        |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = th.a AND e0.b = th.c)
+        |  GROUP BY th.a
+        |)
+        |SELECT d.a AS doc_id, CAST(d.n_direct AS BIGINT) AS n_direct,
+        |  CAST(COALESCE(f.n_fof, 0) AS BIGINT) AS n_fof
+        |FROM deg d LEFT JOIN fof f ON f.a = d.a
+        |ORDER BY doc_id""".stripMargin,
 
     // cc1's transitive closure + both keeper policies side by side:
     // a (chars DESC, id ASC) window pick vs the min-id aggregate

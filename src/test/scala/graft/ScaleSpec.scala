@@ -574,6 +574,40 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("m13 router: sniffed formats match the writer; pixels survive both containers") {
+    val rows = SparkEntry.queries("m13_format_router")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[String]("format") == "png") &&
+      rows.exists(_.getAs[String]("format") == "bmp"),
+      "fixture must exercise both containers")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("format") == (if (id % 2 == 0) "png" else "bmp"),
+        s"doc $id: magic-byte sniff disagrees with the writer")
+      val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+      assert(r.getAs[Long]("w") == w.toLong && r.getAs[Long]("h") == h.toLong)
+      val exp = (for (x <- 0 until w; y <- 0 until h)
+        yield (((id % 16) * 37 + x * 31 + y * 17) % 200)).sum
+      assert(r.getAs[Long]("gray_sum") == exp, s"doc $id: container corrupted pixels")
+    }
+  }
+
+  test("gr12: two-hop reach equals a local FoF replay; direct excluded") {
+    val rows = SparkEntry.queries("gr12_two_hop_reach")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val adj = graft.queries.Graph.cachedEdges(
+        spark, sf0001, minShared = 5, maxDf = 100)
+      .collect().flatMap(e => Seq(e.getLong(0) -> e.getLong(1), e.getLong(1) -> e.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val a = r.getAs[Long]("doc_id")
+      val direct = adj(a)
+      val fof = direct.flatMap(adj(_)) -- direct - a
+      assert(r.getAs[Long]("n_direct") == direct.size.toLong, s"node $a direct")
+      assert(r.getAs[Long]("n_fof") == fof.size.toLong, s"node $a fof")
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
