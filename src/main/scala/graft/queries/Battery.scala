@@ -1347,6 +1347,38 @@ object Battery {
           ($"twa_num".cast("double") / $"twa_den".cast("double")).as("twa_cents"))
         .orderBy($"user_id")
     }),
+
+    // TREND SLOPE per nation (is this market growing?): OLS fit of
+    // monthly revenue against the month index, where both regression
+    // sums live at the MONTH-AGGREGATE grain — ~80 months/nation of
+    // exact-cents totals, so nΣxy, ΣxΣy etc. are int64-exact (the huge
+    // variance sums that keep raw-grain Pearson un-portable never
+    // form; envelope ~6e14 at sf1, loud overflow far beyond). The
+    // slope is one double division of two exact integers, the gr11
+    // posture. Shape: orders shuffle once to (nation, month) totals
+    // (map-side combined); the regression algebra runs on a 25-nation
+    // bounded frame; nation names broadcast.
+    "q69_trend_slope" -> ((s, dir) => {
+      import s.implicits._
+      val m = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_nationkey",
+          ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+            .cast("long").as("mx"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy($"c_nationkey", $"mx").agg(sum($"cents").as("y"))
+      m.groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"mx").as("sx"),
+          sum($"mx" * $"mx").as("sxx"), sum($"y").as("sy"),
+          sum($"mx" * $"y").as("sxy"))
+        .join(broadcast(Tables.nation(s, dir)), $"n_nationkey" === $"c_nationkey")
+        .select($"n_name".as("nation"), $"n".as("n_months"),
+          ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+        .withColumn("slope_cents_per_month",
+          col("slope_num").cast("double") / col("slope_den").cast("double"))
+        .orderBy($"nation")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -2008,6 +2040,29 @@ object Battery {
         |FROM d WHERE dt IS NOT NULL
         |GROUP BY user_id HAVING SUM(dt) > 0
         |ORDER BY user_id""".stripMargin,
+
+    // month-aggregate OLS on exact integer sums; one double division
+    "q69_trend_slope" ->
+      """WITH m AS (
+        |  SELECT c.c_nationkey,
+        |    CAST((year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1 AS BIGINT) AS mx,
+        |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2
+        |),
+        |st AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(mx) AS BIGINT) AS sx, CAST(SUM(mx * mx) AS BIGINT) AS sxx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(mx * y) AS BIGINT) AS sxy
+        |  FROM m GROUP BY c_nationkey
+        |)
+        |SELECT nt.n_name AS nation, st.n AS n_months,
+        |  st.n * st.sxy - st.sx * st.sy AS slope_num,
+        |  st.n * st.sxx - st.sx * st.sx AS slope_den,
+        |  CAST(st.n * st.sxy - st.sx * st.sy AS DOUBLE)
+        |    / CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE) AS slope_cents_per_month
+        |FROM st JOIN nation nt ON nt.n_nationkey = st.c_nationkey
+        |ORDER BY nation""".stripMargin,
 
     // s3's sessionization CTE, then a per-session LAG and an
     // integer-ppm row-normalized transition count

@@ -526,6 +526,34 @@ object Clustering {
           dbPred = col("vec_id") % 5 =!= 0, qPred = col("vec_id") % 5 === 0)
         .orderBy(col("vec_id"), col("rn"))),
 
+    // CLUSTER PURITY against an external label (the standard external
+    // validation: do the learned clusters mean anything?): c1's Lloyd
+    // assignment joined to the documents' language by id, then per
+    // cluster the majority label's share in integer ppm — the number
+    // that says whether embedding clusters track language (high purity:
+    // mixture balancing by cluster ≈ by language; low: clusters carve
+    // topics instead). Majority pick is the map-side TopK under
+    // (count DESC, lang ASC) — deterministic. Shape: the label join is
+    // id-keyed, the purity math runs on a k·|langs| bounded frame.
+    "c2_cluster_purity" -> ((s, dir) => {
+      val e = prep(Tables.embeddings(s, dir))
+      val asg = assign(e, centroids(Tables.embeddings(s, dir), k = 8, iters = 2))
+        .select(col("vec_id"), col("cid"))
+      val counts = asg.join(
+          Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+          Seq("vec_id"))
+        .groupBy(col("cid"), col("lang")).agg(count(lit(1)).as("n"))
+      val top = graft.plans.TopK.perKey(counts, keys = Seq(col("cid")),
+          order = Seq(col("n").desc, col("lang").asc), k = 1)
+        .select(col("cid"), col("lang").as("top_lang"), col("n").as("top_n"))
+      counts.groupBy(col("cid")).agg(sum(col("n")).as("n_members"))
+        .join(top, Seq("cid"))
+        .select(col("cid").as("cluster_id"), col("n_members"),
+          col("top_lang"), col("top_n"),
+          expr("top_n * 1000000 div n_members").as("purity_ppm"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // EMBEDDING DISTRIBUTION DRIFT (the monitoring twin of dq3's
     // feature drift, in embedding space): assign BOTH cohorts to the
     // SAME frozen seed centroids — d7's fixed-codebook posture; a
@@ -856,6 +884,27 @@ object Clustering {
       """SELECT cid AS cluster_id, COUNT(*) AS n_members,
         |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS wss
         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
+
+    // a2's assignment joined to the language label by id; majority via
+    // the same (count DESC, lang ASC) rank; share in integer ppm
+    "c2_cluster_purity" ->
+      (kmeansCte + """,
+        |lab AS (
+        |  SELECT a2.cid, d.lang FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+        |),
+        |counts AS (SELECT cid, lang, COUNT(*) AS n FROM lab GROUP BY cid, lang),
+        |top AS (
+        |  SELECT cid, lang AS top_lang, n AS top_n FROM (
+        |    SELECT cid, lang, n,
+        |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, lang ASC) AS rn
+        |    FROM counts) WHERE rn = 1
+        |),
+        |sz AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_members FROM counts GROUP BY cid)
+        |SELECT sz.cid AS cluster_id, sz.n_members, top.top_lang,
+        |  CAST(top.top_n AS BIGINT) AS top_n,
+        |  CAST(top.top_n AS BIGINT) * 1000000 // sz.n_members AS purity_ppm
+        |FROM sz JOIN top ON top.cid = sz.cid
+        |ORDER BY cluster_id""".stripMargin),
 
     // within-cluster cosine exactly as d8's oracle (fold-from-first
     // dot, sqrt norms); the pair join is gated on a2's cluster id

@@ -93,6 +93,24 @@ class ClusteringSpec extends SparkTestBase {
     assert(math.abs(eig - lastNrm) / lastNrm < 1e-3, s"eig $eig vs local $lastNrm")
   }
 
+  test("c2: purity bounded, members cover the corpus, majority is genuine") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("c2_cluster_purity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == n)
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang").distinct().count()
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_members"); val t = r.getAs[Long]("top_n")
+      assert(t >= 1L && t <= m)
+      // the majority label is at least an even share of the present langs
+      assert(t * langs >= m, s"cluster ${r.getAs[Long]("cluster_id")}: " +
+        s"top_n $t below uniform share of $m over $langs langs")
+      assert(r.getAs[Long]("purity_ppm") == t * 1000000L / m)
+    }
+  }
+
   test("e4: full-width rank-1 agrees with d5; overlap bounded and consistent") {
     val dir = "/root/testdata/sf0.001"
     val e4 = SparkEntry.queries("e4_matryoshka_overlap")(spark, dir).collect()

@@ -608,6 +608,35 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("q69 slope: regression stats equal a local replay in exact cents") {
+    val rows = SparkEntry.queries("q69_trend_slope")(spark, sf0001).collect()
+    assert(rows.length == 25)
+    val nat = spark.read.parquet(s"$sf0001/nation.parquet")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT)", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val monthly = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey",
+        "CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mx",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect()
+      .flatMap(r => cust.get(r.getLong(0)).map(nk => ((nk, r.getLong(1)), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byNation = monthly.toSeq.map { case ((nk, mx), y) => (nk, mx, y) }.groupBy(_._1)
+    rows.foreach { r =>
+      val nk = nat.find(_._2 == r.getAs[String]("nation")).get._1
+      val ms = byNation(nk)
+      val n = ms.size.toLong
+      val sx = ms.map(_._2).sum; val sxx = ms.map(t => t._2 * t._2).sum
+      val sy = ms.map(_._3).sum; val sxy = ms.map(t => t._2 * t._3).sum
+      assert(r.getAs[Long]("n_months") == n)
+      assert(r.getAs[Long]("slope_num") == n * sxy - sx * sy, s"nation $nk num")
+      assert(r.getAs[Long]("slope_den") == n * sxx - sx * sx, s"nation $nk den")
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
