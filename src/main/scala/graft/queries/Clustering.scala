@@ -526,6 +526,23 @@ object Clustering {
           dbPred = col("vec_id") % 5 =!= 0, qPred = col("vec_id") % 5 === 0)
         .orderBy(col("vec_id"), col("rn"))),
 
+    // NORM HISTOGRAM — the 30-second pre-flight before any similarity
+    // work: if the norm distribution isn't a tight band, the corpus
+    // mixes normalized and raw vectors (or zeros from a failed encode)
+    // and every cosine/dot decision downstream is suspect. Buckets are
+    // floor(norm·10) — the norm is the same fold+sqrt double in both
+    // engines (d5's proven contract), and the decimation to a bucket
+    // id is deterministic, so the gate hashes only integers. One
+    // projection + one tiny-cardinality count; nothing else moves.
+    "e6_norm_histogram" -> ((s, dir) => {
+      import graft.functions.VecDot
+      Tables.embeddings(s, dir)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .select(floor(sqrt(VecDot(col("v"), col("v"))) * 10).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     // CLUSTER PURITY against an external label (the standard external
     // validation: do the learned clusters mean anything?): c1's Lloyd
     // assignment joined to the documents' language by id, then per
@@ -884,6 +901,17 @@ object Clustering {
       """SELECT cid AS cluster_id, COUNT(*) AS n_members,
         |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS wss
         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
+
+    // the same fold+sqrt norm, the same floor(·10) decimation
+    "e6_norm_histogram" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |)
+        |SELECT CAST(floor(sqrt(list_reduce(list_transform(v, x -> x*x),
+        |         (x, y) -> x + y)) * 10) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // a2's assignment joined to the language label by id; majority via
     // the same (count DESC, lang ASC) rank; share in integer ppm

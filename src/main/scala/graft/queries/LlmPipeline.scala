@@ -728,6 +728,49 @@ object LlmPipeline {
       nearDupJaccard(sh, MaxShingleDf, 0.5).orderBy($"d1", $"d2")
     }),
 
+    // EXACT-SUBSTRING DUPLICATION SPANS (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better" — their suffix-array
+    // pass, re-expressed at a fixed 20-token sliding grain): a window
+    // whose 20-gram occurs ANYWHERE else in the corpus (another doc or
+    // the same one) is duplicated text, and consecutive duplicated
+    // windows chain into the removable SPANS their method cuts. Note
+    // the scale property that makes this tractable without a suffix
+    // array: duplication is a MEMBERSHIP test (grams with total count
+    // ≥ 2), never a pair expansion — one count per gram hash, one
+    // left-semi back onto positions, islands-and-gaps for the spans
+    // (m12's window algebra, keyed by doc). 8-byte gram hashes on
+    // every exchange; the string-keyed oracle makes the same calls
+    // modulo a 2⁻⁶⁴ collision.
+    "d38_dup_substring_spans" -> ((s, dir) => {
+      import s.implicits._
+      val W = 20
+      val g = materialize(graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", toks($"text").as("toks"))
+        .filter(size($"toks") >= W)
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(0, size(toks)-$W), i -> xxhash64(concat_ws(' ', slice(toks, i+1, $W))))")))
+        .toDF("doc_id", "pos", "k"))
+      val dup = g.groupBy($"k").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2).select($"k")
+      val marked = g.join(dup, Seq("k"), "left_semi").select($"doc_id", $"pos")
+      val act = marked.withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+        .withColumn("grp", $"pos" - $"rn")
+      val runs = act.groupBy($"doc_id", $"grp").agg(count(lit(1)).as("len"))
+      val spans = runs.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"), max($"len").as("longest_run"))
+      g.groupBy($"doc_id").agg(count(lit(1)).as("n_windows"))
+        .join(marked.groupBy($"doc_id").agg(count(lit(1)).as("dup_windows")),
+          Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_windows",
+          coalesce($"dup_windows", lit(0L)).as("dup_windows"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"longest_run", lit(0L)).as("longest_run"))
+        .withColumn("dup_ppm", expr("dup_windows * 1000000 div n_windows"))
+        .orderBy($"doc_id")
+    }),
+
     // DEDUP AGGRESSIVENESS SWEEP: the tuning table for d2's Jaccard
     // threshold — at 30/50/70/90 percent, how many pairs survive and
     // how many documents they touch. d33 sweeps the LSH banding (the
@@ -2949,6 +2992,43 @@ object LlmPipeline {
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    // sliding 20-grams on strings, the same count>=2 membership rule
+    // and islands-and-gaps span algebra
+    "d38_dup_substring_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id, s.i AS pos,
+        |    array_to_string(toks[s.i+1 : s.i+20], ' ') AS gram
+        |  FROM d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(len(toks) - 19)) AS i) s
+        |  WHERE len(toks) >= 20
+        |),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |mk AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |act AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM mk
+        |),
+        |runs AS (SELECT doc_id, grp, COUNT(*) AS len FROM act GROUP BY doc_id, grp),
+        |sp AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans, MAX(len) AS longest_run
+        |  FROM runs GROUP BY doc_id
+        |),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM g GROUP BY doc_id),
+        |dw AS (SELECT doc_id, COUNT(*) AS dup_windows FROM mk GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(dw.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(sp.longest_run, 0) AS BIGINT) AS longest_run,
+        |  CAST(COALESCE(dw.dup_windows, 0) * 1000000 // t.n_windows AS BIGINT) AS dup_ppm
+        |FROM tot t
+        |LEFT JOIN dw ON dw.doc_id = t.doc_id
+        |LEFT JOIN sp ON sp.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // rare-shingle resemblance replayed on strings; thresholds by the
     // same integer cross-multiplication, 0-rows kept via the left join

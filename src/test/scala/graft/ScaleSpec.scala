@@ -637,6 +637,31 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("d38 spans: run algebra consistent; planted near-dups carry long runs") {
+    val rows = SparkEntry.queries("d38_dup_substring_spans")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_windows"); val dw = r.getAs[Long]("dup_windows")
+      val ns = r.getAs[Long]("n_spans"); val lr = r.getAs[Long]("longest_run")
+      assert(dw <= nw)
+      assert((dw == 0L) == (ns == 0L), "span count disagrees with dup mass")
+      assert(lr <= dw, "a run cannot exceed the duplicated window count")
+      assert(ns == 0L || lr >= (dw + ns - 1) / ns,
+        "longest run below the pigeonhole mean of spans")
+      assert(r.getAs[Long]("dup_ppm") == dw * 1000000L / nw)
+    }
+    // the fixture's planted near-dup families must surface as real spans
+    assert(rows.exists(_.getAs[Long]("longest_run") >= 5L),
+      "no doc with a >=5-window duplicated span — detector likely broken")
+  }
+
+  test("e6: norm buckets cover every vector and land in a sane band") {
+    val rows = SparkEntry.queries("e6_norm_histogram")(spark, sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n, "histogram lost vectors")
+    rows.foreach(r => assert(r.getAs[Long]("bucket") >= 0L))
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
