@@ -2070,6 +2070,73 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // SCENE-CHANGE DETECTION over the real video container (m10's
+    // format): consecutive frames are decoded pairwise and the mean
+    // absolute pixel delta decides a CUT — the shot-boundary pass a
+    // video-training pipeline runs to pick keyframes and segment
+    // clips. Where m10 proves SELECTIVE decode (one sampled frame),
+    // scene detection is the workload that legitimately decodes every
+    // frame — but only once, streaming, holding two frames in memory
+    // (prev/cur), never the whole clip decoded at once. Even-gid docs
+    // carry a planted mid-sequence luminance jump, so the fixture has
+    // both cuts and smooth motion. The cut rule is integer-exact
+    // (diff_sum > 40·w·h); the oracle replays paint→diff→threshold
+    // arithmetically, so a decoder that mangles any frame goes red.
+    "m14_scene_change" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Spread.fanout(Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .filter(_ % 10 == 0)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.flatMap { id =>
+            val gid = (id % 16).toInt
+            val w = 12 + gid % 5
+            val h = 10 + gid % 7
+            val bos = new java.io.ByteArrayOutputStream()
+            val dos = new java.io.DataOutputStream(bos)
+            for (f <- 0 until 4) {
+              val jump = if (gid % 2 == 0 && f >= 2) 97 else 0
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              for (x <- 0 until w; y <- 0 until h) {
+                val v = (gid * 37 + x * 31 + y * 17 + f * 11 + jump) % 200
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              }
+              val fb = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", fb)
+              val bytes = fb.toByteArray
+              dos.writeInt(bytes.length)
+              dos.write(bytes)
+            }
+            val buf = java.nio.ByteBuffer.wrap(bos.toByteArray)
+            var prev: Array[Int] = null
+            var f = 0
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Boolean)]
+            while (buf.remaining() >= 4) {
+              val len = buf.getInt
+              val bytes = new Array[Byte](len); buf.get(bytes)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              val cur = new Array[Int](w * h)
+              for (x <- 0 until w; y <- 0 until h)
+                cur(x * h + y) = img.getRGB(x, y) & 0xff
+              if (prev != null) {
+                var dsum = 0L; var i = 0
+                while (i < cur.length) {
+                  dsum += math.abs(cur(i) - prev(i)); i += 1
+                }
+                out += ((id, f.toLong, dsum, dsum > 40L * w * h))
+              }
+              prev = cur; f += 1
+            }
+            out.iterator
+          })
+        }
+        .toDF("doc_id", "frame_idx", "diff_sum", "is_cut")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // FORMAT ROUTER (the demultiplexing plumbing every multimodal
     // ingest needs: a crawled corpus arrives as MIXED formats, and the
     // pipeline must sniff MAGIC BYTES — never trust an extension — and
@@ -2811,6 +2878,45 @@ object LlmPipeline {
         .agg(min($"rate_bp").as("rate_bp"),
           count(lit(1)).as("n_docs_kept"), sum($"nt").as("n_tokens_kept"))
         .orderBy($"source")
+    }),
+
+    // WEAK-LABEL DIAGNOSTICS (the Snorkel LF-analysis table): three
+    // deterministic labeling functions vote keep/drop per document —
+    // lf_ttr (type-token ratio ≥ 0.5), lf_len (30–500 tokens), lf_rep
+    // (distinct-bigram ratio ≥ 0.2, the integer cross-multiplied form
+    // 5·db ≥ nt−1 of p5's repetition gate) — and the report is what a
+    // label-model developer reads before trusting any of them:
+    // per-LF coverage of "keep" and agreement with the 2-of-3
+    // majority, all in integer ppm (the majority row itself closes the
+    // table at 10⁶ agreement by construction). Every vote is decided
+    // on integers; no float touches a label. Shape: one corpus pass
+    // computes all three votes, the stack() melt turns votes into
+    // rows, and the diagnostics aggregate on a 4-row key.
+    "p7_weak_label_diagnostics" -> ((s, dir) => {
+      import s.implicits._
+      val k = Tables.documents(s, dir)
+        .select($"doc_id", toks($"text").as("toks"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("nt"),
+          size(array_distinct($"toks")).cast("long").as("nd"),
+          graft.functions.DistinctBigrams($"toks").cast("long").as("db"))
+      val v = k.select($"doc_id",
+          (expr("nd * 1000000 div nt") >= 500000L).as("lf_ttr"),
+          ($"nt" >= 30L && $"nt" <= 500L).as("lf_len"),
+          ($"nt" >= 2L && lit(5L) * $"db" >= $"nt" - 1L).as("lf_rep"))
+        .withColumn("lf_majority",
+          ($"lf_ttr".cast("int") + $"lf_len".cast("int") + $"lf_rep".cast("int")) >= 2)
+      v.select($"lf_majority", expr(
+          "stack(4, 'lf_len', lf_len, 'lf_rep', lf_rep, 'lf_ttr', lf_ttr, " +
+            "'majority', lf_majority) AS (lf, vote)"))
+        .groupBy($"lf")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"vote", 1L).otherwise(0L)).as("keeps"),
+          sum(when($"vote" === $"lf_majority", 1L).otherwise(0L)).as("agree"))
+        .select($"lf", $"keeps",
+          expr("keeps * 1000000 div n_docs").as("keep_ppm"),
+          expr("agree * 1000000 div n_docs").as("majority_agree_ppm"))
+        .orderBy($"lf")
     }),
 
     // DATASET CARD: the per-source summary a published dataset ships
@@ -4092,6 +4198,30 @@ object LlmPipeline {
         |FROM px GROUP BY doc_id, patch_x, patch_y
         |ORDER BY doc_id, patch_x, patch_y""".stripMargin,
 
+    // paint→pairwise-diff→threshold replayed arithmetically; the jump
+    // term mirrors the synth exactly and the cut rule is integer
+    "m14_scene_change" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, doc_id % 16 AS gid FROM documents WHERE doc_id % 10 = 0
+        |),
+        |dims AS (SELECT id, gid, 12 + gid % 5 AS w, 10 + gid % 7 AS h FROM p),
+        |fr AS (SELECT id, gid, w, h, unnest([1, 2, 3]) AS f FROM dims),
+        |px AS (
+        |  SELECT id, f, w, h,
+        |    abs(((gid*37 + x.x*31 + y.y*17 + f*11 +
+        |          CASE WHEN gid % 2 = 0 AND f >= 2 THEN 97 ELSE 0 END) % 200)
+        |      - ((gid*37 + x.x*31 + y.y*17 + (f-1)*11 +
+        |          CASE WHEN gid % 2 = 0 AND (f-1) >= 2 THEN 97 ELSE 0 END) % 200)) AS dv
+        |  FROM fr
+        |  CROSS JOIN LATERAL (SELECT unnest(range(w)) AS x) x
+        |  CROSS JOIN LATERAL (SELECT unnest(range(h)) AS y) y
+        |)
+        |SELECT id AS doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM(dv) AS BIGINT) AS diff_sum,
+        |  CAST(SUM(dv) AS BIGINT) > 40 * w * h AS is_cut
+        |FROM px GROUP BY id, f, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // format + dims + gray mass recomputed arithmetically from the
     // paint formula; the (r+g+b)/3 of an equal-channel pixel is v
     "m13_format_router" ->
@@ -4543,6 +4673,43 @@ object LlmPipeline {
         |FROM d JOIN rates ON d.source = rates.source
         |WHERE d.bucket < rates.rate_bp
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // the same integer vote rules; bigrams replayed as p5's oracle does
+    "p7_weak_label_diagnostics" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |k AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+        |    CAST(len(list_distinct(list_transform(range(len(toks)-1),
+        |      i -> array_to_string(toks[i+1:i+2], ' ')))) AS BIGINT) AS db
+        |  FROM d
+        |),
+        |v AS (
+        |  SELECT doc_id,
+        |    nd * 1000000 // nt >= 500000 AS lf_ttr,
+        |    nt >= 30 AND nt <= 500 AS lf_len,
+        |    nt >= 2 AND 5 * db >= nt - 1 AS lf_rep
+        |  FROM k
+        |),
+        |w AS (
+        |  SELECT *,
+        |    (CAST(lf_ttr AS INT) + CAST(lf_len AS INT) + CAST(lf_rep AS INT)) >= 2
+        |      AS lf_majority
+        |  FROM v
+        |),
+        |m AS (
+        |  SELECT lf_majority, 'lf_len' AS lf, lf_len AS vote FROM w
+        |  UNION ALL SELECT lf_majority, 'lf_rep', lf_rep FROM w
+        |  UNION ALL SELECT lf_majority, 'lf_ttr', lf_ttr FROM w
+        |  UNION ALL SELECT lf_majority, 'majority', lf_majority FROM w
+        |)
+        |SELECT lf,
+        |  CAST(SUM(CASE WHEN vote THEN 1 ELSE 0 END) AS BIGINT) AS keeps,
+        |  CAST(SUM(CASE WHEN vote THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm,
+        |  CAST(SUM(CASE WHEN vote = lf_majority THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS majority_agree_ppm
+        |FROM m GROUP BY lf ORDER BY lf""".stripMargin,
 
     // cc1's loser set + one stats pass + the rank-picked lower median
     "p6_dataset_card" ->

@@ -662,6 +662,50 @@ class ScaleSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("bucket") >= 0L))
   }
 
+  test("m14: cuts land exactly where the planted jump is; smooth frames stay uncut") {
+    val rows = SparkEntry.queries("m14_scene_change")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gid = (id % 16).toInt
+      val f = r.getAs[Long]("frame_idx")
+      // replay the paint formula and diff locally
+      val w = 12 + gid % 5; val h = 10 + gid % 7
+      def v(x: Int, y: Int, fr: Long): Int = {
+        val jump = if (gid % 2 == 0 && fr >= 2) 97 else 0
+        ((gid * 37 + x * 31 + y * 17 + fr * 11 + jump) % 200).toInt
+      }
+      val exp = (for (x <- 0 until w; y <- 0 until h)
+        yield math.abs(v(x, y, f) - v(x, y, f - 1)).toLong).sum
+      assert(r.getAs[Long]("diff_sum") == exp, s"doc $id frame $f: codec diff drift")
+      assert(r.getAs[Boolean]("is_cut") == (exp > 40L * w * h))
+      // the planted jump sits at frame 2 of even-gid docs only
+      if (gid % 2 == 1)
+        assert(!r.getAs[Boolean]("is_cut"), s"doc $id: smooth motion read as a cut")
+    }
+    val cuts = rows.filter(_.getAs[Boolean]("is_cut"))
+    assert(cuts.nonEmpty && cuts.forall(r =>
+      r.getAs[Long]("frame_idx") == 2L && (r.getAs[Long]("doc_id") % 16) % 2 == 0),
+      "cuts must appear exactly at the planted jump")
+  }
+
+  test("p7: majority row closes at 1e6; LF agreement bounded by coverage overlap") {
+    val rows = SparkEntry.queries("p7_weak_label_diagnostics")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("lf") -> r).toMap
+    assert(rows.keySet == Set("lf_len", "lf_rep", "lf_ttr", "majority"))
+    assert(rows("majority").getAs[Long]("majority_agree_ppm") == 1000000L)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("keep_ppm") >= 0L && r.getAs[Long]("keep_ppm") <= 1000000L)
+      assert(r.getAs[Long]("majority_agree_ppm") >= 0L &&
+        r.getAs[Long]("majority_agree_ppm") <= 1000000L)
+    }
+    // 2-of-3 majority: the three LFs' agreement rates must sum to >= 2e6
+    val lfAgree = Seq("lf_len", "lf_rep", "lf_ttr")
+      .map(rows(_).getAs[Long]("majority_agree_ppm")).sum
+    assert(lfAgree >= 2000000L - 3L,
+      s"three-way agreement mass $lfAgree below the 2-of-3 floor")
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
