@@ -2070,6 +2070,48 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // CROSS-FORMAT PERCEPTUAL DEDUP — the m7+m13 composition a mirror
+    // hunt actually needs: the SAME visual content re-encoded in a
+    // DIFFERENT container (alternating 16-blocks → PNG/BMP; both lossless)
+    // has entirely different bytes, so exact dedup (d1's md5) finds
+    // nothing — but the dHash is computed from DECODED pixels, so it
+    // collapses the mirrors regardless of container. Per visual class
+    // the query reports members per format and the cross-format flag;
+    // the oracle derives the expected hash clusters arithmetically
+    // from the paint formula (content class = id % 16), so a container
+    // that perturbs even one pixel, or a hash that isn't container-
+    // invariant, goes red. Scale: exact-dedup's groupBy with the
+    // 16-byte perceptual key — the format axis adds zero shuffle.
+    "m15_cross_format_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .filter(_ % 5 == 0)
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { id =>
+            val gid = (id % 16).toInt
+            // format axis must be independent of the class axis: id%2
+            // equals gid%2 (id%16 preserves parity), so the split rides
+            // the 16-block index instead
+            val fmt = if ((id / 16) % 2 == 0) "png" else "bmp"
+            val (hi, lo) = dhashThroughCodec(12 + gid % 5, 10 + gid % 7,
+              (x, y) => (
+                (gid * 37 + x * 31 + y * 17) % 200,
+                (gid * 59 + x * 13 + y * 29) % 200,
+                (gid * 83 + x * 7 + y * 23) % 200), fmt)
+            (id, fmt, hi, lo)
+          })
+        }.toDF("doc_id", "format", "dhash_hi", "dhash_lo")
+      hashes.groupBy($"dhash_hi", $"dhash_lo")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when($"format" === "png", 1L).otherwise(0L)).as("n_png"),
+          sum(when($"format" === "bmp", 1L).otherwise(0L)).as("n_bmp"),
+          min($"doc_id").as("keeper"))
+        .withColumn("cross_format", $"n_png" > 0 && $"n_bmp" > 0)
+        .orderBy($"keeper")
+    }),
+
     // SCENE-CHANGE DETECTION over the real video container (m10's
     // format): consecutive frames are decoded pairwise and the mean
     // absolute pixel delta decides a CUT — the shot-boundary pass a
@@ -2970,7 +3012,8 @@ object LlmPipeline {
     * integer arithmetic. Returns the 64 gradient bits as (hi, lo)
     * 32-bit halves (sign-safe BIGINTs in both engines). */
   private def dhashThroughCodec(w: Int, h: Int,
-                                rgbAt: (Int, Int) => (Int, Int, Int)): (Long, Long) = {
+                                rgbAt: (Int, Int) => (Int, Int, Int),
+                                fmt: String = "png"): (Long, Long) = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (x <- 0 until w; y <- 0 until h) {
@@ -2978,7 +3021,7 @@ object LlmPipeline {
       img.setRGB(x, y, (r << 16) | (g << 8) | b)
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, fmt, bos)
     val im = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bos.toByteArray))
     val sums = Array.ofDim[Long](9, 8)
@@ -4292,6 +4335,64 @@ object LlmPipeline {
     // the whole perceptual pipeline replayed arithmetically from the
     // painted-pixel formula (m5's trick): gray → 9×8 floor-mean cells →
     // horizontal-gradient bits → two BIGINT halves → hash clustering
+    // m7's dHash replay per CONTENT CLASS (no per-doc offset, so the
+    // hash depends only on gid — 16-wide arithmetic), then the format
+    // split and cross-format grouping; container-invariance is the
+    // assertion under test
+    "m15_cross_format_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+        |g AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS gid,
+        |    CASE WHEN (doc_id // 16) % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
+        |  FROM ids
+        |),
+        |cls AS (
+        |  SELECT DISTINCT gid, CAST(12 + gid % 5 AS BIGINT) AS w,
+        |    CAST(10 + gid % 7 AS BIGINT) AS h
+        |  FROM g
+        |),
+        |px AS (
+        |  SELECT gid, w, h,
+        |    ((gid*37 + x*31 + y*17) % 200
+        |     + (gid*59 + x*13 + y*29) % 200
+        |     + (gid*83 + x*7 + y*23) % 200) // 3 AS gray,
+        |    x, y
+        |  FROM (SELECT gid, w, h, unnest(range(w)) AS x FROM cls)
+        |  CROSS JOIN LATERAL (SELECT unnest(range(h)) AS y)
+        |),
+        |cells AS (
+        |  SELECT gid, (x*9)//w AS cx, (y*8)//h AS cy,
+        |    SUM(gray)//COUNT(*) AS cell
+        |  FROM px GROUP BY gid, (x*9)//w, (y*8)//h
+        |),
+        |bits AS (
+        |  SELECT a.gid, a.cy*8 + a.cx AS idx,
+        |    CASE WHEN b.cell > a.cell THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.gid = b.gid AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |),
+        |hashes AS (
+        |  SELECT gid,
+        |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32))
+        |                  ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx)
+        |                  ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY gid
+        |),
+        |j AS (
+        |  SELECT g.doc_id, g.format, h.dhash_hi, h.dhash_lo
+        |  FROM g JOIN hashes h ON h.gid = g.gid
+        |)
+        |SELECT dhash_hi, dhash_lo, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(CASE WHEN format = 'png' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+        |  CAST(SUM(CASE WHEN format = 'bmp' THEN 1 ELSE 0 END) AS BIGINT) AS n_bmp,
+        |  MIN(doc_id) AS keeper,
+        |  SUM(CASE WHEN format = 'png' THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN format = 'bmp' THEN 1 ELSE 0 END) > 0 AS cross_format
+        |FROM j GROUP BY dhash_hi, dhash_lo
+        |ORDER BY keeper""".stripMargin,
+
     "m7_image_dhash_dedup" ->
       """WITH g AS (
         |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS gid,

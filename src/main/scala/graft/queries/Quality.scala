@@ -314,6 +314,42 @@ object Quality {
         .orderBy(col("digit"))
     }),
 
+    // CANDIDATE-KEY UNIQUENESS AUDIT — the check dq8's development
+    // proved this warehouse needs: (l_orderkey, l_linenumber) LOOKS
+    // like lineitem's natural key but is NOT unique in this corpus,
+    // and any rank/join/window hung off a non-key silently multiplies
+    // rows (the failure the cross-engine gate cannot catch, because
+    // both engines multiply identically). One row per declared
+    // candidate key: row count, distinct keys, rows carrying a
+    // duplicated key, integer-ppm violation rate, and the verdict a
+    // schema contract asserts. Shape: per key one count-distinct
+    // aggregation (map-side combined) plus one self-agg join; the
+    // report is as wide as the declared key list, never the data.
+    "dq9_key_uniqueness" -> ((s, dir) => {
+      import s.implicits._
+      def audit(name: String, df: DataFrame, keys: Seq[String]): DataFrame = {
+        val kc = keys.map(col)
+        val g = df.groupBy(kc: _*).agg(count(lit(1)).as("c"))
+        g.agg(
+          sum($"c").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_rows"))
+          .select(lit(name).as("candidate_key"), $"n_rows", $"n_keys",
+            $"dup_rows",
+            expr("dup_rows * 1000000 div n_rows").as("dup_ppm"),
+            ($"dup_rows" === 0L).as("is_unique"))
+      }
+      Seq(
+        audit("customer(c_custkey)", Tables.customer(s, dir), Seq("c_custkey")),
+        audit("documents(doc_id)", Tables.documents(s, dir), Seq("doc_id")),
+        audit("events(event_id)", Tables.events(s, dir), Seq("event_id")),
+        audit("lineitem(l_orderkey,l_linenumber)", Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber")),
+        audit("orders(o_orderkey)", Tables.orders(s, dir), Seq("o_orderkey")))
+        .reduce(_ unionByName _)
+        .orderBy($"candidate_key")
+    }),
+
     // SPEARMAN RANK CORRELATION between fact measures — the profiling
     // step that finds redundant or mechanically-coupled measures
     // (price ≈ f(quantity)) before anyone trains on both. Pearson's r
@@ -497,6 +533,25 @@ object Quality {
         |  (c.n * 1000000 // tot) - e.exp_ppm AS dev_ppm
         |FROM c JOIN e ON c.digit = e.digit, t
         |ORDER BY c.digit""".stripMargin,
+
+    // one grouped-count audit per declared key, unioned
+    "dq9_key_uniqueness" -> {
+      def one(name: String, table: String, keys: String) =
+        s"""SELECT '$name' AS candidate_key,
+           |  CAST(SUM(c) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_rows,
+           |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000 // SUM(c) AS BIGINT) AS dup_ppm,
+           |  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) = 0 AS is_unique
+           |FROM (SELECT $keys, COUNT(*) AS c FROM $table GROUP BY $keys)""".stripMargin
+      Seq(
+        one("customer(c_custkey)", "customer", "c_custkey"),
+        one("documents(doc_id)", "documents", "doc_id"),
+        one("events(event_id)", "events", "event_id"),
+        one("lineitem(l_orderkey,l_linenumber)", "lineitem", "l_orderkey, l_linenumber"),
+        one("orders(o_orderkey)", "orders", "o_orderkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY candidate_key")
+    },
 
     // same order-grain integer aggregation, the same (v, orderkey)
     // total order for the ranks, exact integer d² sums, one double

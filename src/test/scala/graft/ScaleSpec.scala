@@ -706,6 +706,40 @@ class ScaleSpec extends SparkTestBase {
       s"three-way agreement mass $lfAgree below the 2-of-3 floor")
   }
 
+  test("m15: every visual class collapses across containers at sf0.01") {
+    // sf0.01: the %5 sample covers all 16 classes in BOTH parities, so
+    // every cluster must contain PNG and BMP members — the container-
+    // invariance claim under test (sf0.001's 12-id sample cannot)
+    val rows = SparkEntry.queries("m15_cross_format_dedup")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 16, s"expected 16 visual classes, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("cross_format"),
+        s"keeper ${r.getAs[Long]("keeper")}: dHash failed container invariance")
+      assert(r.getAs[Long]("n_png") + r.getAs[Long]("n_bmp") ==
+        r.getAs[Long]("n_members"))
+    }
+  }
+
+  test("dq9: the audit flags the known non-unique key and clears the real keys") {
+    val rows = SparkEntry.queries("dq9_key_uniqueness")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("candidate_key") -> r).toMap
+    val li = rows("lineitem(l_orderkey,l_linenumber)")
+    assert(!li.getAs[Boolean]("is_unique"),
+      "the fixture's duplicated line keys must be flagged")
+    assert(li.getAs[Long]("dup_rows") > 0L)
+    Seq("customer(c_custkey)", "documents(doc_id)", "events(event_id)",
+      "orders(o_orderkey)").foreach { k =>
+      assert(rows(k).getAs[Boolean]("is_unique"), s"$k wrongly flagged")
+      assert(rows(k).getAs[Long]("dup_rows") == 0L)
+    }
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("dup_ppm") ==
+        r.getAs[Long]("dup_rows") * 1000000L / r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
