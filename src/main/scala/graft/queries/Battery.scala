@@ -1348,6 +1348,76 @@ object Battery {
         .orderBy($"user_id")
     }),
 
+    // NEAREST AS-OF JOIN with tolerance (pandas merge_asof
+    // direction='nearest' — the matching mode SQL engines lack and
+    // attribution pipelines want: a purchase credits the CLOSEST click
+    // within ±30 min, before or after): q24 proved the union+ordered-
+    // window backward formulation; here the SAME merged stream is
+    // scanned twice — once forward (last click so far), once in
+    // reverse order (first click ahead) — and the nearer candidate
+    // wins, ties to the backward match. No join against an expanded
+    // interval, no range re-shuffle: two windows over ONE user-keyed
+    // sort order. Gaps are exact integer micros; direction is part of
+    // the output so attribution audits can split credit.
+    "q70_asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.LongType
+      val e = Tables.events(s, dir)
+        .select($"user_id".as("k"), expr("unix_micros(ts)").as("us"),
+          $"event_id", $"event_type")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"k", $"us", lit(0).as("side"), $"event_id".as("cid"),
+          lit(null).cast(LongType).as("pid"))
+      val purch = e.filter($"event_type" === "purchase")
+        .select($"k", $"us", lit(1).as("side"),
+          lit(null).cast(LongType).as("cid"), $"event_id".as("pid"))
+      val idc = coalesce($"cid", $"pid")
+      val wb = Window.partitionBy($"k").orderBy($"us".asc, $"side".asc, idc.asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy($"k").orderBy($"us".desc, $"side".desc, idc.desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tol = 1800000000L
+      clicks.unionAll(purch)
+        .withColumn("back", last(when($"side" === 0,
+          struct($"us".as("cus"), $"cid")), ignoreNulls = true).over(wb))
+        .withColumn("fwd", last(when($"side" === 0,
+          struct($"us".as("cus"), $"cid")), ignoreNulls = true).over(wf))
+        .filter($"side" === 1)
+        .withColumn("bgap", $"us" - $"back.cus")
+        .withColumn("fgap", $"fwd.cus" - $"us")
+        .withColumn("bok", $"bgap".isNotNull && $"bgap" <= tol)
+        .withColumn("fok", $"fgap".isNotNull && $"fgap" <= tol)
+        .filter($"bok" || $"fok")
+        .withColumn("use_back", $"bok" && (!$"fok" || $"bgap" <= $"fgap"))
+        .select($"pid".as("event_id"), $"k".as("user_id"),
+          when($"use_back", $"back.cid").otherwise($"fwd.cid").as("click_id"),
+          when($"use_back", $"bgap").otherwise($"fgap").as("gap_us"),
+          when($"use_back", lit("back")).otherwise(lit("fwd")).as("direction"))
+        .orderBy($"event_id")
+    }),
+
+    // NATIVE SESSION WINDOWS: Spark's built-in session_window operator
+    // (Catalyst SessionWindow — dynamic-gap session assignment inside
+    // the aggregation, the same primitive the streaming engine uses
+    // for watermarked session state) applied in batch. Semantically
+    // identical to s3's hand-rolled lag/cumsum sessionization at the
+    // same 30-minute gap — the point of registering BOTH: s3 shows the
+    // portable window-algebra formulation, this shows the engine-native
+    // operator a Spark-first pipeline would actually write, and the
+    // oracle replays the same session algebra, so the two Spark
+    // formulations AND DuckDB all agree on every session boundary.
+    "q71_native_session_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.Num.dsum($"value").as("sum_val"))
+        .select($"user_id",
+          expr("unix_micros(session_window.start)").as("session_start_us"),
+          $"n_events", $"sum_val")
+        .orderBy($"user_id", $"session_start_us")
+    }),
+
     // TREND SLOPE per nation (is this market growing?): OLS fit of
     // monthly revenue against the month index, where both regression
     // sums live at the MONTH-AGGREGATE grain — ~80 months/nation of
@@ -2040,6 +2110,67 @@ object Battery {
         |FROM d WHERE dt IS NOT NULL
         |GROUP BY user_id HAVING SUM(dt) > 0
         |ORDER BY user_id""".stripMargin,
+
+    // the same one-sort-two-windows formulation; DuckDB's IGNORE NULLS
+    // last_value stands in for Spark's ignoreNulls last
+    "q70_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 1 AS us, event_id, event_type FROM events
+        |),
+        |c AS (SELECT k, us, 0 AS side, event_id AS cid, CAST(NULL AS BIGINT) AS pid
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT k, us, 1 AS side, CAST(NULL AS BIGINT) AS cid, event_id AS pid
+        |      FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+        |g AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER wb AS bus,
+        |    last_value(CASE WHEN side = 0 THEN cid END IGNORE NULLS) OVER wb AS bcid,
+        |    last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER wf AS fus,
+        |    last_value(CASE WHEN side = 0 THEN cid END IGNORE NULLS) OVER wf AS fcid
+        |  FROM m
+        |  WINDOW
+        |    wb AS (PARTITION BY k ORDER BY us ASC, side ASC, COALESCE(cid, pid) ASC
+        |           ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY k ORDER BY us DESC, side DESC, COALESCE(cid, pid) DESC
+        |           ROWS UNBOUNDED PRECEDING)
+        |),
+        |q AS (
+        |  SELECT pid, k, us - bus AS bgap, fus - us AS fgap, bcid, fcid,
+        |    bus IS NOT NULL AND us - bus <= 1800000000 AS bok,
+        |    fus IS NOT NULL AND fus - us <= 1800000000 AS fok
+        |  FROM g WHERE side = 1
+        |)
+        |SELECT pid AS event_id, k AS user_id,
+        |  CASE WHEN bok AND (NOT fok OR bgap <= fgap) THEN bcid ELSE fcid END AS click_id,
+        |  CASE WHEN bok AND (NOT fok OR bgap <= fgap) THEN bgap ELSE fgap END AS gap_us,
+        |  CASE WHEN bok AND (NOT fok OR bgap <= fgap) THEN 'back' ELSE 'fwd' END AS direction
+        |FROM q WHERE bok OR fok
+        |ORDER BY event_id""".stripMargin,
+
+    // s3's session algebra (the third agreeing formulation: hand-rolled
+    // Spark windows, native session_window, and this replay)
+    "q71_native_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(ts) // 1 AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, value, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |),
+        |sessions AS (
+        |  SELECT user_id, value, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     // month-aggregate OLS on exact integer sums; one double division
     "q69_trend_slope" ->

@@ -740,6 +740,46 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("q70 nearest as-of: every match is the true nearest click within tolerance") {
+    val rows = SparkEntry.queries("q70_asof_nearest")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val clicks = ev.filter(_._4 == "click").groupBy(_._1)
+    val purch = ev.filter(_._4 == "purchase")
+      .map(e => e._3 -> (e._1, e._2)).toMap
+    val matched = rows.map(_.getAs[Long]("event_id")).toSet
+    rows.foreach { r =>
+      val (uid, pus) = purch(r.getAs[Long]("event_id"))
+      val gap = r.getAs[Long]("gap_us")
+      assert(gap >= 0L && gap <= 1800000000L)
+      // no click of this user can be strictly nearer than the reported gap
+      val best = clicks.getOrElse(uid, Array.empty).map(c => math.abs(c._2 - pus))
+      assert(best.nonEmpty && best.min == gap,
+        s"purchase ${r.getAs[Long]("event_id")}: gap $gap but nearest ${best.min}")
+    }
+    // completeness: every purchase with a click in tolerance is matched
+    purch.foreach { case (pid, (uid, pus)) =>
+      val near = clicks.getOrElse(uid, Array.empty)
+        .exists(c => math.abs(c._2 - pus) <= 1800000000L)
+      assert(near == matched.contains(pid), s"purchase $pid coverage mismatch")
+    }
+  }
+
+  test("q71 native session_window agrees row-for-row with s3's window algebra") {
+    val a = SparkEntry.queries("q71_native_session_window")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val b = SparkEntry.queries("s3_session")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_val")))
+      .sortBy(t => (t._1, t._2))
+    assert(a.length == b.length, s"${a.length} native vs ${b.length} hand-rolled sessions")
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"session diverged: $x vs $y") }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
