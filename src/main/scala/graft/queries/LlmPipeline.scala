@@ -191,7 +191,7 @@ object LlmPipeline {
       if (!have) {
         val (rules, syms) = bpeLoop(Tables.documents(s, dir), steps)
         rules.reduce(_ unionByName _)
-          .select($"step", $"lhs", $"rhs", $"cnt")
+          .select($"step", $"lhs", $"rhs", $"cnt", $"syms_before")
           .write.mode("overwrite").parquet(s"$tmp/rules")
         syms.write.mode("overwrite").parquet(s"$tmp/syms")
         bpeCacheWritten.add(tmp)
@@ -229,6 +229,11 @@ object LlmPipeline {
         .orderBy($"cnt".desc, $"lhs".asc, $"rhs".asc)
         .limit(1)
         .withColumn("step", lit(k))
+        // corpus symbol count BEFORE this step rides the 1-row rule
+        // frame (a broadcast of a 1-row aggregate): b2's compression
+        // curve falls out of the persisted rules without keeping any
+        // intermediate symbol frame alive
+        .crossJoin(broadcast(cur.agg(sum($"freq").as("syms_before"))))
       rules += rule
       val byI = Window.partitionBy($"word").orderBy($"i")
       // LEFT join on a true condition, not a crossJoin: when the corpus
@@ -1533,7 +1538,33 @@ object LlmPipeline {
     // greedy-merge formulation the oracle replays CTE-for-CTE.
     "t18_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      cachedBpe(s, dir, BpeSteps)._1.orderBy($"step")
+      // explicit projection: the persisted rule table also carries
+      // b2's syms_before column, which is not part of t18's contract
+      cachedBpe(s, dir, BpeSteps)._1
+        .select($"step", $"lhs", $"rhs", $"cnt").orderBy($"step")
+    }),
+
+    // BPE COMPRESSION CURVE — the training diagnostic that justifies
+    // (or caps) the merge budget: corpus symbol count after each merge
+    // step, read straight off the persisted rule table (each 1-row
+    // rule carries the symbol count BEFORE its step; the final count
+    // comes from the persisted symbol frame), plus the ppm compression
+    // ratio vs the character baseline. No intermediate symbol frame is
+    // ever re-derived — the curve is a 6-row artifact of training.
+    "b2_bpe_compression_curve" -> ((s, dir) => {
+      import s.implicits._
+      val (rules, syms) = cachedBpe(s, dir, BpeSteps)
+      val before = rules.select(($"step" - 1).cast("long").as("after_merges"),
+        $"syms_before".as("total_syms"))
+      val fin = syms.agg(sum($"freq").as("total_syms"))
+        .select(lit(BpeSteps.toLong).as("after_merges"), $"total_syms")
+      val curve = before.unionByName(fin)
+      val base = curve.filter($"after_merges" === 0L)
+        .select($"total_syms".as("base_syms"))
+      curve.crossJoin(broadcast(base))
+        .select($"after_merges", $"total_syms",
+          expr("total_syms * 1000000 div base_syms").as("compression_ppm"))
+        .orderBy($"after_merges")
     }),
 
     // BPE APPLICATION (tokenize with the learned merges — the inference
@@ -3987,6 +4018,17 @@ object LlmPipeline {
 
     "t19_bpe_tokenize" -> bpeTokenizeOracleSql(BpeSteps),
     "t33_tokenizer_fertility" -> bpeFertilityOracleSql(BpeSteps),
+
+    // symbol totals straight off the unrolled c0..cN frames
+    "b2_bpe_compression_curve" -> {
+      val parts = (0 to BpeSteps).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS after_merges, CAST(SUM(freq) AS BIGINT) AS total_syms FROM c$k")
+      bpeCtes(BpeSteps) + ",\ncurve AS (\n" + parts.mkString("\nUNION ALL\n") + "\n)\n" +
+        """SELECT after_merges, total_syms,
+          |  total_syms * 1000000
+          |    // (SELECT total_syms FROM curve WHERE after_merges = 0) AS compression_ppm
+          |FROM curve ORDER BY after_merges""".stripMargin
+    },
 
     "d19_snapshot_diff" ->
       """WITH old AS (

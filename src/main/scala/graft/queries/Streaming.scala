@@ -258,6 +258,44 @@ object Streaming {
       graft.streaming.Streams.percentilesFromBuckets(b)
         .orderBy($"event_type")
     }),
+
+    // WATERMARK DROP ACCOUNTING — the "what would a 30-minute watermark
+    // cost us" audit a streaming team runs BEFORE committing to a
+    // delay: replay the stream in arrival order, track the running
+    // watermark (max event time seen − 30 min, Spark's rule), and
+    // count per hour window the events whose window had already been
+    // evicted when they arrived. The fixture's ingest sequence is
+    // time-ordered (zero late data — the audit would be vacuous), so
+    // arrival is replayed under DETERMINISTIC BOUNDED DISORDER: each
+    // event's arrival position is its event time plus an md5-derived
+    // jitter in ±30 min — the realistic network/shard-skew model
+    // watermark sizing is tested against (a full random permutation
+    // drops ~everything; in-order drops nothing; bounded jitter yields
+    // the informative partial-loss regime). Everything is exact
+    // integer micros. The running max is inherently a sequential
+    // scan — a single-partition window HERE, by design: production
+    // tracks watermarks per ingest partition, which is this audit
+    // applied per partition; the rollup after it is an ordinary hash
+    // agg.
+    "s17_watermark_audit" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select(expr("unix_micros(ts)").as("us"), $"event_id")
+        .withColumn("w_start", expr("(us div 3600000000) * 3600000000"))
+        .withColumn("w_end", $"w_start" + 3600000000L)
+        .withColumn("akey", $"us" +
+          expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+            % 3600000000L - 1800000000L)
+      val arrival = Window.orderBy($"akey", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("wm", max($"us").over(arrival) - 1800000000L)
+        .withColumn("dropped", $"w_end" <= $"wm")
+        .groupBy($"w_start")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_events"))
+        .orderBy($"w_start")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -449,5 +487,32 @@ object Streaming {
         |SELECT base.event_type, n_events, max_bucket, p50_bucket, p95_bucket
         |FROM base JOIN p50 USING (event_type) JOIN p95 USING (event_type)
         |ORDER BY base.event_type""".stripMargin,
+
+    // the same ±30-min md5-jittered arrival, running-max watermark
+    "s17_watermark_audit" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 1 AS us, event_id FROM events
+        |),
+        |a AS (
+        |  SELECT us, event_id,
+        |    us + list_reduce(list_transform(range(8),
+        |          dd -> strpos('0123456789abcdef',
+        |                 substr(md5(CAST(event_id AS VARCHAR)), dd+1, 1)) - 1),
+        |        (acc, v) -> acc*16 + v)::BIGINT % 3600000000 - 1800000000 AS akey
+        |  FROM e
+        |),
+        |g AS (
+        |  SELECT us, event_id,
+        |    (us // 3600000000) * 3600000000 AS w_start,
+        |    (us // 3600000000) * 3600000000 + 3600000000 AS w_end,
+        |    MAX(us) OVER (ORDER BY akey, event_id ROWS UNBOUNDED PRECEDING)
+        |      - 1800000000 AS wm
+        |  FROM a
+        |)
+        |SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN w_end <= wm THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN w_end <= wm THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS drop_ppm
+        |FROM g GROUP BY w_start
+        |ORDER BY w_start""".stripMargin,
   )
 }

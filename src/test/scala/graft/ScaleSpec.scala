@@ -780,6 +780,34 @@ class ScaleSpec extends SparkTestBase {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"session diverged: $x vs $y") }
   }
 
+  test("b2 curve: every merge strictly compresses; baseline closes at 1e6 ppm") {
+    val rows = SparkEntry.queries("b2_bpe_compression_curve")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("after_merges"))
+    assert(rows.map(_.getAs[Long]("after_merges")).toSeq == (0L to 5L))
+    assert(rows.head.getAs[Long]("compression_ppm") == 1000000L)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("total_syms") < a.getAs[Long]("total_syms"),
+        s"merge ${b.getAs[Long]("after_merges")} did not compress")
+    }
+    val base = rows.head.getAs[Long]("total_syms")
+    rows.foreach(r => assert(r.getAs[Long]("compression_ppm") ==
+      r.getAs[Long]("total_syms") * 1000000L / base))
+  }
+
+  test("s17: bounded disorder lands in the partial-loss regime, not 0% or ~100%") {
+    val rows = SparkEntry.queries("s17_watermark_audit")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val dropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(dropped > 0L, "no drops — the jitter model is vacuous")
+    assert(dropped * 2 < total, "over half dropped — disorder model too adversarial")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("drop_ppm") ==
+        r.getAs[Long]("n_dropped") * 1000000L / r.getAs[Long]("n_events"))
+    }
+  }
+
   test("d26 PQ: codebook and LUT broadcast; the ADC scan never shuffles codes") {
     val df = SparkEntry.queries("d26_ann_pq")(spark, sf0001)
     df.collect()
