@@ -512,6 +512,39 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // PER-NODE (local) CLUSTERING COEFFICIENT — gr2 reports the global
+    // transitivity; curation wants the per-document number: a node
+    // whose neighbors all know each other (lcc → 1) sits inside a
+    // dense template family that transitive closure will collapse
+    // whole, while a high-degree, low-lcc node is a HUB STITCHING
+    // UNRELATED families — exactly the document to inspect before cc2
+    // merges its neighbors. Exact rationals (gr9's posture): lcc_num =
+    // 2·triangles, lcc_den = deg·(deg−1), one double division last.
+    // Shape: wedges from one self-join on the center node (Σ deg²,
+    // df-capped), closed by a left-semi against the u<w edge list —
+    // the same candidate-bounded pattern as gr2, keyed per node.
+    "gr13_local_clustering" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+      val tri = sym.as("x").join(sym.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .select(col("x.a").as("v"), col("x.b").as("u"), col("y.b").as("w"))
+        .join(pairs.select(col("d1").as("u"), col("d2").as("w")),
+          Seq("u", "w"), "left_semi")
+        .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+      deg.join(tri, col("a") === col("v"), "left")
+        .select(col("a").as("doc_id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .withColumn("lcc_num", lit(2L) * col("n_triangles"))
+        .withColumn("lcc_den", col("degree") * (col("degree") - 1))
+        .withColumn("lcc", when(col("lcc_den") > 0,
+          col("lcc_num").cast("double") / col("lcc_den").cast("double"))
+          .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    }),
+
     // KEEPER-POLICY COMPARISON: cc2 keeps each cluster's MIN doc_id —
     // cheap and deterministic, but curation pipelines routinely keep
     // the LONGEST member instead (most content retained per cluster).
@@ -1201,6 +1234,43 @@ object Graph {
         |  CAST(m_directed * sxy - sx * sx AS DOUBLE)
         |    / CAST(m_directed * sxx - sx * sx AS DOUBLE) AS assortativity
         |FROM st""".stripMargin,
+
+    // the same wedge self-join closed against the u<w edge list; exact
+    // integer numerators, one double division
+    "gr13_local_clustering" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |deg AS (SELECT a, COUNT(*) AS degree FROM e0 GROUP BY a),
+        |tri AS (
+        |  SELECT x.a AS v, COUNT(*) AS n_triangles
+        |  FROM e0 x JOIN e0 y ON x.a = y.a AND x.b < y.b
+        |  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.d1 = x.b AND p.d2 = y.b)
+        |  GROUP BY x.a
+        |)
+        |SELECT d.a AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST(2 * COALESCE(t.n_triangles, 0) AS BIGINT) AS lcc_num,
+        |  CAST(d.degree * (d.degree - 1) AS BIGINT) AS lcc_den,
+        |  CASE WHEN d.degree > 1 THEN
+        |    CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+        |      / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |  ELSE CAST(0 AS DOUBLE) END AS lcc
+        |FROM deg d LEFT JOIN tri t ON t.v = d.a
+        |ORDER BY doc_id""".stripMargin,
 
     // the same self-join / distinct / anti-join algebra on the string-
     // shingle edges; direct neighbors excluded from the reach set

@@ -170,6 +170,38 @@ object Selection {
         .orderBy($"lang", $"budget_ppm")
     }),
 
+    // MIXTURE TEMPERATURE SWEEP — t13 fixes α=0.5; this is the tuning
+    // table across the temperature axis (α ∈ {0.25, 0.5, 1.0}: flat →
+    // proportional) a mixture owner reads before committing sampling
+    // rates. Every α is a composition of CORRECTLY-ROUNDED primitives
+    // (sqrt, sqrt∘sqrt, identity — pow() is NOT portable across libms,
+    // which is why the grid sticks to square roots), the weighted terms
+    // ride Num.fquant's dyadic grid, and each α-group normalizes by its
+    // own exact DECIMAL(38,0) sum — t13's machinery with the window
+    // partitioned by α instead of the constant. Shape: one source-level
+    // aggregate melted ×3; everything downstream is |sources|·3 rows.
+    "sel6_temperature_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val n = Tables.documents(s, dir)
+        .select($"source", size(split(lower($"text"), "\\s+")).cast("long").as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      val melted = n.select($"source", $"n_tokens", expr(
+        "stack(3, 25, CAST(n_tokens AS DOUBLE), 50, CAST(n_tokens AS DOUBLE), " +
+          "100, CAST(n_tokens AS DOUBLE)) AS (alpha_pct, x)"))
+      val powed = melted.withColumn("wraw",
+        when($"alpha_pct" === 25, sqrt(sqrt($"x")))
+          .when($"alpha_pct" === 50, sqrt($"x"))
+          .otherwise($"x"))
+      val q = powed.withColumn("sqq", graft.ops.Num.fquant($"wraw"))
+      val w = Window.partitionBy($"alpha_pct")
+      q.withColumn("weight", $"sqq".cast("double") /
+          sum($"sqq".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .over(w).cast("double"))
+        .select($"alpha_pct".cast("long").as("alpha_pct"), $"source",
+          $"n_tokens", $"weight")
+        .orderBy($"alpha_pct", $"source")
+    }),
+
     // GREEDY K-CENTER CORESET (farthest-first / Gonzalez): k documents'
     // embeddings that 2-approximate the optimal k-center cover — the
     // geometric "coverage" selection a pipeline uses to pick maximally
@@ -380,6 +412,30 @@ object Selection {
          |)
          |SELECT rnk, doc_id, n_tokens, score, w
          |FROM ranked WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+
+    // t13's rounding chain (sqq = round(w·2^30); HUGEINT→BIGINT→DOUBLE
+    // for the group sum), window partitioned by α
+    "sel6_temperature_sweep" ->
+      """WITH n AS (
+        |  SELECT source, SUM(len(string_split_regex(lower(text), '\s+'))) AS n_tokens
+        |  FROM documents GROUP BY source
+        |),
+        |m AS (
+        |  SELECT 25 AS alpha_pct, source, n_tokens,
+        |    sqrt(sqrt(CAST(n_tokens AS DOUBLE))) AS wraw FROM n
+        |  UNION ALL SELECT 50, source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) FROM n
+        |  UNION ALL SELECT 100, source, n_tokens, CAST(n_tokens AS DOUBLE) FROM n
+        |),
+        |s AS (
+        |  SELECT alpha_pct, source, n_tokens,
+        |    CAST(round(wraw * 1073741824) AS BIGINT) AS sqq
+        |  FROM m
+        |)
+        |SELECT CAST(alpha_pct AS BIGINT) AS alpha_pct, source,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sqq AS DOUBLE) /
+        |    CAST(CAST(SUM(sqq) OVER (PARTITION BY alpha_pct) AS BIGINT) AS DOUBLE) AS weight
+        |FROM s ORDER BY alpha_pct, source""".stripMargin,
 
     // the same ranked cumsum; admission by integer cross-multiplication
     "sel5_budget_frontier" ->

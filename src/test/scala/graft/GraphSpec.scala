@@ -259,6 +259,30 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("gr13: local coefficients replay locally; node triangles sum to 3x global") {
+    val rows = SparkEntry.queries("gr13_local_clustering")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val adj = graft.queries.Graph.cachedEdges(
+        spark, "/root/testdata/sf0.001", minShared = 5, maxDf = 100)
+      .collect().flatMap(e => Seq(e.getLong(0) -> e.getLong(1), e.getLong(1) -> e.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var triSum = 0L
+    rows.foreach { r =>
+      val v = r.getAs[Long]("doc_id")
+      val nbrs = adj(v).toSeq.sorted
+      val tri = (for (i <- nbrs.indices; j <- i + 1 until nbrs.length
+        if adj(nbrs(i)).contains(nbrs(j))) yield 1).size.toLong
+      assert(r.getAs[Long]("degree") == nbrs.size.toLong, s"node $v degree")
+      assert(r.getAs[Long]("n_triangles") == tri, s"node $v triangles")
+      triSum += tri
+    }
+    // each global triangle is counted once per corner
+    val global = SparkEntry.queries("gr2_triangle_stats")(
+      spark, "/root/testdata/sf0.001").collect().head.getAs[Long]("n_triangles")
+    assert(triSum == 3L * global, s"corner sum $triSum != 3x global $global")
+  }
+
   test("d31: no near-dup cluster spans splits; totals cover the corpus") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("d31_leakfree_split")(spark, dir).collect()

@@ -176,6 +176,28 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("sel6: weights normalize per alpha, concentrate with temperature, and tie to t13") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sel6_temperature_sweep")(spark, dir).collect()
+    val byAlpha = rows.groupBy(_.getAs[Long]("alpha_pct"))
+    assert(byAlpha.keySet == Set(25L, 50L, 100L))
+    byAlpha.foreach { case (a, rs) =>
+      val s = rs.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"alpha $a: weights sum $s")
+    }
+    // higher temperature exponent concentrates mass on the biggest source
+    def maxW(a: Long) = byAlpha(a).map(_.getAs[Double]("weight")).max
+    assert(maxW(100L) >= maxW(50L) && maxW(50L) >= maxW(25L),
+      "temperature failed to concentrate the mixture")
+    // the alpha=0.5 column IS t13 — one definition, two surfaces
+    val t13 = SparkEntry.queries("t13_mixture_weights")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    byAlpha(50L).foreach { r =>
+      assert(r.getAs[Double]("weight") == t13(r.getAs[String]("source")),
+        s"${r.getAs[String]("source")}: sel6@0.5 diverged from t13")
+    }
+  }
+
   test("sel4: stages balanced within 1 doc; tranche ttr spans are ordered") {
     val rows = SparkEntry.queries("sel4_curriculum_stages")(
       spark, "/root/testdata/sf0.001").collect()
