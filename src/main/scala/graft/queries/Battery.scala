@@ -1449,6 +1449,45 @@ object Battery {
           col("slope_num").cast("double") / col("slope_den").cast("double"))
         .orderBy($"nation")
     }),
+
+    // MAX CONCURRENCY via sweep-line (capacity planning's first
+    // question: how many 30-minute activity intervals overlap at the
+    // worst moment?). The naive formulation is an interval SELF-JOIN
+    // (O(n²) pairs on a hot type); the scalable one never forms a
+    // pair: each interval [us, us+30min) becomes a +1 boundary at its
+    // start and a −1 at its end, boundaries PRE-AGGREGATE to one net
+    // delta per (type, instant) — map-side combined, so the window
+    // below sorts distinct instants, not raw events — and one
+    // type-keyed cumsum is the concurrency curve. Netting same-instant
+    // deltas is exactly half-open semantics: an interval ending at t
+    // frees its slot to one starting at t, and within a same-t group
+    // ends-before-starts means the intermediate values never exceed
+    // max(prev, net), so the netted curve's max IS the true max. All
+    // integers; the peak instant is the first t attaining the max
+    // (unique per type after netting — no tie-break needed).
+    "q72_max_concurrency" -> ((s, dir) => {
+      import s.implicits._
+      val tol = 1800000000L // 30 min in micros
+      val e = Tables.events(s, dir)
+        .select($"event_type", expr("unix_micros(ts)").as("us"))
+      val bounds = e.select($"event_type", $"us".as("t"), lit(1L).as("d"))
+        .unionAll(e.select($"event_type", ($"us" + tol).as("t"), lit(-1L).as("d")))
+        .groupBy($"event_type", $"t")
+        .agg(sum($"d").as("net"))
+      val w = Window.partitionBy($"event_type").orderBy($"t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = bounds.withColumn("conc", sum($"net").over(w))
+      curve
+        .withColumn("mx", max($"conc").over(Window.partitionBy($"event_type")))
+        .filter($"conc" === $"mx")
+        .groupBy($"event_type")
+        .agg(max($"mx").as("max_concurrent"), min($"t").as("first_peak_us"))
+        .join(e.groupBy($"event_type").agg(count(lit(1)).as("n_intervals")),
+          Seq("event_type"))
+        .select($"event_type", $"n_intervals", $"max_concurrent",
+          $"first_peak_us")
+        .orderBy($"event_type")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -2226,5 +2265,41 @@ object Battery {
         |SELECT prev_type, next_type, n,
         |  n * 1000000 // CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // the same netted sweep-line: ±1 boundaries, one net delta per
+    // (type, instant), cumsum = concurrency curve, first peak instant
+    "q72_max_concurrency" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1 AS us FROM events
+        |),
+        |b AS (
+        |  SELECT event_type, us AS t, CAST(1 AS BIGINT) AS d FROM e
+        |  UNION ALL
+        |  SELECT event_type, us + 1800000000, CAST(-1 AS BIGINT) FROM e
+        |),
+        |net AS (
+        |  SELECT event_type, t, SUM(d) AS net FROM b GROUP BY 1, 2
+        |),
+        |curve AS (
+        |  SELECT event_type, t,
+        |    SUM(net) OVER (PARTITION BY event_type ORDER BY t
+        |                   ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM net
+        |),
+        |mx AS (
+        |  SELECT event_type, t, conc,
+        |    MAX(conc) OVER (PARTITION BY event_type) AS mxc
+        |  FROM curve
+        |)
+        |SELECT m.event_type,
+        |  CAST(n.n_intervals AS BIGINT) AS n_intervals,
+        |  CAST(MAX(m.mxc) AS BIGINT) AS max_concurrent,
+        |  CAST(MIN(m.t) AS BIGINT) AS first_peak_us
+        |FROM mx m
+        |JOIN (SELECT event_type, COUNT(*) AS n_intervals FROM e GROUP BY 1) n
+        |  ON n.event_type = m.event_type
+        |WHERE m.conc = m.mxc
+        |GROUP BY m.event_type, n.n_intervals
+        |ORDER BY m.event_type""".stripMargin,
   )
 }

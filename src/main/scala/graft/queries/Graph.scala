@@ -582,6 +582,50 @@ object Graph {
           (col("keeper_longest") === col("keeper_minid")).as("policy_agrees"))
         .orderBy(col("cluster_id"))
     }),
+
+    // LINK PREDICTION (common-neighbors + neighborhood Jaccard) over
+    // the MUTUAL-kNN embedding graph: two vectors that are NOT each
+    // other's top-5 neighbors but share ≥2 mutual-kNN neighbors are
+    // the classic "missed edge" an ANN index review surfaces — the
+    // shingle near-dup graph is transitively closed in this corpus
+    // (template families share everything), so the informative graph
+    // is the kNN one, which is non-transitive by construction (top-5
+    // lists truncate). Edges reuse d5's brute-force top-5 VERBATIM
+    // (one definition of "neighbor" across the similarity family);
+    // mutuality is a self-join on the 5n-row list frame, never the n²
+    // pair stream. Scores are exact rationals on the fixed edge set:
+    // cn counts wedges from ONE self-join (Σ deg², deg ≤ 5 here),
+    // |Γ∪Γ| = deg+deg−cn by inclusion-exclusion, one double division
+    // last (gr13's posture); existing edges leave by anti-join. The
+    // cn ≥ 2 floor is the pigeonhole: one shared neighbor is noise at
+    // list-truncation boundaries, two is structure.
+    "gr14_link_prediction" -> ((s, dir) => {
+      val knn = Materialize(LlmPipeline.queries("d5_cosine_topk")(s, dir)
+        .select(col("vec_id"), col("nbr")))
+      val mut = Materialize(knn.as("a").join(knn.as("b"),
+          col("a.vec_id") === col("b.nbr") && col("a.nbr") === col("b.vec_id"))
+        .filter(col("a.vec_id") < col("a.nbr"))
+        .select(col("a.vec_id").as("d1"), col("a.nbr").as("d2")))
+      val sym = mut.select(col("d1").as("a"), col("d2").as("b"))
+        .union(mut.select(col("d2").as("a"), col("d1").as("b")))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+      val cand = sym.as("x").join(sym.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("u"), col("y.b").as("w"))
+        .agg(count(lit(1)).as("cn"))
+        .join(mut.select(col("d1").as("u"), col("d2").as("w")),
+          Seq("u", "w"), "left_anti")
+        .filter(col("cn") >= 2)
+      cand
+        .join(deg.select(col("a").as("u"), col("degree").as("deg_u")), Seq("u"))
+        .join(deg.select(col("a").as("w"), col("degree").as("deg_w")), Seq("w"))
+        .withColumn("union_deg", col("deg_u") + col("deg_w") - col("cn"))
+        .select(col("u"), col("w"), col("cn"), col("deg_u"), col("deg_w"),
+          col("union_deg"),
+          (col("cn").cast("double") / col("union_deg").cast("double"))
+            .as("jaccard"))
+        .orderBy(col("u"), col("w"))
+    }),
   )
 
   /** `rounds` synchronous label-propagation steps over a SYMMETRIC
@@ -1356,5 +1400,54 @@ object Graph {
         |FROM lng l JOIN mn m ON m.cluster_id = l.cluster_id
         |JOIN mem mc ON mc.doc_id = m.keeper_minid
         |ORDER BY l.cluster_id""".stripMargin,
+
+    // d5's brute-force top-5 CTE (bit-identical left-fold cosine),
+    // then the same wedge self-join / anti-join / inclusion-exclusion
+    // algebra on the mutual-kNN edges; cn >= 2 pigeonhole floor
+    "gr14_link_prediction" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |p0 AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |knn AS (
+        |  SELECT vec_id, nbr FROM (
+        |    SELECT vec_id, nbr,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |    FROM p0)
+        |  WHERE rn <= 5
+        |),
+        |mut AS (
+        |  SELECT a.vec_id AS d1, a.nbr AS d2
+        |  FROM knn a JOIN knn b ON a.vec_id = b.nbr AND a.nbr = b.vec_id
+        |  WHERE a.vec_id < a.nbr
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM mut UNION ALL SELECT d2, d1 FROM mut),
+        |deg AS (SELECT a, COUNT(*) AS degree FROM e0 GROUP BY a),
+        |cand AS (
+        |  SELECT x.b AS u, y.b AS w, COUNT(*) AS cn
+        |  FROM e0 x JOIN e0 y ON x.a = y.a AND x.b < y.b
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |),
+        |miss AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM mut p WHERE p.d1 = c.u AND p.d2 = c.w)
+        |)
+        |SELECT m.u, m.w, CAST(m.cn AS BIGINT) AS cn,
+        |  CAST(du.degree AS BIGINT) AS deg_u, CAST(dw.degree AS BIGINT) AS deg_w,
+        |  CAST(du.degree + dw.degree - m.cn AS BIGINT) AS union_deg,
+        |  CAST(m.cn AS DOUBLE) / CAST(du.degree + dw.degree - m.cn AS DOUBLE) AS jaccard
+        |FROM miss m JOIN deg du ON du.a = m.u JOIN deg dw ON dw.a = m.w
+        |ORDER BY m.u, m.w""".stripMargin,
   )
 }

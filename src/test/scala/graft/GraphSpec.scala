@@ -384,4 +384,37 @@ class GraphSpec extends SparkTestBase {
         s"node $node at hop $h has no hop-${h - 1} neighbor")
     }
   }
+
+  test("gr14: scores replay against a brute-force adjacency; pairs are non-edges") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("gr14_link_prediction")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture graph must yield >=1 predicted link")
+    // rebuild the mutual-kNN adjacency locally from d5's top-5 lists
+    val knn = SparkEntry.queries("d5_cosine_topk")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("nbr"))
+    val knnSet = knn.toSet
+    val adj = knn.filter { case (a, b) => knnSet.contains((b, a)) }
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val (u, w) = (r.getAs[Long]("u"), r.getAs[Long]("w"))
+      val (cn, du, dw) = (r.getAs[Long]("cn"),
+        r.getAs[Long]("deg_u"), r.getAs[Long]("deg_w"))
+      assert(u < w, "canonical orientation")
+      assert(!adj(u).contains(w), s"($u,$w) is already an edge")
+      assert(adj(u).size == du && adj(w).size == dw, s"($u,$w) degree mismatch")
+      assert(adj(u).intersect(adj(w)).size == cn, s"($u,$w) cn mismatch")
+      assert(r.getAs[Long]("union_deg") == du + dw - cn)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+      assert(cn >= 2L, "pigeonhole floor")
+    }
+    // completeness: every brute-force non-adjacent pair with >=2 common
+    // neighbors appears in the output
+    val got = rows.map(r => (r.getAs[Long]("u"), r.getAs[Long]("w"))).toSet
+    val nodes = adj.keys.toSeq.sorted
+    for (u <- nodes; w <- nodes if u < w && !adj(u).contains(w)
+         if adj(u).intersect(adj(w)).size >= 2)
+      assert(got.contains((u, w)), s"missing predicted link ($u,$w)")
+  }
 }

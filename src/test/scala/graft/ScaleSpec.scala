@@ -981,4 +981,33 @@ class ScaleSpec extends SparkTestBase {
         s"$t: sketch estimate $a vs exact $e exceeds 5% error")
     }
   }
+
+  test("q72: netted sweep-line equals brute-force interval stabbing") {
+    val rows = SparkEntry.queries("q72_max_concurrency")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val tol = 1800000000L
+    val byType = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    assert(rows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val starts = byType(t)
+      assert(r.getAs[Long]("n_intervals") == starts.length.toLong)
+      // brute force: concurrency at instant q = #intervals with
+      // s <= q < s+tol; candidates are exactly the start instants
+      def conc(q: Long): Int = starts.count(s => s <= q && q < s + tol)
+      val brute = starts.map(s => s -> conc(s))
+      val mx = brute.map(_._2).max
+      assert(r.getAs[Long]("max_concurrent") == mx.toLong,
+        s"$t: max ${r.getAs[Long]("max_concurrent")} vs brute $mx")
+      // the first peak the sweep reports attains the max and is the
+      // earliest START instant doing so (peaks begin at a start)
+      val peak = r.getAs[Long]("first_peak_us")
+      assert(conc(peak) == mx, s"$t: reported peak instant not at max")
+      assert(brute.filter(_._2 == mx).map(_._1).min == peak,
+        s"$t: an earlier instant already attains the max")
+    }
+  }
 }
