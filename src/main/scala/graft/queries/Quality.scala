@@ -392,6 +392,50 @@ object Quality {
             / ($"n" * $"n" * $"n" - $"n").cast("double")).as("rho"))
         .orderBy($"metric_x", $"metric_y")
     }),
+
+    // CHI-SQUARE INDEPENDENCE TEST on the lang × source contingency
+    // table — the bias detector a corpus audit runs before mixing:
+    // if language and source were independent, every cell would hold
+    // E = row·col/n; a large χ² says some sources over-supply some
+    // languages and a mixture built "per source" silently skews
+    // languages. The grid is DENSE (row-margin × col-margin frames —
+    // both tiny aggregates — broadcast-crossed, zero cells included:
+    // an EMPTY cell is evidence of dependence too and its term r·c/n
+    // must count). Per-cell deviation dev = O·n − r·c is EXACT int64
+    // (envelope: n ≤ ~3e9 docs since |dev| ≤ n²; DuckDB overflows
+    // loudly beyond); χ²-terms take ONE double square and ONE double
+    // division in a pinned multiply order, and the total folds on the
+    // dyadic grid (Num.fsum — terms are arbitrary doubles, bounded by
+    // n so the 2^30 envelope holds to corpus ~8e9). df=(R−1)(C−1)
+    // rides along so the report is testable against any χ² table.
+    "dq10_chisq_independence" -> ((s, dir) => {
+      import s.implicits._
+      val obs = Tables.documents(s, dir)
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("observed"))
+      val rowT = obs.groupBy($"lang").agg(sum($"observed").as("row_tot"))
+      val colT = obs.groupBy($"source").agg(sum($"observed").as("col_tot"))
+      val tot = obs.agg(sum($"observed").as("n"),
+        countDistinct($"lang").as("n_rows_dim"),
+        countDistinct($"source").as("n_cols_dim"))
+      val cells = rowT.crossJoin(broadcast(colT))
+        .join(obs, Seq("lang", "source"), "left")
+        .select($"lang", $"source",
+          coalesce($"observed", lit(0L)).as("observed"),
+          $"row_tot", $"col_tot")
+        .crossJoin(broadcast(tot))
+        .withColumn("dev", $"observed" * $"n" - $"row_tot" * $"col_tot")
+        .withColumn("chi_term",
+          ($"dev".cast("double") * $"dev".cast("double"))
+            / ($"n".cast("double") * $"row_tot".cast("double")
+               * $"col_tot".cast("double")))
+      val total = cells.agg(graft.ops.Num.fsum($"chi_term").as("chi2"),
+          first($"n_rows_dim").as("nr"), first($"n_cols_dim").as("nc"))
+        .select($"chi2", (($"nr" - 1) * ($"nc" - 1)).as("dof"))
+      cells.crossJoin(broadcast(total))
+        .select($"lang", $"source", $"observed", $"row_tot", $"col_tot",
+          $"n", $"dev", $"chi_term", $"chi2", $"dof")
+        .orderBy($"lang", $"source")
+    }),
   )
 
   // d = the distinct basis (raw string content for string columns, the
@@ -593,5 +637,46 @@ object Quality {
         |    / CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS DOUBLE) AS rho
         |FROM p GROUP BY metric_x, metric_y
         |ORDER BY metric_x, metric_y""".stripMargin,
+
+    // the same dense margin-cross grid, exact-int64 deviations, pinned
+    // double multiply order, fsum-grid total
+    "dq10_chisq_independence" ->
+      s"""WITH obs AS (
+        |  SELECT lang, source, COUNT(*) AS observed FROM documents GROUP BY 1, 2
+        |),
+        |rt AS (SELECT lang, SUM(observed) AS row_tot FROM obs GROUP BY 1),
+        |ct AS (SELECT source, SUM(observed) AS col_tot FROM obs GROUP BY 1),
+        |tot AS (
+        |  SELECT SUM(observed) AS n, COUNT(DISTINCT lang) AS nr,
+        |    COUNT(DISTINCT source) AS nc
+        |  FROM obs
+        |),
+        |cells AS (
+        |  SELECT rt.lang, ct.source,
+        |    CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed,
+        |    CAST(rt.row_tot AS BIGINT) AS row_tot,
+        |    CAST(ct.col_tot AS BIGINT) AS col_tot,
+        |    CAST(t.n AS BIGINT) AS n, CAST(t.nr AS BIGINT) AS nr,
+        |    CAST(t.nc AS BIGINT) AS nc
+        |  FROM rt CROSS JOIN ct CROSS JOIN tot t
+        |  LEFT JOIN obs o ON o.lang = rt.lang AND o.source = ct.source
+        |),
+        |terms AS (
+        |  SELECT *, observed * n - row_tot * col_tot AS dev,
+        |    (CAST(observed * n - row_tot * col_tot AS DOUBLE)
+        |       * CAST(observed * n - row_tot * col_tot AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+        |      AS chi_term
+        |  FROM cells
+        |),
+        |total AS (
+        |  SELECT ${graft.ops.Num.fsumSql("chi_term")} AS chi2,
+        |    CAST(MAX((nr - 1) * (nc - 1)) AS BIGINT) AS dof
+        |  FROM terms
+        |)
+        |SELECT t.lang, t.source, t.observed, t.row_tot, t.col_tot, t.n,
+        |  CAST(t.dev AS BIGINT) AS dev, t.chi_term, total.chi2, total.dof
+        |FROM terms t CROSS JOIN total
+        |ORDER BY t.lang, t.source""".stripMargin,
   )
 }

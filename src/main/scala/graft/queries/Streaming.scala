@@ -277,6 +277,27 @@ object Streaming {
     // tracks watermarks per ingest partition, which is this audit
     // applied per partition; the rollup after it is an ordinary hash
     // agg.
+    // RATE ANOMALIES (the pager): hourly counts vs a trailing-6-hour
+    // Poisson baseline, 3σ decided on exact integers — see
+    // [[graft.streaming.Streams.rateAnomaliesFromCounts]] (ONE shared
+    // definition; the incremental execution reads s14's versioned
+    // (window, type) count state via Streams.readRateAnomalies — one
+    // state table serving both the leaderboard and the pager, which is
+    // how production monitors actually share aggregation state).
+    // StreamingSpec proves multi-batch accumulation lands on this
+    // one-shot result, replay is a no-op, and the flag set equals a
+    // local brute-force replay of the 3σ rule.
+    "s16_rate_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val counted = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"window.start").as("w_start"),
+          $"event_type", $"n")
+      graft.streaming.Streams.rateAnomaliesFromCounts(counted)
+        .orderBy($"event_type", $"w_start")
+    }),
+
     "s17_watermark_audit" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.events(s, dir)
@@ -487,6 +508,42 @@ object Streaming {
         |SELECT base.event_type, n_events, max_bucket, p50_bucket, p95_bucket
         |FROM base JOIN p50 USING (event_type) JOIN p95 USING (event_type)
         |ORDER BY base.event_type""".stripMargin,
+
+    // the same dense spine / trailing-6 baseline / integer 3-sigma
+    // rule; HUGEINT square with a loud BIGINT cast mirrors the
+    // DECIMAL(38,0) compare
+    "s16_rate_anomaly" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS w_start,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |span AS (SELECT MIN(w_start) AS mn, MAX(w_start) AS mx FROM e),
+        |spine AS (
+        |  SELECT t.event_type, h.w_start
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(range(mn, mx + 3600, 3600)) AS w_start FROM span) h
+        |),
+        |d AS (
+        |  SELECT s.event_type, s.w_start, COALESCE(e.n, 0) AS n
+        |  FROM spine s LEFT JOIN e
+        |    ON e.event_type = s.event_type AND e.w_start = s.w_start
+        |),
+        |b AS (
+        |  SELECT *,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY w_start
+        |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS base_6h,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY w_start
+        |                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS bn
+        |  FROM d
+        |)
+        |SELECT event_type, CAST(w_start AS BIGINT) AS w_start,
+        |  CAST(n AS BIGINT) AS n, CAST(base_6h AS BIGINT) AS base_6h
+        |FROM b
+        |WHERE bn = 6 AND n >= 2 AND 6 * n > base_6h
+        |  AND CAST(CAST(6 * n - base_6h AS HUGEINT) * CAST(6 * n - base_6h AS HUGEINT) AS BIGINT)
+        |      > 54 * base_6h
+        |ORDER BY event_type, w_start""".stripMargin,
 
     // the same ±30-min md5-jittered arrival, running-max watermark
     "s17_watermark_audit" ->

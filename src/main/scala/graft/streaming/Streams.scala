@@ -337,6 +337,52 @@ object Streams {
       .join(p95, Seq("event_type"))
   }
 
+  /** RATE-ANOMALY detector over hourly (w_start, event_type, n) counts —
+    * the alerting read of the SAME state [[windowTopkBatch]] keeps for
+    * s14 (one state table, two monitors). A cell is anomalous when its
+    * count exceeds the trailing-6-hour Poisson baseline by 3σ, decided
+    * on EXACT INTEGERS: with base = Σ trailing 6 counts (mean μ =
+    * base/6, Var = μ under Poisson), n − μ > 3√μ ⇔ 6n > base AND
+    * (6n − base)² > 54·base — no sqrt, no float, portable everywhere.
+    * The spine is DENSE (sequence over the observed span × the type
+    * dimension — both bounded): without zero cells, silent hours
+    * would vanish from the baseline instead of dragging it down, and
+    * a burst after quiet hours would compare against the wrong mean.
+    * The squared compare rides DECIMAL(38,0) so a terabyte-scale hourly
+    * count cannot wrap silently (the DuckDB replay squares in HUGEINT
+    * and errors loudly on its BIGINT cast instead — Num.fsum's loud-
+    * overflow contract). n ≥ 2 suppresses single-event cold-start
+    * flags. ONE definition shared by the batch-posture query (s16) and
+    * [[readRateAnomalies]], so batch and incremental cannot drift. */
+  def rateAnomaliesFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = counts.agg(min(col("w_start")).as("mn"), max(col("w_start")).as("mx"))
+    val spine = span
+      .select(explode(sequence(col("mn"), col("mx"), lit(3600L))).as("w_start"))
+      .crossJoin(broadcast(counts.select(col("event_type")).distinct()))
+    val d = spine.join(counts, Seq("w_start", "event_type"), "left")
+      .select(col("event_type"), col("w_start"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("w_start"))
+      .rowsBetween(-6, -1)
+    val dev = (col("n") * 6 - col("base_6h"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    d.withColumn("base_6h", sum(col("n")).over(wb))
+      .withColumn("bn", count(lit(1)).over(wb))
+      .filter(col("bn") === 6 && col("n") >= 2 &&
+        col("n") * 6 > col("base_6h") &&
+        dev * dev > (col("base_6h") * 54)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .select(col("event_type"), col("w_start"), col("n"), col("base_6h"))
+  }
+
+  /** Current anomaly report from [[windowTopkBatch]] state. */
+  def readRateAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+    rateAnomaliesFromCounts(spark.read.parquet(s"$dir/v$v"))
+  }
+
   /** `readStream` documents source over a fixed symlink dir (same
     * mechanism as [[eventsStream]]). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame = {

@@ -982,6 +982,43 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("dq10: chi-square cells replay locally; margins and total are consistent") {
+    val rows = SparkEntry.queries("dq10_chisq_independence")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toLong
+    val obs = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rowT = docs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val colT = docs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    // dense grid: every margin cross appears exactly once
+    assert(rows.length == rowT.size * colT.size, "grid not dense")
+    var terms = List.empty[Double]
+    rows.foreach { r =>
+      val (l, src) = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val o = r.getAs[Long]("observed")
+      assert(o == obs.getOrElse((l, src), 0L), s"($l,$src) observed")
+      assert(r.getAs[Long]("row_tot") == rowT(l) && r.getAs[Long]("col_tot") == colT(src))
+      assert(r.getAs[Long]("n") == n)
+      val dev = o * n - rowT(l) * colT(src)
+      assert(r.getAs[Long]("dev") == dev, s"($l,$src) dev")
+      val term = (dev.toDouble * dev.toDouble) /
+        (n.toDouble * rowT(l).toDouble * colT(src).toDouble)
+      assert(r.getAs[Double]("chi_term") == term, s"($l,$src) term")
+      terms ::= term
+      assert(r.getAs[Long]("dof") == (rowT.size - 1L) * (colT.size - 1L))
+    }
+    // the reported total is the dyadic-grid fold of exactly these terms
+    val grid = terms.map(t => math.round(t * 1073741824.0)).sum
+    assert(rows.head.getAs[Double]("chi2") == grid.toDouble / 1073741824.0,
+      "chi2 total not on the fsum grid")
+    // observed marginal mass conservation: each row's cells sum to row_tot
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Long]("observed")).sum == rowT(l), s"$l row mass")
+    }
+  }
+
   test("q72: netted sweep-line equals brute-force interval stabbing") {
     val rows = SparkEntry.queries("q72_max_concurrency")(spark, sf0001).collect()
     assert(rows.nonEmpty)

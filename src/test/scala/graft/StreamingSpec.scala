@@ -404,6 +404,62 @@ class StreamingSpec extends SparkTestBase {
     assert(state() == oneTop(), "replayed batch mutated the count state")
   }
 
+  test("s16: rate anomalies from shared state equal the one-shot rule; burst flags") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_ra_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ra_out").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def write(rows: (java.sql.Timestamp, String)*): Unit =
+      rows.map { case (t, e) => (t, e, 0L, 0L, 0.0) }
+        .toDF("ts", "event_type", "event_id", "user_id", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    // click: steady 2/hr for hours 1..6 (base 12), then a 9-burst in
+    // hour 7 → 6·9=54>12 and (54−12)²=1764 > 54·12=648 → 3σ flag.
+    // view: steady 2/hr throughout → 6·2=12 is never > base 12.
+    val steady = for (h <- 1 to 6; m <- Seq(5, 35); e <- Seq("click", "view"))
+      yield (ts(h, m), e)
+    write(steady: _*)
+    def state() = Streams.readRateAnomalies(spark, out).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("w_start"),
+        r.getAs[Long]("n"), r.getAs[Long]("base_6h"))).sortBy(t => (t._1, t._2)).toSeq
+    def oneShot() = Streams.rateAnomaliesFromCounts(
+        spark.read.parquet(src)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp($"window.start").as("w_start"), $"event_type", $"n"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("w_start"),
+        r.getAs[Long]("n"), r.getAs[Long]("base_6h"))).sortBy(t => (t._1, t._2)).toSeq
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.windowTopkBatch(b, out, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(state() == oneShot(), "steady-state read diverged from one-shot")
+      assert(state().isEmpty, s"steady traffic must not page: ${state()}")
+      // the burst arrives as a second batch into the SAME state table
+      write((1 to 9).map(i => (ts(7, i), "click")) :+ ((ts(7, 30), "view")): _*)
+      q.processAllAvailable()
+      val s2 = state()
+      assert(s2 == oneShot(), "merged state diverged from one-shot")
+      assert(s2.exists(a => a._1 == "click" && a._3 == 9L && a._4 == 12L),
+        s"the hour-7 click burst must flag: $s2")
+      assert(!s2.exists(_._1 == "view"), s"view never bursts: $s2")
+    } finally q.stop()
+    // replayed batch ids must not double-count into the anomaly read
+    val bogus = Seq((ts(7, 45), "click", 0L, 0L, 0.0))
+      .toDF("ts", "event_type", "event_id", "user_id", "value")
+    Streams.windowTopkBatch(bogus, out, 1L)
+    Streams.windowTopkBatch(bogus, out, 0L)
+    assert(state() == oneShot(), "replayed batch mutated the anomaly state")
+  }
+
   test("s15: incremental latency histogram equals the one-shot percentiles; replay no-op") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_lp_src").toString
