@@ -1488,6 +1488,34 @@ object Battery {
           $"first_peak_us")
         .orderBy($"event_type")
     }),
+
+    // ROLLING 7-DAY ACTIVE USERS (DAU/WAU — the growth dashboard's
+    // headline pair): COUNT(DISTINCT) over a sliding window is the
+    // textbook formulation and a scale trap — re-scanning 7 days of
+    // events per output day, 7× the corpus through distinct state.
+    // The scalable algebra: dedup once to the (day, user) grain
+    // (map-side combined), then each active day CONTRIBUTES itself to
+    // the next 7 cover days (a bounded ×7 sequence-explode — fanout of
+    // the deduped grain, not event volume), dedup (user, cover_day),
+    // and count. Same answer, one bounded expansion, no per-window
+    // rescan. Cover days clip to the observed span; early days carry
+    // honest partial windows. All exact integers.
+    "q73_rolling_active_users" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), $"user_id")
+        .distinct()
+      val span = e.agg(max($"day").as("mxd"))
+      val wau = e
+        .select($"user_id", explode(sequence($"day", $"day" + 6)).as("day"))
+        .crossJoin(broadcast(span)).filter($"day" <= $"mxd")
+        .select($"user_id", $"day").distinct()
+        .groupBy($"day").agg(count(lit(1)).as("wau_7d"))
+      val dau = e.groupBy($"day").agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("day"), "left")
+        .select($"day", coalesce($"dau", lit(0L)).as("dau"), $"wau_7d")
+        .orderBy($"day")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -2301,5 +2329,23 @@ object Battery {
         |WHERE m.conc = m.mxc
         |GROUP BY m.event_type, n.n_intervals
         |ORDER BY m.event_type""".stripMargin,
+
+    // the same (day, user) dedup + bounded x7 cover expansion
+    "q73_rolling_active_users" ->
+      """WITH e AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        |),
+        |mx AS (SELECT MAX(day) AS mxd FROM e),
+        |cover AS (
+        |  SELECT DISTINCT user_id, e.day + i.i AS day
+        |  FROM e CROSS JOIN (SELECT unnest(range(7)) AS i) i CROSS JOIN mx
+        |  WHERE e.day + i.i <= mx.mxd
+        |),
+        |wau AS (SELECT day, COUNT(*) AS wau_7d FROM cover GROUP BY day),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM e GROUP BY day)
+        |SELECT w.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+        |  CAST(w.wau_7d AS BIGINT) AS wau_7d
+        |FROM wau w LEFT JOIN dau d ON d.day = w.day
+        |ORDER BY w.day""".stripMargin,
   )
 }

@@ -1618,6 +1618,42 @@ object LlmPipeline {
         .orderBy($"lang")
     }),
 
+    // VOCAB COVERAGE / OOV TABLE — the tokenizer-design number: what
+    // fraction of the corpus token MASS does a k-entry word vocabulary
+    // cover (equivalently, the OOV rate a fixed-vocab model eats)?
+    // t15 charts vocab GROWTH over documents; this charts mass
+    // coverage over vocab budget, which is the axis vocab sizes are
+    // actually chosen on. Scale shape: term frequencies are one
+    // map-side-combining agg; the top-10k heavy hitters come from
+    // orderBy+limit (TakeOrdered partial top-k — the full vocab is
+    // NEVER globally sorted); the rank/cumsum window then runs on the
+    // bounded 10k-row frame (single partition BY DESIGN — it is k
+    // rows, not the vocab). Coverage is exact integer ppm; ranks tie
+    // (cnt DESC, term ASC) so the cut is a total order.
+    "t34_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val tf = Tables.documents(s, dir)
+        .select(explode(toks($"text")).as("term"))
+        .filter(length($"term") >= 1)
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val tot = tf.agg(sum($"cnt").as("total_tokens"),
+        count(lit(1)).as("n_vocab"))
+      val top = tf.orderBy($"cnt".desc, $"term".asc).limit(10000)
+      val w = Window.orderBy($"cnt".desc, $"term".asc)
+      val ranked = top
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum($"cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ks = Seq(5L, 10L, 20L, 1000L).toDF("k")
+      ranked.join(broadcast(ks), $"rk" <= $"k")
+        .groupBy($"k").agg(max($"cum").as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select($"k", $"n_vocab", $"total_tokens", $"covered_tokens",
+          expr("covered_tokens * 1000000 div total_tokens").as("coverage_ppm"),
+          expr("1000000 - covered_tokens * 1000000 div total_tokens").as("oov_ppm"))
+        .orderBy($"k")
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -4018,6 +4054,33 @@ object LlmPipeline {
 
     "t19_bpe_tokenize" -> bpeTokenizeOracleSql(BpeSteps),
     "t33_tokenizer_fertility" -> bpeFertilityOracleSql(BpeSteps),
+
+    // full-vocab rank at oracle scale stands in for the TakeOrdered
+    // heavy-hitter cut; same (cnt DESC, term ASC) total order
+    "t34_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT term, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |    FROM documents) t
+        |  WHERE len(term) >= 1 GROUP BY term
+        |),
+        |tot AS (SELECT SUM(cnt) AS total_tokens, COUNT(*) AS n_vocab FROM tf),
+        |r AS (
+        |  SELECT cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rk,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, term ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tf
+        |)
+        |SELECT k, CAST(n_vocab AS BIGINT) AS n_vocab,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(MAX(cum) AS BIGINT) AS covered_tokens,
+        |  MAX(cum) * 1000000 // total_tokens AS coverage_ppm,
+        |  1000000 - MAX(cum) * 1000000 // total_tokens AS oov_ppm
+        |FROM (VALUES (CAST(5 AS BIGINT)), (CAST(10 AS BIGINT)), (CAST(20 AS BIGINT)), (CAST(1000 AS BIGINT))) ks(k)
+        |JOIN r ON r.rk <= ks.k
+        |CROSS JOIN tot
+        |GROUP BY k, n_vocab, total_tokens
+        |ORDER BY k""".stripMargin,
 
     // symbol totals straight off the unrolled c0..cN frames
     "b2_bpe_compression_curve" -> {

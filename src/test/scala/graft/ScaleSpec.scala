@@ -1019,6 +1019,26 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("q73: cover-expansion WAU equals brute-force trailing-7-day distinct") {
+    val rows = SparkEntry.queries("q73_rolling_active_users")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val act = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("unix_micros(ts) div 86400000000 AS day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val mxd = act.map(_._1).max
+    val days = rows.map(_.getAs[Long]("day"))
+    assert(days.max == mxd && days.min == act.map(_._1).min)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val dau = act.filter(_._1 == d).map(_._2).distinct.length.toLong
+      val wau = act.filter(a => a._1 <= d && a._1 >= d - 6)
+        .map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau, s"day $d dau")
+      assert(r.getAs[Long]("wau_7d") == wau, s"day $d wau")
+      assert(wau >= dau)
+    }
+  }
+
   test("q72: netted sweep-line equals brute-force interval stabbing") {
     val rows = SparkEntry.queries("q72_max_concurrency")(spark, sf0001).collect()
     assert(rows.nonEmpty)

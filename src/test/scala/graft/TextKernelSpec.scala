@@ -104,4 +104,34 @@ class TextKernelSpec extends SparkTestBase {
     // non-degenerate instead)
     assert(out.exists(_.getDouble(1) > 0.0), "top2_frac all zero")
   }
+
+  test("t34: coverage replays from local term counts; informative and monotone") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("t34_vocab_coverage")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(5L, 10L, 20L, 1000L))
+    val tf = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("explode(split(lower(text), '\\\\s+')) AS term")
+      .where("length(term) >= 1").collect().map(_.getString(0))
+      .groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val ranked = tf.toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = tf.values.sum
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k").toInt
+      assert(r.getAs[Long]("n_vocab") == tf.size.toLong)
+      assert(r.getAs[Long]("total_tokens") == total)
+      val covered = ranked.take(k).map(_._2).sum
+      assert(r.getAs[Long]("covered_tokens") == covered, s"k=$k covered")
+      assert(r.getAs[Long]("coverage_ppm") == covered * 1000000L / total)
+      assert(r.getAs[Long]("oov_ppm") == 1000000L - covered * 1000000L / total)
+    }
+    // non-vacuous: the smallest budget must NOT already cover everything
+    // (the m15 lesson — a saturated table proves nothing), and coverage
+    // must be monotone in k with the big budget fully saturated
+    assert(rows.head.getAs[Long]("coverage_ppm") < 1000000L, "k=5 saturated")
+    assert(rows.head.getAs[Long]("coverage_ppm") > 0L)
+    val cov = rows.map(_.getAs[Long]("coverage_ppm"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "not monotone")
+    assert(rows.last.getAs[Long]("covered_tokens") == total, "k=1000 must saturate")
+  }
 }
