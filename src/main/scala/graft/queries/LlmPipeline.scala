@@ -2495,6 +2495,80 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // AUDIO RESAMPLING through the REAL codec — the sample-rate
+    // normalization every audio ingest runs before fingerprinting or
+    // feature extraction (m9/m12 assume one rate; production corpora
+    // arrive at many). Per doc the m6 WAV is synthesized and encoded
+    // at 8 kHz, REALLY decoded, decimated 2:1 (every other frame —
+    // the plumbing under test is the frame walk + rate bookkeeping;
+    // a production resampler would low-pass first, a DSP choice this
+    // operator deliberately leaves to the kernel), then RE-ENCODED at
+    // 4 kHz and decoded AGAIN — the full write path is in the loop
+    // both directions, so a codec that miscounts frames, pads, or
+    // writes a wrong fmt header cannot stay green. The oracle replays
+    // the kept samples arithmetically (v(id, 2j) over the synth
+    // formula). Scale: embarrassingly parallel batch-shaped
+    // mapPartitions over a fanned-out scan; reductions stay integer.
+    "m16_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      import javax.sound.sampled._
+      val wavs = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 256 + (id % 256).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + i * 17) % 65536) - 32768).toInt
+            pcm(i * 2) = (v & 0xff).toByte
+            pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }).toDF("doc_id", "wav")
+      wavs.as[(Long, Array[Byte])]
+        .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = in.getFormat
+          val data = try in.readAllBytes() finally in.close()
+          val nIn = data.length / f.getFrameSize
+          val nKeep = (nIn + 1) / 2
+          val out = new Array[Byte](nKeep * 2)
+          var j = 0
+          while (j < nKeep) { // keep even frames: bytes 4j, 4j+1
+            out(j * 2) = data(4 * j)
+            out(j * 2 + 1) = data(4 * j + 1)
+            j += 1
+          }
+          val half = new AudioFormat(f.getSampleRate / 2, 16, 1, true, false)
+          val ais2 = new AudioInputStream(
+            new java.io.ByteArrayInputStream(out), half, nKeep.toLong)
+          val bos2 = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais2, AudioFileFormat.Type.WAVE, bos2)
+          val in2 = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bos2.toByteArray))
+          val f2 = in2.getFormat
+          val d2 = try in2.readAllBytes() finally in2.close()
+          val nOut = d2.length / f2.getFrameSize
+          var sum = 0L; var maxAbs = 0L; var i = 0
+          while (i < nOut) {
+            val v = ((d2(i * 2) & 0xff) | (d2(i * 2 + 1) << 8)).toLong
+            sum += v
+            if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
+            i += 1
+          }
+          (id, nIn.toLong, f2.getSampleRate.toInt, nOut.toLong, sum, maxAbs)
+        }))
+        .toDF("doc_id", "n_in", "out_rate", "n_out", "amp_sum", "amp_max")
+        .orderBy($"doc_id")
+    }),
+
     // AUDIO perceptual dedup — m7's idea on the WAV path: recordings
     // that SOUND alike cluster even when their bytes differ. Per doc a
     // real 16-bit PCM WAV is synthesized (waveform keyed by a 16-way
@@ -4303,6 +4377,24 @@ object LlmPipeline {
         |)
         |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS amp_sum,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS amp_max
+        |FROM samp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the decimated sample set replayed arithmetically: kept sample j
+    // is synth index 2j, so v = ((id*31 + 34j) % 65536) - 32768
+    "m16_audio_resample" ->
+      """WITH samp AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 31 + t.j * 34) % 65536) - 32768 AS v
+        |  FROM documents d
+        |  CROSS JOIN LATERAL (
+        |    SELECT unnest(range((256 + CAST(d.doc_id % 256 AS INT) + 1) // 2)) AS j) t
+        |)
+        |SELECT doc_id,
+        |  CAST(256 + doc_id % 256 AS BIGINT) AS n_in,
+        |  CAST(4000 AS INT) AS out_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_out,
         |  CAST(SUM(v) AS BIGINT) AS amp_sum,
         |  CAST(MAX(ABS(v)) AS BIGINT) AS amp_max
         |FROM samp GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -319,6 +319,47 @@ object Selection {
           $"total_tokens", $"min_ttr_ppm", $"max_ttr_ppm")
         .orderBy($"source", $"stage")
     }),
+
+    // DEDUP-AWARE BUDGET FILL — the composition a real pipeline runs
+    // and the one interaction sel3 alone can't show: filling a token
+    // budget from the RAW corpus wastes budget on near-duplicate
+    // copies, filling it from cc1's SURVIVORS admits deeper into the
+    // unique corpus. Both fills ride ONE ranked-cumsum window (same
+    // n_chars DESC, doc_id ASC greedy order as sel3): the dedup-aware
+    // cumsum is a conditional sum over the same sort — no second
+    // shuffle, no second sort. Per lang: kept docs/tokens under the
+    // raw fill vs the dedup fill, plus the duplicate-doc mass the raw
+    // fill admitted (the budget it burned on copies). Exact integers
+    // throughout; loser set = cc1's non-representatives (edge-cover-
+    // sized, broadcasts under AQE onto the corpus join).
+    "sel7_dedup_aware_budget" -> ((s, dir) => {
+      import s.implicits._
+      val losers = graft.ops.ConnectedComponents
+        .run(Graph.cachedEdges(s, dir, minShared = 5, maxDf = 100), "d1", "d2")
+        .filter($"node" =!= $"label")
+        .select($"node".as("doc_id"), lit(true).as("is_dup"))
+      val d = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"lang", $"n_chars",
+          size(split(lower($"text"), "\\s+")).cast("long").as("nt"))
+        .join(losers, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce($"is_dup", lit(false)))
+      val w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = d
+        .withColumn("cum_raw", sum($"nt").over(w))
+        .withColumn("cum_dedup", sum(when(!$"is_dup", $"nt").otherwise(0L)).over(w))
+      cum.groupBy($"lang").agg(
+          sum(when($"cum_raw" <= 20000L, 1L).otherwise(0L)).as("n_kept_raw"),
+          sum(when($"cum_raw" <= 20000L, $"nt").otherwise(0L)).as("tokens_raw"),
+          sum(when($"cum_raw" <= 20000L && $"is_dup", $"nt").otherwise(0L))
+            .as("dup_tokens_in_raw"),
+          sum(when(!$"is_dup" && $"cum_dedup" <= 20000L, 1L).otherwise(0L))
+            .as("n_kept_dedup"),
+          sum(when(!$"is_dup" && $"cum_dedup" <= 20000L, $"nt").otherwise(0L))
+            .as("tokens_dedup"))
+        .orderBy($"lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -494,5 +535,56 @@ object Selection {
         |  CAST(MAX(ttr_ppm) AS BIGINT) AS max_ttr_ppm
         |FROM q GROUP BY source, stage
         |ORDER BY source, stage""".stripMargin,
+
+    // cc1's recursive transitive closure names the losers; the same
+    // one-sort two-cumsum fill algebra on top
+    "sel7_dedup_aware_budget" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |prs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |losers AS (
+        |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(lbl)
+        |),
+        |base AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    CAST(len(string_split_regex(lower(d.text), '\s+')) AS BIGINT) AS nt,
+        |    EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id) AS is_dup
+        |  FROM documents d WHERE d.text IS NOT NULL
+        |),
+        |c AS (
+        |  SELECT *,
+        |    SUM(nt) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+        |                  ROWS UNBOUNDED PRECEDING) AS cum_raw,
+        |    SUM(CASE WHEN is_dup THEN 0 ELSE nt END)
+        |      OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS cum_dedup
+        |  FROM base
+        |)
+        |SELECT lang,
+        |  CAST(SUM(CASE WHEN cum_raw <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_raw,
+        |  CAST(SUM(CASE WHEN cum_raw <= 20000 THEN nt ELSE 0 END) AS BIGINT) AS tokens_raw,
+        |  CAST(SUM(CASE WHEN cum_raw <= 20000 AND is_dup THEN nt ELSE 0 END) AS BIGINT) AS dup_tokens_in_raw,
+        |  CAST(SUM(CASE WHEN NOT is_dup AND cum_dedup <= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_dedup,
+        |  CAST(SUM(CASE WHEN NOT is_dup AND cum_dedup <= 20000 THEN nt ELSE 0 END) AS BIGINT) AS tokens_dedup
+        |FROM c GROUP BY lang
+        |ORDER BY lang""".stripMargin,
   )
 }

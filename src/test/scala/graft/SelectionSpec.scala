@@ -217,4 +217,53 @@ class SelectionSpec extends SparkTestBase {
       }
     }
   }
+
+  test("sel7: dedup fill replays locally and strictly dominates the raw fill") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("sel7_dedup_aware_budget")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent loser set: union-find over the cached near-dup edges
+    val pairs = graft.queries.Graph.cachedEdges(spark, dir, minShared = 5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val losers = parent.keys.filter(n => find(n) != n).toSet
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", "n_chars",
+        "CAST(size(split(lower(text), '\\\\s+')) AS LONG) AS nt")
+      .where("text IS NOT NULL").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val seq = docs.filter(_._2 == lang).sortBy(d => (-d._3, d._1))
+      var (cr, cd) = (0L, 0L)
+      var (nkr, tkr, dupR, nkd, tkd) = (0L, 0L, 0L, 0L, 0L)
+      seq.foreach { case (id, _, _, nt) =>
+        val dup = losers.contains(id)
+        cr += nt; if (!dup) cd += nt
+        if (cr <= 20000L) {
+          nkr += 1; tkr += nt; if (dup) dupR += nt
+        }
+        if (!dup && cd <= 20000L) { nkd += 1; tkd += nt }
+      }
+      assert(r.getAs[Long]("n_kept_raw") == nkr, s"$lang n_kept_raw")
+      assert(r.getAs[Long]("tokens_raw") == tkr, s"$lang tokens_raw")
+      assert(r.getAs[Long]("dup_tokens_in_raw") == dupR, s"$lang dup_tokens")
+      assert(r.getAs[Long]("n_kept_dedup") == nkd, s"$lang n_kept_dedup")
+      assert(r.getAs[Long]("tokens_dedup") == tkd, s"$lang tokens_dedup")
+      // prefix property: every non-dup doc the raw fill kept, the
+      // dedup fill keeps too
+      assert(tkd >= tkr - dupR, s"$lang dedup fill lost unique mass")
+    }
+    // non-vacuous: somewhere the raw fill burned budget on duplicates
+    assert(rows.map(_.getAs[Long]("dup_tokens_in_raw")).sum > 0L,
+      "no duplicate mass in any raw fill — composition untested")
+  }
 }
