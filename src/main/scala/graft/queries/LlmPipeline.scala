@@ -1219,6 +1219,75 @@ object LlmPipeline {
         .orderBy($"vec_id")
     }),
 
+    // IVF PROBE SWEEP — d7's quality/cost knob measured instead of
+    // asserted (d33 swept LSH bands, d37 the Jaccard threshold; this
+    // is the ANN family's tuning table): recall@1 vs brute-force truth
+    // and candidate volume at nprobe ∈ {1,2,4,8}. The sweep is NOT
+    // four index searches: the candidate set is scored ONCE carrying
+    // `prn` — the probe rank at which each candidate's home cell
+    // enters the query's probe list — and every nprobe level is a
+    // re-filter (prn ≤ p) of that one scored frame, the d33/sel5
+    // one-pass-many-refilters idiom. Quantizer, capping and scoring
+    // reuse d7's machinery verbatim (same Lloyd centroids, same
+    // MaxBucketSize inverted-list truncation), so the curve measures
+    // exactly the index d7 ships. Deterministic end-to-end → fully
+    // hash-gated, like d7. The brute-force truth is the same n² pass
+    // d5 bills — the harness cost of an honest recall number.
+    "d39_ivf_probe_sweep" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VecDot
+      val e = graft.ops.Spread.fanout(Tables.embeddings(s, dir))
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", sqrt(VecDot($"v", $"v")))
+      val seeds = broadcast(
+        Clustering.centroids(Tables.embeddings(s, dir), k = 16, iters = 2)
+          .withColumn("cnorm", sqrt(VecDot($"cv", $"cv"))))
+      val sims = e.crossJoin(seeds)
+        .select($"vec_id", $"cid",
+          (VecDot($"v", $"cv") / ($"norm" * $"cnorm")).as("sim"))
+      val top8 = materialize(graft.plans.TopK.perKey(sims,
+        keys = Seq($"vec_id"), order = Seq($"sim".desc, $"cid".asc), k = 8))
+      val wp = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid".asc)
+      val probes = top8.withColumn("prn", row_number().over(wp).cast("long"))
+      val home = probes.filter($"prn" === 1).select($"vec_id", $"cid")
+      val capped = graft.plans.TopK.perKey(home,
+        keys = Seq($"cid"), order = Seq($"vec_id".asc), k = MaxBucketSize)
+      val cands = probes
+        .repartition(s.sparkContext.defaultParallelism, $"vec_id").as("p")
+        .join(broadcast(capped.as("c")),
+          $"p.cid" === $"c.cid" && $"p.vec_id" =!= $"c.vec_id")
+        .groupBy($"p.vec_id".as("vec_id"), $"c.vec_id".as("cand"))
+        .agg(min($"p.prn").as("prn"))
+      val scored = materialize(cands
+        .join(e.select($"vec_id", $"v", $"norm"), "vec_id")
+        .join(e.select($"vec_id".as("cand"), $"v".as("cv"),
+          $"norm".as("cnorm")), "cand")
+        .select($"vec_id", $"cand", $"prn",
+          (VecDot($"v", $"cv") / ($"norm" * $"cnorm")).as("cos")))
+      val pairs = e.as("a").crossJoin(e.as("b"))
+        .filter($"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
+          (VecDot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("cos"))
+      val truth = graft.plans.TopK.perKey(pairs,
+          keys = Seq($"vec_id"), order = Seq($"cos".desc, $"nbr".asc), k = 1)
+        .select($"vec_id", $"nbr".as("true_nbr"))
+      Seq(1L, 2L, 4L, 8L).map { p =>
+        val found = graft.plans.TopK.perKey(scored.filter($"prn" <= p),
+            keys = Seq($"vec_id"), order = Seq($"cos".desc, $"cand".asc), k = 1)
+          .select($"vec_id", $"cand".as("ivf_nbr"))
+        val cost = scored.filter($"prn" <= p)
+          .agg(count(lit(1)).as("total_candidates"))
+        truth.join(found, Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when($"ivf_nbr" === $"true_nbr", 1L).otherwise(0L)).as("n_hits"))
+          .crossJoin(broadcast(cost))
+          .select(lit(p).as("nprobe"), $"n_queries", $"n_hits",
+            expr("n_hits * 1000000 div n_queries").as("recall_ppm"),
+            $"total_candidates")
+      }.reduce(_ unionByName _).orderBy($"nprobe")
+    }),
+
     // embedding-cosine near-dup: exact all-pairs baseline at θ=0.45 (the
     // synthetic vectors have no planted dups, so the threshold sits at
     // the top of the natural similarity range); scale path = d6/d7
@@ -3882,6 +3951,110 @@ object LlmPipeline {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand ASC) AS rn
         |  FROM scored) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // d7's quantizer/cap/score CTE chain with the probe rank carried
+    // through; each nprobe level re-filters the one scored frame
+    "d39_ivf_probe_sweep" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(range(len(e.v)),
+        |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+        |  FROM e CROSS JOIN c0 c
+        |),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM s1) WHERE rn = 1
+        |),
+        |x1 AS (
+        |  SELECT a1.cid, e.v, unnest(range(len(e.v))) AS d
+        |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+        |),
+        |u1 AS (
+        |  SELECT cid, d,
+        |    CAST(SUM(CAST(v[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM x1 GROUP BY cid, d
+        |),
+        |c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM u1 GROUP BY cid),
+        |cn AS (
+        |  SELECT cid, cv,
+        |    sqrt(list_reduce(list_transform(cv, x -> x*x), (x, y) -> x + y)) AS cnorm
+        |  FROM c1
+        |),
+        |sims AS (
+        |  SELECT n.vec_id, c.cid,
+        |    list_reduce(list_transform(range(len(n.v)), i -> n.v[i+1]*c.cv[i+1]), (x, y) -> x + y)
+        |      / (n.norm * c.cnorm) AS sim
+        |  FROM n CROSS JOIN cn c
+        |),
+        |ranked AS (
+        |  SELECT vec_id, cid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        |  FROM sims
+        |),
+        |probes AS (SELECT vec_id, cid, rn AS prn FROM ranked WHERE rn <= 8),
+        |home AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+        |capped AS (
+        |  SELECT cid, vec_id FROM (
+        |    SELECT cid, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS brn
+        |    FROM home) WHERE brn <= $MaxBucketSize
+        |),
+        |cands AS (
+        |  SELECT p.vec_id, c.vec_id AS cand, MIN(p.prn) AS prn
+        |  FROM probes p JOIN capped c ON p.cid = c.cid AND p.vec_id <> c.vec_id
+        |  GROUP BY 1, 2
+        |),
+        |scored AS (
+        |  SELECT ca.vec_id, ca.cand, ca.prn,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM cands ca JOIN n a ON ca.vec_id = a.vec_id JOIN n b ON ca.cand = b.vec_id
+        |),
+        |bf AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |truth AS (
+        |  SELECT vec_id, nbr AS true_nbr FROM (
+        |    SELECT vec_id, nbr,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |    FROM bf) WHERE rn = 1
+        |),
+        |ks AS (SELECT k FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |                             (CAST(4 AS BIGINT)), (CAST(8 AS BIGINT))) t(k)),
+        |sel AS (SELECT ks.k AS nprobe, s.* FROM scored s JOIN ks ON s.prn <= ks.k),
+        |top AS (
+        |  SELECT nprobe, vec_id, cand AS ivf_nbr FROM (
+        |    SELECT nprobe, vec_id, cand,
+        |      ROW_NUMBER() OVER (PARTITION BY nprobe, vec_id ORDER BY cos DESC, cand ASC) AS rn
+        |    FROM sel) WHERE rn = 1
+        |),
+        |tc AS (SELECT nprobe, COUNT(*) AS total_candidates FROM sel GROUP BY 1)
+        |SELECT ks.k AS nprobe,
+        |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(CASE WHEN t.ivf_nbr = tr.true_nbr THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  SUM(CASE WHEN t.ivf_nbr = tr.true_nbr THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS recall_ppm,
+        |  CAST(MAX(tc.total_candidates) AS BIGINT) AS total_candidates
+        |FROM truth tr CROSS JOIN ks
+        |LEFT JOIN top t ON t.nprobe = ks.k AND t.vec_id = tr.vec_id
+        |JOIN tc ON tc.nprobe = ks.k
+        |GROUP BY ks.k
+        |ORDER BY ks.k""".stripMargin,
 
     "d8_dedup_embedding" ->
       """WITH e AS (

@@ -125,4 +125,28 @@ class AnnRecallSpec extends SparkTestBase {
     assert(LshSig.planes(nTables, bits, dim).map(_.toSeq).toSeq ==
       planes.map(_.toSeq).toSeq)
   }
+
+  test("d39: recall and cost are monotone in nprobe; the knee is informative") {
+    val rows = graft.SparkEntry.queries("d39_ivf_probe_sweep")(
+        spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    val nq = rows.head.getAs[Long]("n_queries")
+    assert(rows.forall(_.getAs[Long]("n_queries") == nq), "query universe drifted")
+    val rec = rows.map(_.getAs[Long]("recall_ppm"))
+    val cost = rows.map(_.getAs[Long]("total_candidates"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${rec.toSeq}")
+    assert(cost.zip(cost.tail).forall { case (a, b) => a <= b },
+      s"candidate volume not monotone: ${cost.toSeq}")
+    // informative curve: probing 1 cell must NOT already match probing 8
+    // (else the sweep proves nothing), and the full probe depth must
+    // clear the d7-class floor
+    assert(rec.head < rec.last, "sweep is flat — vacuous tuning table")
+    assert(rec.last >= 700000L, s"nprobe=8 recall ${rec.last} below 0.70 floor")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hits") * 1000000L / nq)
+    }
+  }
 }
