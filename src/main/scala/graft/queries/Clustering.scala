@@ -659,6 +659,59 @@ object Clustering {
           col("nbr_full"), col("nbr_trunc"))
         .orderBy(col("vec_id"))
     }),
+
+    // LABEL-MARGIN SEPARATION AUDIT — the supervised twin of c2's
+    // purity: c2 asks whether UNSUPERVISED clusters track labels; this
+    // asks whether the labels themselves are geometrically separable
+    // in embedding space — per vector, cosine to its OWN label
+    // centroid vs the best OTHER label centroid; a vector whose
+    // best-other beats its own is CONFUSED, and a label with high
+    // confused_ppm will leak across strata in any label-balanced
+    // mixture. Centroids are per-(label, dim) DECIMAL-stabilized means
+    // (the c1/d7 Lloyd idiom — bounded |labels|·dim frame) assembled
+    // into ordered arrays; cosines are the d5 left-fold kernel against
+    // the BROADCAST centroid table (|labels| rows — the corpus is
+    // never reshuffled); per-label means fold on the dyadic grid.
+    "e7_label_margin" -> ((s, dir) => {
+      import graft.functions.VecDot
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", sqrt(VecDot(col("v"), col("v"))))
+      val means = e.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg((sum(col("x").cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1))).as("m"))
+      val cent = means.groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)")
+          .as("cv"))
+        .withColumn("cnorm", sqrt(VecDot(col("cv"), col("cv"))))
+        .select(col("label").as("clabel"), col("cv"), col("cnorm"))
+      val sc = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          (VecDot(col("v"), col("cv")) / (col("norm") * col("cnorm"))).as("cos"))
+      val own = sc.filter(col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"), col("cos").as("own_cos"))
+      val other = graft.plans.TopK.perKey(
+          sc.filter(col("label") =!= col("clabel")),
+          keys = Seq(col("vec_id")),
+          order = Seq(col("cos").desc, col("clabel").asc), k = 1)
+        .select(col("vec_id"), col("cos").as("other_cos"))
+      own.join(other, Seq("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("other_cos") > col("own_cos"), 1L).otherwise(0L))
+            .as("n_confused"),
+          graft.ops.Num.fsum(col("own_cos")).as("own_cos_sum"),
+          graft.ops.Num.fsum(col("other_cos")).as("other_cos_sum"))
+        .select(col("label"), col("n_vecs"), col("n_confused"),
+          expr("n_confused * 1000000 div n_vecs").as("confused_ppm"),
+          col("own_cos_sum"), col("other_cos_sum"),
+          (col("own_cos_sum") / col("n_vecs").cast("double")).as("own_cos_mean"),
+          (col("other_cos_sum") / col("n_vecs").cast("double"))
+            .as("other_cos_mean"))
+        .orderBy(col("label"))
+    }),
   )
 
   // two Lloyd iterations unrolled as CTEs, shared by c1 and d20;
@@ -1076,5 +1129,58 @@ object Clustering {
         |JOIN (SELECT vec_id, nbr FROM rf WHERE rn = 1) f1 ON f1.vec_id = e.vec_id
         |JOIN (SELECT vec_id, nbr FROM rt WHERE rn = 1) t1 ON t1.vec_id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+
+    // per-(label, dim) DECIMAL means, ordered-list centroids, left-fold
+    // cosines, fsum-grid per-label sums
+    "e7_label_margin" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |mx AS (SELECT label, v, unnest(range(len(v))) AS d FROM e),
+        |u AS (
+        |  SELECT label, d,
+        |    CAST(SUM(CAST(v[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM mx GROUP BY label, d
+        |),
+        |c AS (SELECT label AS clabel, list(m ORDER BY d) AS cv FROM u GROUP BY label),
+        |cn AS (
+        |  SELECT clabel, cv,
+        |    sqrt(list_reduce(list_transform(cv, x -> x*x), (x, y) -> x + y)) AS cnorm
+        |  FROM c
+        |),
+        |sc AS (
+        |  SELECT n.vec_id, n.label, cn.clabel,
+        |    list_reduce(list_transform(range(len(n.v)), i -> n.v[i+1]*cn.cv[i+1]), (x, y) -> x + y)
+        |      / (n.norm * cn.cnorm) AS cos
+        |  FROM n CROSS JOIN cn
+        |),
+        |own AS (SELECT vec_id, label, cos AS own_cos FROM sc WHERE label = clabel),
+        |oth AS (
+        |  SELECT vec_id, cos AS other_cos FROM (
+        |    SELECT vec_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+        |    FROM sc WHERE label <> clabel) WHERE rn = 1
+        |),
+        |j AS (
+        |  SELECT o.label, o.own_cos, t.other_cos
+        |  FROM own o JOIN oth t ON o.vec_id = t.vec_id
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN other_cos > own_cos THEN 1 ELSE 0 END) AS BIGINT) AS n_confused,
+        |  SUM(CASE WHEN other_cos > own_cos THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS confused_ppm,
+        |  ${graft.ops.Num.fsumSql("own_cos")} AS own_cos_sum,
+        |  ${graft.ops.Num.fsumSql("other_cos")} AS other_cos_sum,
+        |  ${graft.ops.Num.fsumSql("own_cos")} / CAST(COUNT(*) AS DOUBLE) AS own_cos_mean,
+        |  ${graft.ops.Num.fsumSql("other_cos")} / CAST(COUNT(*) AS DOUBLE) AS other_cos_mean
+        |FROM j GROUP BY label
+        |ORDER BY label""".stripMargin,
   )
 }

@@ -3183,6 +3183,43 @@ object LlmPipeline {
     // probe is a broadcast left-semi. Shape: token stats and the median
     // window read ONE materialized projection; nothing corpus-sized
     // shuffles twice.
+    // SHARD MANIFEST — the artifact a training job actually consumes:
+    // per (split, shard), counts, token mass, id range, and an ORDER-
+    // INSENSITIVE content fingerprint (Σ of per-doc md5-derived int52
+    // over an exact DECIMAL accumulator — an additive checksum
+    // verifiable shard-by-shard without sorting or concatenating ids,
+    // the property that matters when a shard is written by 1000
+    // executors in arbitrary order). Splits are d31's LEAK-FREE rule
+    // (cluster-hash, so near-dup families never straddle splits);
+    // shards are doc-content-hashed within split (stable under corpus
+    // growth, unlike round-robin). A re-export that drops, duplicates,
+    // or swaps a doc moves n_docs or the fp; matching manifests mean
+    // byte-identical training input. Envelope: Σ int52 in DECIMAL(38,0)
+    // never overflows; DuckDB sums HUGEINT — both exact.
+    "p8_shard_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val labels = graft.ops.ConnectedComponents.run(
+          graft.queries.Graph.cachedEdges(s, dir, minShared = 5, maxDf = 100),
+          "d1", "d2")
+        .select(col("node").as("doc_id"), col("label"))
+      val h = substring(md5($"cluster_id".cast("string")), 1, 1)
+      graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce($"label", $"doc_id"))
+        .withColumn("split",
+          when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+        .withColumn("dh", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"))
+        .withColumn("shard", pmod($"dh", lit(4L)))
+        .groupBy($"split", $"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks($"text")).cast("long")).as("n_tokens"),
+          sum($"n_chars").as("total_chars"),
+          min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"),
+          sum($"dh".cast(DecimalType(38, 0))).as("content_fp"))
+        .orderBy($"split", $"shard")
+    }),
+
     "p6_dataset_card" -> ((s, dir) => {
       import s.implicits._
       val docs = materialize(graft.ops.Spread.fanout(Tables.documents(s, dir))
@@ -5183,6 +5220,59 @@ object LlmPipeline {
         |FROM m GROUP BY lf ORDER BY lf""".stripMargin,
 
     // cc1's loser set + one stats pass + the rank-picked lower median
+    // d31's recursive-closure split rule; the MSB-first hex fold
+    // replays conv(hex,16,10); HUGEINT sum mirrors the DECIMAL
+    // accumulator exactly
+    "p8_shard_manifest" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |prs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |lab AS (SELECT node AS doc_id, MIN(lbl) AS label FROM reach GROUP BY node),
+        |base AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    len(string_split_regex(lower(d.text), '\s+')) AS nt,
+        |    COALESCE(l.label, d.doc_id) AS cluster_id,
+        |    list_reduce(list_transform(range(13),
+        |      dd -> strpos('0123456789abcdef',
+        |             substr(md5(CAST(d.doc_id AS VARCHAR)), dd+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT AS dh
+        |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+        |),
+        |tagged AS (
+        |  SELECT *,
+        |    CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |         WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    dh % 4 AS shard
+        |  FROM base
+        |)
+        |SELECT split, CAST(shard AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+        |  SUM(dh) AS content_fp
+        |FROM tagged GROUP BY split, shard
+        |ORDER BY split, shard""".stripMargin,
+
     "p6_dataset_card" ->
       """WITH RECURSIVE dtok AS (
         |  SELECT doc_id, source, lang,

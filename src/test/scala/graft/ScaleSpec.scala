@@ -1019,6 +1019,56 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("p8: manifest replays locally (splits, shards, additive fingerprint)") {
+    val rows = SparkEntry.queries("p8_shard_manifest")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // local replay: union-find clusters → d31 split rule → md5 shard/fp
+    val pairs = graft.queries.Graph.cachedEdges(spark, sf0001, minShared = 5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "n_chars",
+        "CAST(size(split(lower(text), '\\\\s+')) AS LONG) AS nt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    case class Agg(var n: Long = 0, var nt: Long = 0, var ch: Long = 0,
+      var mn: Long = Long.MaxValue, var mx: Long = Long.MinValue,
+      var fp: BigInt = BigInt(0))
+    val acc = scala.collection.mutable.Map.empty[(String, Long), Agg]
+    docs.foreach { case (id, nc, nt) =>
+      val cluster = if (parent.contains(id)) find(id) else id
+      val h = md5hex(cluster.toString).charAt(0)
+      val split = if (h < 'c') "train" else if (h < 'e') "val" else "test"
+      val dh = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16)
+      val a = acc.getOrElseUpdate((split, dh % 4), Agg())
+      a.n += 1; a.nt += nt; a.ch += nc
+      a.mn = math.min(a.mn, id); a.mx = math.max(a.mx, id); a.fp += dh
+    }
+    assert(rows.length == acc.size, s"${rows.length} cells vs local ${acc.size}")
+    rows.foreach { r =>
+      val key = (r.getAs[String]("split"), r.getAs[Long]("shard"))
+      val a = acc(key)
+      assert(r.getAs[Long]("n_docs") == a.n, s"$key n_docs")
+      assert(r.getAs[Long]("n_tokens") == a.nt, s"$key n_tokens")
+      assert(r.getAs[Long]("total_chars") == a.ch, s"$key total_chars")
+      assert(r.getAs[Long]("min_doc_id") == a.mn && r.getAs[Long]("max_doc_id") == a.mx)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("content_fp").toBigInteger) == a.fp,
+        s"$key fingerprint")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    assert(rows.map(_.getAs[String]("split")).distinct.sorted.sameElements(
+      Array("test", "train", "val")), "a split is empty")
+  }
+
   test("q73: cover-expansion WAU equals brute-force trailing-7-day distinct") {
     val rows = SparkEntry.queries("q73_rolling_active_users")(spark, sf0001).collect()
     assert(rows.nonEmpty)
