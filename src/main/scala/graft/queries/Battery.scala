@@ -1516,6 +1516,41 @@ object Battery {
         .select($"day", coalesce($"dau", lit(0L)).as("dau"), $"wau_7d")
         .orderBy($"day")
     }),
+
+    // RANGE-PARTITIONER PLANNING made explicit — the step behind every
+    // repartitionByRange/global sort: pick split points that balance
+    // rows per range. Spark samples for this; here the EXACT version
+    // via the s15 histogram idiom: aggregate the sort key to a bounded
+    // integer grain (whole dollars — the grain IS the scale knob: the
+    // cumsum window sorts the value histogram, never rows), nearest-
+    // rank split points b_i = min v with cum·8 ≥ tot·i, then each
+    // histogram cell's range id = #boundaries ≤ v via a 7-row
+    // broadcast join. Output is the partition plan an engineer audits
+    // before a 100 TB sort: per range, bounds, row count, and load
+    // vs the ideal 1/8 share in exact integer ppm (load_x_ideal_ppm =
+    // n·8·10⁶/tot — 10⁶ means perfectly balanced).
+    "q74_range_partition_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val h = Tables.lineitem(s, dir)
+        .select(expr("CAST(round(l_extendedprice) AS BIGINT)").as("dollars"))
+        .groupBy($"dollars").agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy($"dollars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum($"cnt").over(wc))
+        .crossJoin(broadcast(h.agg(sum($"cnt").as("tot"))))
+      val ks = (1 to 7).map(_.toLong).toDF("i")
+      val bounds = cum.join(broadcast(ks), $"cum" * 8 >= $"tot" * $"i")
+        .groupBy($"i").agg(min($"dollars").as("b"))
+      h.join(broadcast(bounds), $"dollars" >= $"b", "left")
+        .groupBy($"dollars", $"cnt").agg(count($"b").as("range_id"))
+        .groupBy($"range_id")
+        .agg(min($"dollars").as("lo_dollars"), max($"dollars").as("hi_dollars"),
+          sum($"cnt").as("n_rows"))
+        .crossJoin(broadcast(h.agg(sum($"cnt").as("tot"))))
+        .select($"range_id", $"lo_dollars", $"hi_dollars", $"n_rows",
+          expr("n_rows * 8 * 1000000 div tot").as("load_x_ideal_ppm"))
+        .orderBy($"range_id")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -2347,5 +2382,37 @@ object Battery {
         |  CAST(w.wau_7d AS BIGINT) AS wau_7d
         |FROM wau w LEFT JOIN dau d ON d.day = w.day
         |ORDER BY w.day""".stripMargin,
+
+    // the same dollar-grain histogram, nearest-rank split points,
+    // boundary-count range assignment
+    "q74_range_partition_histogram" ->
+      """WITH h AS (
+        |  SELECT CAST(round(l_extendedprice) AS BIGINT) AS dollars, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |),
+        |tot AS (SELECT SUM(cnt) AS tot FROM h),
+        |c AS (
+        |  SELECT dollars, cnt,
+        |    SUM(cnt) OVER (ORDER BY dollars ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h
+        |),
+        |ks AS (SELECT unnest(range(1, 8)) AS i),
+        |bounds AS (
+        |  SELECT i, MIN(dollars) AS b
+        |  FROM c CROSS JOIN tot JOIN ks ON c.cum * 8 >= tot.tot * ks.i
+        |  GROUP BY i
+        |),
+        |asg AS (
+        |  SELECT h.dollars, h.cnt, COUNT(b.b) AS range_id
+        |  FROM h LEFT JOIN bounds b ON h.dollars >= b.b
+        |  GROUP BY h.dollars, h.cnt
+        |)
+        |SELECT CAST(range_id AS BIGINT) AS range_id,
+        |  MIN(dollars) AS lo_dollars, MAX(dollars) AS hi_dollars,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  SUM(cnt) * 8 * 1000000 // tot.tot AS load_x_ideal_ppm
+        |FROM asg CROSS JOIN tot
+        |GROUP BY range_id, tot.tot
+        |ORDER BY range_id""".stripMargin,
   )
 }

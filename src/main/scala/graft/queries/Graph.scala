@@ -626,6 +626,38 @@ object Graph {
             .as("jaccard"))
         .orderBy(col("u"), col("w"))
     }),
+
+    // PER-COMPONENT ECCENTRICITY — the shape diagnostic for cc1's
+    // clusters: a component with ecc 1 from its representative is a
+    // star/clique (one template family — safe to collapse); ecc ≥ 3
+    // means a CHAIN of pairwise-similar docs whose ends may share
+    // nothing (the transitive-closure false-merge cc2's policy should
+    // be audited on). One multi-source BFS carries ALL representatives
+    // at once (gr10's frontier machinery — per-round work is the
+    // frontier's edge neighborhood, never per-cluster passes); a rep
+    // only reaches its own component, so the label join is a
+    // consistency constraint, not a filter. n_reached vs cc1's member
+    // count rides along — equality is the connectivity proof.
+    "gr15_component_eccentricity" -> ((s, dir) => {
+      val pairs = cachedEdges(s, dir, minShared = 5, maxDf = 100)
+      val sym = Materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .union(pairs.select(col("d2").as("a"), col("d1").as("b"))))
+      val labels = ConnectedComponents.run(pairs, "d1", "d2")
+      val reps = labels.filter(col("node") === col("label"))
+        .select(col("label").as("src"))
+      val hops = bfsHopsPerSource(sym, reps, rounds = 8)
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      hops
+        .join(labels.select(col("node"), col("label").as("src")),
+          Seq("src", "node"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_reached"), max(col("hops")).as("ecc"))
+        .join(sizes, col("src") === col("label"))
+        .select(col("src").as("cluster_id"), col("n_members"),
+          col("n_reached"), col("ecc"),
+          (col("n_reached") === col("n_members")).as("fully_connected"))
+        .orderBy(col("cluster_id"))
+    }),
   )
 
   /** `rounds` synchronous label-propagation steps over a SYMMETRIC
@@ -1449,5 +1481,49 @@ object Graph {
         |  CAST(m.cn AS DOUBLE) / CAST(du.degree + dw.degree - m.cn AS DOUBLE) AS jaccard
         |FROM miss m JOIN deg du ON du.a = m.u JOIN deg dw ON dw.a = m.w
         |ORDER BY m.u, m.w""".stripMargin,
+
+    // transitive-closure labels name the representatives; one recursive
+    // BFS seeded with ALL of them, min hop per (src, node)
+    "gr15_component_eccentricity" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |e0 AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |cl(node, lbl) AS (
+        |  SELECT a, a FROM e0
+        |  UNION
+        |  SELECT e.a, r.lbl FROM e0 e JOIN cl r ON e.b = r.node
+        |),
+        |lab AS (SELECT node, MIN(lbl) AS label FROM cl GROUP BY node),
+        |reps AS (SELECT DISTINCT label AS src FROM lab),
+        |reach(src, node, d) AS (
+        |  SELECT src, src, 0 FROM reps
+        |  UNION
+        |  SELECT r.src, e.b, r.d + 1 FROM e0 e JOIN reach r ON e.a = r.node
+        |  WHERE r.d < 8
+        |),
+        |hops AS (SELECT src, node, MIN(d) AS hops FROM reach GROUP BY src, node),
+        |sizes AS (SELECT label, COUNT(*) AS n_members FROM lab GROUP BY label)
+        |SELECT h.src AS cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+        |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(MAX(h.hops) AS BIGINT) AS ecc,
+        |  COUNT(*) = s.n_members AS fully_connected
+        |FROM hops h
+        |JOIN lab l ON l.node = h.node AND l.label = h.src
+        |JOIN sizes s ON s.label = h.src
+        |GROUP BY h.src, s.n_members
+        |ORDER BY cluster_id""".stripMargin,
   )
 }

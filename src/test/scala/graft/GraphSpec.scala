@@ -417,4 +417,32 @@ class GraphSpec extends SparkTestBase {
          if adj(u).intersect(adj(w)).size >= 2)
       assert(got.contains((u, w)), s"missing predicted link ($u,$w)")
   }
+
+  test("gr15: eccentricities equal local BFS from each representative") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("gr15_component_eccentricity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val adj = graft.queries.Graph.cachedEdges(spark, dir, minShared = 5, maxDf = 100)
+      .collect().flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val rep = r.getAs[Long]("cluster_id")
+      // local BFS
+      var seen = Map(rep -> 0)
+      var frontier = Set(rep)
+      var d = 0
+      while (frontier.nonEmpty && d < 8) {
+        d += 1
+        val next = frontier.flatMap(adj).filterNot(seen.contains)
+        next.foreach(n => seen += n -> d)
+        frontier = next
+      }
+      assert(r.getAs[Long]("n_reached") == seen.size.toLong, s"rep $rep reach")
+      assert(r.getAs[Long]("ecc") == seen.values.max.toLong, s"rep $rep ecc")
+      assert(r.getAs[Boolean]("fully_connected"),
+        s"rep $rep: component not fully reached — BFS round cap too low")
+      assert(r.getAs[Long]("n_members") >= 2L)
+      assert(r.getAs[Long]("ecc") >= 1L)
+    }
+  }
 }

@@ -1069,6 +1069,40 @@ class ScaleSpec extends SparkTestBase {
       Array("test", "train", "val")), "a split is empty")
   }
 
+  test("q74: split points replay locally; ranges are contiguous and balanced") {
+    val rows = SparkEntry.queries("q74_range_partition_histogram")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("range_id"))
+    assert(rows.map(_.getAs[Long]("range_id")).toSeq == (0L to 7L))
+    val vals = graft.sources.Tables.lineitem(spark, sf0001)
+      .selectExpr("CAST(round(l_extendedprice) AS BIGINT) AS d")
+      .collect().map(_.getLong(0)).sorted
+    val tot = vals.length.toLong
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == tot)
+    // local nearest-rank split points on the same dollar grain
+    val hist = vals.groupBy(identity).map { case (v, c) => v -> c.length.toLong }
+      .toSeq.sortBy(_._1)
+    val cums = hist.scanLeft((0L, 0L)) { case ((_, c), (v, n)) => (v, c + n) }.drop(1)
+    val bounds = (1 to 7).map(i => cums.find(_._2 * 8 >= tot * i).get._1)
+    rows.foreach { r =>
+      val rid = r.getAs[Long]("range_id").toInt
+      val inRange = hist.filter { case (v, _) => bounds.count(v >= _) == rid }
+      assert(r.getAs[Long]("n_rows") == inRange.map(_._2).sum, s"range $rid rows")
+      assert(r.getAs[Long]("lo_dollars") == inRange.map(_._1).min, s"range $rid lo")
+      assert(r.getAs[Long]("hi_dollars") == inRange.map(_._1).max, s"range $rid hi")
+      assert(r.getAs[Long]("load_x_ideal_ppm") ==
+        r.getAs[Long]("n_rows") * 8L * 1000000L / tot)
+    }
+    // contiguity + rough balance at the dollar grain
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_dollars") < b.getAs[Long]("lo_dollars"))
+    }
+    rows.foreach { r =>
+      val load = r.getAs[Long]("load_x_ideal_ppm")
+      assert(load > 300000L && load < 3000000L,
+        s"range ${r.getAs[Long]("range_id")} load $load wildly unbalanced")
+    }
+  }
+
   test("q73: cover-expansion WAU equals brute-force trailing-7-day distinct") {
     val rows = SparkEntry.queries("q73_rolling_active_users")(spark, sf0001).collect()
     assert(rows.nonEmpty)
