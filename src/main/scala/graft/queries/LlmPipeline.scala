@@ -1723,6 +1723,37 @@ object LlmPipeline {
         .orderBy($"k")
     }),
 
+    // CHARACTER-TRIGRAM LANGUAGE PROFILE — the feature table behind
+    // every n-gram language identifier (Cavnar–Trenkle): per language,
+    // the top-5 character 3-grams of whitespace-normalized text with
+    // counts and in-language frequency ppm. t3 classifies with a word
+    // list; this builds the statistical profile a real langid model
+    // trains from (and the table to diff when a new corpus's profile
+    // drifts off a reference). Shape: one explode → (lang, gram)
+    // map-side-combining count; the top-5 cut is the map-side-heap
+    // TopKPerKey per lang; the rank window then sorts 5 rows per
+    // language, not the gram table. Exact integers throughout.
+    "t35_char_trigram_profile" -> ((s, dir) => {
+      import s.implicits._
+      val grams = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"lang",
+          regexp_replace(lower($"text"), "\\s+", " ").as("t"))
+        .filter(length($"t") >= 3)
+        .select($"lang", explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .as("gram"))
+        .groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
+      val tot = grams.groupBy($"lang").agg(sum($"cnt").as("tot"))
+      val top = graft.plans.TopK.perKey(grams,
+        keys = Seq($"lang"), order = Seq($"cnt".desc, $"gram".asc), k = 5)
+      val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"gram".asc)
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .join(tot, Seq("lang"))
+        .select($"lang", $"rk", $"gram", $"cnt",
+          expr("cnt * 1000000 div tot").as("freq_ppm"))
+        .orderBy($"lang", $"rk")
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -2114,6 +2145,63 @@ object LlmPipeline {
           })
         }
         .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy($"doc_id")
+    }),
+
+    // FLIP AUGMENTATION through the REAL codec — the geometric
+    // transform every vision-training ingest applies, with the m16
+    // double-roundtrip contract: paint → PNG encode → decode → flip
+    // horizontally (built from the DECODED pixels, not the formula) →
+    // RE-ENCODE → decode again → reduce. The flip-INVARIANT channel
+    // mass proves the roundtrip lossless; the POSITION-WEIGHTED red
+    // mass Σ x·r(x,y) is the flip detector — the oracle computes it
+    // from the mirrored paint formula (x ↔ w−1−x), so an "augmenter"
+    // that forgets to flip, mirrors the wrong axis, or clips a column
+    // cannot stay green. Scale: batch-shaped embarrassingly-parallel
+    // codec passes; reductions stay integer (x·255·w·h ≤ 2^20/doc).
+    "m17_flip_augmentation" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = 8 + (id % 16).toInt
+            val h = 8 + (id % 11).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (x <- 0 until w; y <- 0 until h)
+              img.setRGB(x, y,
+                ((id * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "png")
+      pngs.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (im.getWidth, im.getHeight)
+            val flipped = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (x <- 0 until w; y <- 0 until h)
+              flipped.setRGB(w - 1 - x, y, im.getRGB(x, y))
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(flipped, "png", bos)
+            val im2 = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            var sumR = 0L; var xwR = 0L
+            for (x <- 0 until w; y <- 0 until h) {
+              val r = (im2.getRGB(x, y) >> 16) & 255
+              sumR += r; xwR += x.toLong * r
+            }
+            (id, w, h, sumR, xwR)
+          })
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "xw_r_flipped")
         .orderBy($"doc_id")
     }),
 
@@ -4339,6 +4427,31 @@ object LlmPipeline {
     "t19_bpe_tokenize" -> bpeTokenizeOracleSql(BpeSteps),
     "t33_tokenizer_fertility" -> bpeFertilityOracleSql(BpeSteps),
 
+    // same whitespace normalization, 1-indexed substring trigrams,
+    // (cnt DESC, gram ASC) total order
+    "t35_char_trigram_profile" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(t) - 1), i -> substr(t, i, 3))) AS gram
+        |  FROM t WHERE len(t) >= 3
+        |),
+        |c AS (SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(cnt) AS tot FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT lang, gram, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rk
+        |  FROM c
+        |)
+        |SELECT r.lang, CAST(r.rk AS BIGINT) AS rk, r.gram,
+        |  CAST(r.cnt AS BIGINT) AS cnt,
+        |  r.cnt * 1000000 // tot.tot AS freq_ppm
+        |FROM r JOIN tot ON tot.lang = r.lang
+        |WHERE r.rk <= 5
+        |ORDER BY r.lang, r.rk""".stripMargin,
+
     // full-vocab rank at oracle scale stands in for the TakeOrdered
     // heavy-hitter cut; same (cnt DESC, term ASC) total order
     "t34_vocab_coverage" ->
@@ -4626,6 +4739,25 @@ object LlmPipeline {
         |  CAST(SUM((v >> 16) & 255) AS BIGINT) AS sum_r,
         |  CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
         |  CAST(SUM(v & 255) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrored paint formula: flipped pixel (x,y) carries original
+    // column w-1-x; sum_r is flip-invariant, the x-weighted mass isn't
+    "m17_flip_augmentation" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        |    CAST(8 + doc_id % 11 AS INT) AS height
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, width, height, x, y,
+        |    ((doc_id * 2654435761 + (width - 1 - x) * 31 + y * 17) >> 16) & 255 AS r
+        |  FROM (SELECT doc_id, width, height, unnest(range(width)) AS x FROM dims)
+        |  CROSS JOIN LATERAL (SELECT unnest(range(height)) AS y)
+        |)
+        |SELECT doc_id, ANY_VALUE(width) AS width, ANY_VALUE(height) AS height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(x * r) AS BIGINT) AS xw_r_flipped
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // patch grid replayed arithmetically from the painted-pixel

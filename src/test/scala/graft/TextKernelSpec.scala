@@ -134,4 +134,29 @@ class TextKernelSpec extends SparkTestBase {
     assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "not monotone")
     assert(rows.last.getAs[Long]("covered_tokens") == total, "k=1000 must saturate")
   }
+
+  test("t35: per-language trigram profile equals a local replay") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("t35_char_trigram_profile")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val local = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("lang", "regexp_replace(lower(text), '\\\\s+', ' ') AS t")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.length >= 3)
+      .flatMap { case (l, t) => (0 to t.length - 3).map(i => (l, t.substring(i, i + 3))) }
+    val counts = local.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tots = local.groupBy(_._1).map { case (l, v) => l -> v.length.toLong }
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val want = counts.filter(_._1._1 == l).toSeq
+        .sortBy { case ((_, g), c) => (-c, g) }.take(5)
+      sorted.zip(want).foreach { case (r, ((_, g), c)) =>
+        assert(r.getAs[String]("gram") == g, s"$l rank ${r.getAs[Long]("rk")} gram")
+        assert(r.getAs[Long]("cnt") == c)
+        assert(r.getAs[Long]("freq_ppm") == c * 1000000L / tots(l))
+      }
+    }
+  }
 }
