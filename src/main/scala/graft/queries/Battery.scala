@@ -1551,6 +1551,41 @@ object Battery {
           expr("n_rows * 8 * 1000000 div tot").as("load_x_ideal_ppm"))
         .orderBy($"range_id")
     }),
+
+    // TOP USER JOURNEYS — 3-step path mining inside sessions (q66
+    // counted 2-step transitions; the 3-step table is where funnels
+    // and loops become visible: view→click→purchase vs
+    // click→error→click). Sessionization is s3/q66's EXACT lag/cumsum
+    // algebra (one definition family); paths come from two more lags
+    // over the SAME session-keyed sort — no self-joins, no sequence
+    // explosion; the global top-10 is TakeOrdered under the total
+    // order (n DESC, then the three steps ASC). All integer counts.
+    "q75_top_paths" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          expr("unix_micros(ts)").as("us"), $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val sess = e
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_s",
+          when($"prev_us".isNull || $"us" - $"prev_us" >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum($"new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wts = Window.partitionBy($"user_id", $"sid").orderBy($"us", $"event_id")
+      sess
+        .withColumn("s1", lag($"event_type", 2).over(wts))
+        .withColumn("s2", lag($"event_type", 1).over(wts))
+        .filter($"s1".isNotNull)
+        .groupBy($"s1", $"s2", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"s1".asc, $"s2".asc, $"event_type".asc)
+        .limit(10)
+        .select($"s1".as("step1"), $"s2".as("step2"),
+          $"event_type".as("step3"), $"n")
+        .orderBy($"n".desc, $"step1".asc, $"step2".asc, $"step3".asc)
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -2414,5 +2449,35 @@ object Battery {
         |FROM asg CROSS JOIN tot
         |GROUP BY range_id, tot.tot
         |ORDER BY range_id""".stripMargin,
+
+    // q66's session CTE, two lags deeper, total-order top-10
+    "q75_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1 AS us, event_id FROM events
+        |),
+        |s AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |    FROM e
+        |  )
+        |),
+        |t AS (
+        |  SELECT LAG(event_type, 2) OVER win AS s1,
+        |    LAG(event_type, 1) OVER win AS s2,
+        |    event_type AS s3
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+        |),
+        |c AS (
+        |  SELECT s1 AS step1, s2 AS step2, s3 AS step3, COUNT(*) AS n
+        |  FROM t WHERE s1 IS NOT NULL GROUP BY 1, 2, 3
+        |)
+        |SELECT step1, step2, step3, CAST(n AS BIGINT) AS n
+        |FROM c ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
   )
 }

@@ -1723,6 +1723,38 @@ object LlmPipeline {
         .orderBy($"k")
     }),
 
+    // BPE RULE SURVIVAL — the tokenizer-audit b2's compression curve
+    // doesn't show: a merge learned at step k can be CANNIBALIZED by a
+    // later merge that absorbs its output symbol, so "how often was
+    // this rule applied in training" (the persisted cnt) and "how much
+    // corpus mass still carries its symbol after full tokenization"
+    // are different numbers — the gap is dead vocabulary. Reads BOTH
+    // persisted artifacts (rules + final syms — zero retraining), one
+    // distinct (word, sym) projection joined to the 5-row rule table,
+    // occurrence mass from the word-frequency aggregate. Exact
+    // integers; ppm of total corpus occurrences.
+    "b3_bpe_rule_survival" -> ((s, dir) => {
+      import s.implicits._
+      val (rules, syms) = cachedBpe(s, dir, BpeSteps)
+      val freq = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select(explode(toks($"text")).as("word"))
+        .filter(length($"word") >= 1)
+        .groupBy($"word").agg(count(lit(1)).as("occ"))
+      val ws = syms.select($"word", $"sym").distinct()
+      val tot = freq.agg(sum($"occ").as("tot"))
+      rules.select($"step", concat($"lhs", $"rhs").as("msym"), $"cnt")
+        .join(ws.withColumnRenamed("sym", "msym"), Seq("msym"), "left")
+        .join(freq, Seq("word"), "left")
+        .groupBy($"step", $"msym", $"cnt")
+        .agg(count($"word").as("n_words_surviving"),
+          coalesce(sum($"occ"), lit(0L)).as("occ_surviving"))
+        .crossJoin(broadcast(tot))
+        .select($"step", $"msym", $"cnt".as("train_cnt"),
+          $"n_words_surviving", $"occ_surviving",
+          expr("occ_surviving * 1000000 div tot").as("surv_ppm"))
+        .orderBy($"step")
+    }),
+
     // CHARACTER-TRIGRAM LANGUAGE PROFILE — the feature table behind
     // every n-gram language identifier (Cavnar–Trenkle): per language,
     // the top-5 character 3-grams of whitespace-normalized text with
@@ -4488,6 +4520,33 @@ object LlmPipeline {
           |  total_syms * 1000000
           |    // (SELECT total_syms FROM curve WHERE after_merges = 0) AS compression_ppm
           |FROM curve ORDER BY after_merges""".stripMargin
+    },
+
+    // the trainer CTE's per-step rules joined against the FINAL symbol
+    // table; survival mass from the word-frequency aggregate
+    "b3_bpe_rule_survival" -> {
+      val ruleUnion = (1 to BpeSteps)
+        .map(k => s"SELECT lhs, rhs, cnt, step FROM r$k")
+        .mkString("\nUNION ALL\n")
+      bpeCtes(BpeSteps) + ",\nrules AS (\n" + ruleUnion + "\n)," +
+        s"""
+          |ws AS (SELECT DISTINCT word, sym FROM c$BpeSteps),
+          |tot AS (SELECT SUM(freq) AS tot FROM w),
+          |surv AS (
+          |  SELECT ru.step, ru.lhs || ru.rhs AS msym, ru.cnt,
+          |    COUNT(ws.word) AS n_words_surviving,
+          |    COALESCE(SUM(w.freq), 0) AS occ_surviving
+          |  FROM rules ru
+          |  LEFT JOIN ws ON ws.sym = ru.lhs || ru.rhs
+          |  LEFT JOIN w ON w.word = ws.word
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT CAST(step AS BIGINT) AS step, msym,
+          |  CAST(cnt AS BIGINT) AS train_cnt,
+          |  CAST(n_words_surviving AS BIGINT) AS n_words_surviving,
+          |  CAST(occ_surviving AS BIGINT) AS occ_surviving,
+          |  occ_surviving * 1000000 // tot.tot AS surv_ppm
+          |FROM surv CROSS JOIN tot ORDER BY step""".stripMargin
     },
 
     "d19_snapshot_diff" ->

@@ -111,4 +111,40 @@ class BpeSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("ab" -> 1L, "cd" -> 2L))
   }
+
+  test("b3: survival mass is consistent with the artifacts; one row per rule") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("b3_bpe_rule_survival")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[Long]("step")).toSeq == (1L to rows.length),
+      "one row per trained step, in order")
+    assert(rows.nonEmpty)
+    // replay against the corpus: a rule's surviving words are exactly
+    // the distinct words whose FINAL tokenization (t19's word->syms
+    // view) contains the merged symbol
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("explode(split(lower(text), '\\\\s+')) AS word")
+      .where("length(word) >= 1").collect().map(_.getString(0))
+    val occ = docs.groupBy(identity).map { case (w, v) => w -> v.length.toLong }
+    val tot = docs.length.toLong
+    val symsByWord = graft.queries.LlmPipeline
+      .bpeSegment(graft.sources.Tables.documents(spark, dir), 5)
+      .groupBy(org.apache.spark.sql.functions.col("word"))
+      .agg(org.apache.spark.sql.functions.collect_set(
+        org.apache.spark.sql.functions.col("sym")).as("ss"))
+      .collect().map(r => r.getAs[String]("word") -> r.getSeq[String](1).toSet)
+      .toMap
+    rows.foreach { r =>
+      val msym = r.getAs[String]("msym")
+      assert(msym.length >= 2, "merged symbol must be a real merge")
+      val words = symsByWord.filter(_._2.contains(msym)).keys.toSeq
+      assert(r.getAs[Long]("n_words_surviving") == words.length.toLong,
+        s"step ${r.getAs[Long]("step")} words")
+      assert(r.getAs[Long]("occ_surviving") == words.map(occ).sum,
+        s"step ${r.getAs[Long]("step")} occ")
+      assert(r.getAs[Long]("surv_ppm") ==
+        r.getAs[Long]("occ_surviving") * 1000000L / tot)
+      assert(r.getAs[Long]("train_cnt") > 0L)
+    }
+  }
 }

@@ -1069,6 +1069,38 @@ class ScaleSpec extends SparkTestBase {
       Array("test", "train", "val")), "a split is empty")
   }
 
+  test("q75: top paths equal a local sessionized replay") {
+    val rows = SparkEntry.queries("q75_top_paths")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val triples = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    ev.groupBy(_._1).values.foreach { es =>
+      val seq = es.sortBy(t => (t._3, t._4))
+      var sid = 0L; var prev = Long.MinValue
+      val withSid = seq.map { e =>
+        if (prev == Long.MinValue || e._3 - prev >= 1800000000L) sid += 1
+        prev = e._3
+        (sid, e._2)
+      }
+      withSid.groupBy(_._1).values.foreach { ses =>
+        val types = ses.map(_._2)
+        types.sliding(3).filter(_.length == 3).foreach { w =>
+          val k = (w(0), w(1), w(2))
+          triples(k) = triples.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val want = triples.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+    rows.zip(want).foreach { case (r, ((a, b, c), n)) =>
+      assert(r.getAs[String]("step1") == a && r.getAs[String]("step2") == b &&
+        r.getAs[String]("step3") == c, s"path order mismatch")
+      assert(r.getAs[Long]("n") == n)
+    }
+  }
+
   test("q74: split points replay locally; ranges are contiguous and balanced") {
     val rows = SparkEntry.queries("q74_range_partition_histogram")(spark, sf0001)
       .collect().sortBy(_.getAs[Long]("range_id"))
