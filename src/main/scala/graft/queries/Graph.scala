@@ -600,7 +600,7 @@ object Graph {
     // cn ≥ 2 floor is the pigeonhole: one shared neighbor is noise at
     // list-truncation boundaries, two is structure.
     "gr14_link_prediction" -> ((s, dir) => {
-      val knn = Materialize(LlmPipeline.queries("d5_cosine_topk")(s, dir)
+      val knn = Materialize(LlmPipeline.cachedKnn(s, dir)
         .select(col("vec_id"), col("nbr")))
       val mut = Materialize(knn.as("a").join(knn.as("b"),
           col("a.vec_id") === col("b.nbr") && col("a.nbr") === col("b.vec_id"))
@@ -645,7 +645,10 @@ object Graph {
       val labels = ConnectedComponents.run(pairs, "d1", "d2")
       val reps = labels.filter(col("node") === col("label"))
         .select(col("label").as("src"))
-      val hops = bfsHopsPerSource(sym, reps, rounds = 8)
+      // rounds = 4 (gr5/gr10's radius): measured max ecc at sf0.1 is 2;
+      // the fully_connected column + n_reached == n_members goes loudly
+      // false if a deeper component ever outgrows the cap
+      val hops = bfsHopsPerSource(sym, reps, rounds = 4)
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
       hops
         .join(labels.select(col("node"), col("label").as("src")),
@@ -1512,7 +1515,7 @@ object Graph {
         |  SELECT src, src, 0 FROM reps
         |  UNION
         |  SELECT r.src, e.b, r.d + 1 FROM e0 e JOIN reach r ON e.a = r.node
-        |  WHERE r.d < 8
+        |  WHERE r.d < 4
         |),
         |hops AS (SELECT src, node, MIN(d) AS hops FROM reach GROUP BY src, node),
         |sizes AS (SELECT label, COUNT(*) AS n_members FROM lab GROUP BY label)

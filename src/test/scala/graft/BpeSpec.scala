@@ -115,8 +115,8 @@ class BpeSpec extends SparkTestBase {
   test("b3: survival mass is consistent with the artifacts; one row per rule") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("b3_bpe_rule_survival")(spark, dir)
-      .collect().sortBy(_.getAs[Long]("step"))
-    assert(rows.map(_.getAs[Long]("step")).toSeq == (1L to rows.length),
+      .collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.map(_.getAs[Int]("step").toLong).toSeq == (1L to rows.length),
       "one row per trained step, in order")
     assert(rows.nonEmpty)
     // replay against the corpus: a rule's surviving words are exactly
@@ -139,9 +139,9 @@ class BpeSpec extends SparkTestBase {
       assert(msym.length >= 2, "merged symbol must be a real merge")
       val words = symsByWord.filter(_._2.contains(msym)).keys.toSeq
       assert(r.getAs[Long]("n_words_surviving") == words.length.toLong,
-        s"step ${r.getAs[Long]("step")} words")
+        s"step ${r.getAs[Int]("step")} words")
       assert(r.getAs[Long]("occ_surviving") == words.map(occ).sum,
-        s"step ${r.getAs[Long]("step")} occ")
+        s"step ${r.getAs[Int]("step")} occ")
       assert(r.getAs[Long]("surv_ppm") ==
         r.getAs[Long]("occ_surviving") * 1000000L / tot)
       assert(r.getAs[Long]("train_cnt") > 0L)
