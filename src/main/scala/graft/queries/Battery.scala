@@ -1586,6 +1586,48 @@ object Battery {
           $"event_type".as("step3"), $"n")
         .orderBy($"n".desc, $"step1".asc, $"step2".asc, $"step3".asc)
     }),
+
+    // PERCENTILE_CONT (SQL:2008 continuous percentile) at q ∈
+    // {25,50,75} — q27 gives the discrete (nearest-value) form and
+    // q33 the sketch approximation; this is the interpolating form
+    // BI tools default to, made EXACTLY portable by keeping the
+    // interpolation DYADIC: at quarter percentiles the fractional
+    // position is rem/4 with rem ∈ {0..3}, so the interpolated value
+    // is (v_lo·(4−rem) + v_hi·rem)/4 — exact int64 numerator, ONE
+    // double division, no float lerp to drift cross-engine. Shape:
+    // one per-flag rank window (the sort a percentile inherently
+    // needs), the 12-row mark table broadcasts, and BOTH order
+    // statistics come from a single scan of the ranked frame
+    // (conditional agg on rn = idx_lo/idx_hi).
+    "q76_percentile_cont" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.lineitem(s, dir)
+        .select($"l_returnflag".as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          $"l_orderkey", $"l_linenumber")
+      val w = Window.partitionBy($"flag")
+        .orderBy($"cents".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      val ranked = graft.ops.Materialize(
+        base.withColumn("rn", row_number().over(w).cast("long"))
+          .select($"flag", $"rn", $"cents"))
+      val n = ranked.groupBy($"flag").agg(max($"rn").as("n"))
+      val marks = n.crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("k")))
+        .withColumn("pos4", ($"n" - 1) * $"k")
+        .withColumn("idx_lo", expr("pos4 div 4"))
+        .withColumn("rem", expr("pos4 % 4"))
+        .withColumn("idx_hi", when($"rem" > 0, $"idx_lo" + 1).otherwise($"idx_lo"))
+      val m = broadcast(marks.select($"flag".as("mflag"), $"k", $"n",
+        $"rem", $"idx_lo", $"idx_hi"))
+      ranked.join(m, $"flag" === $"mflag" &&
+          ($"rn" === $"idx_lo" + 1 || $"rn" === $"idx_hi" + 1))
+        .groupBy($"flag", $"k", $"n", $"rem")
+        .agg(max(when($"rn" === $"idx_lo" + 1, $"cents")).as("v_lo"),
+          max(when($"rn" === $"idx_hi" + 1, $"cents")).as("v_hi"))
+        .withColumn("num4", $"v_lo" * (lit(4L) - $"rem") + $"v_hi" * $"rem")
+        .select($"flag", ($"k" * 25).as("pct"), $"n", $"v_lo", $"v_hi",
+          ($"num4".cast("double") / 4.0).as("pctl_cents"))
+        .orderBy($"flag", $"pct")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -2479,5 +2521,41 @@ object Battery {
         |)
         |SELECT step1, step2, step3, CAST(n AS BIGINT) AS n
         |FROM c ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+
+    // the same rank algebra — dyadic rem/4 interpolation on exact
+    // int64 numerators, one double division
+    "q76_percentile_cont" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem
+        |),
+        |ranked AS (
+        |  SELECT flag, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY flag
+        |      ORDER BY cents ASC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rn
+        |  FROM base
+        |),
+        |n AS (SELECT flag, MAX(rn) AS n FROM ranked GROUP BY flag),
+        |marks AS (
+        |  SELECT flag, n, k, (n - 1) * k AS pos4,
+        |    (n - 1) * k // 4 AS idx_lo, (n - 1) * k % 4 AS rem,
+        |    CASE WHEN (n - 1) * k % 4 > 0 THEN (n - 1) * k // 4 + 1
+        |         ELSE (n - 1) * k // 4 END AS idx_hi
+        |  FROM n CROSS JOIN (SELECT unnest(range(1, 4)) AS k)
+        |),
+        |picked AS (
+        |  SELECT m.flag, m.k, m.n, m.rem,
+        |    MAX(CASE WHEN r.rn = m.idx_lo + 1 THEN r.cents END) AS v_lo,
+        |    MAX(CASE WHEN r.rn = m.idx_hi + 1 THEN r.cents END) AS v_hi
+        |  FROM marks m JOIN ranked r ON r.flag = m.flag
+        |    AND (r.rn = m.idx_lo + 1 OR r.rn = m.idx_hi + 1)
+        |  GROUP BY m.flag, m.k, m.n, m.rem
+        |)
+        |SELECT flag, CAST(k * 25 AS BIGINT) AS pct, n, v_lo, v_hi,
+        |  CAST(v_lo * (4 - rem) + v_hi * rem AS DOUBLE) / 4.0 AS pctl_cents
+        |FROM picked
+        |ORDER BY flag, pct""".stripMargin,
   )
 }

@@ -145,6 +145,31 @@ object Streaming {
         .orderBy($"user_id")
     }),
 
+    // stream-stream FULL OUTER join — the attribution-complete matrix
+    // cell: s6 inner, s10 left, this both-sided. Unmatched purchases
+    // (no preceding click — organic conversions) are exactly the rows
+    // a left join silently drops from revenue attribution. Per user:
+    // matched pairs, click-only, purchase-only, and value mass split
+    // by matched/organic. Incremental emission for BOTH null-padded
+    // sides proven in StreamingSpec.
+    "s18_stream_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      Streams.clickPurchaseFullOuter(Tables.events(s, dir), watermarked = false)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"click_ts".isNotNull && $"buy_ts".isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when($"click_ts".isNotNull && $"buy_ts".isNull, 1L)
+            .otherwise(0L)).as("n_click_only"),
+          sum(when($"click_ts".isNull && $"buy_ts".isNotNull, 1L)
+            .otherwise(0L)).as("n_purchase_only"),
+          dsum(when($"click_ts".isNotNull, coalesce($"value", lit(0.0)))
+            .otherwise(0.0)).as("attributed_val"),
+          dsum(when($"click_ts".isNull, coalesce($"value", lit(0.0)))
+            .otherwise(0.0)).as("organic_val"))
+        .orderBy($"user_id")
+    }),
+
     // EXACTLY-ONCE streaming upsert into a keyed SERVING TABLE: the
     // event stream maintains latest-state-per-user through foreachBatch
     // with batchId-versioned idempotent writes (replays are no-ops —
@@ -436,6 +461,28 @@ object Streaming {
         |FROM c LEFT JOIN p ON c.user_id = p.p_user
         |  AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // the same two-sided interval condition, FULL OUTER
+    "s18_stream_full_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 1 AS cus FROM events WHERE event_type = 'click'
+        |),
+        |p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) // 1 AS pus, value
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |j AS (
+        |  SELECT COALESCE(c.user_id, p.p_user) AS user_id, c.cus, p.pus, p.value
+        |  FROM c FULL OUTER JOIN p ON c.user_id = p.p_user
+        |    AND p.pus >= c.cus AND p.pus <= c.cus + 1800000000
+        |)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN cus IS NOT NULL AND pus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN cus IS NOT NULL AND pus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only,
+        |  CAST(SUM(CASE WHEN cus IS NULL AND pus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only,
+        |  CAST(SUM(CAST(CASE WHEN cus IS NOT NULL THEN COALESCE(value, 0.0) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS attributed_val,
+        |  CAST(SUM(CAST(CASE WHEN cus IS NULL THEN COALESCE(value, 0.0) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS organic_val
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s11_serving_upsert" ->
       """SELECT user_id, us, event_id, event_type, value FROM (

@@ -126,6 +126,29 @@ object Streams {
       .select(col("user_id"), col("click_ts"), col("buy_ts"), col("value"))
   }
 
+  /** FULL OUTER stream-stream join — the attribution-complete form of
+    * [[clickPurchaseLeftOuter]]: unmatched CLICKS (no purchase within
+    * 30 min) AND unmatched PURCHASES (no preceding click — organic/
+    * dark-traffic conversions, the rows a left join silently drops
+    * from revenue attribution) both surface null-padded. Same
+    * two-sided event-time bound + per-side watermark that makes outer
+    * stream-stream joins legal; each side's null-padded rows emit only
+    * after the OTHER side's watermark closes their window. */
+  def clickPurchaseFullOuter(events: DataFrame, watermarked: Boolean): DataFrame = {
+    def side(f: DataFrame) =
+      if (watermarked) f.withWatermark("ts", "10 minutes") else f
+    val c = side(events).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = side(events).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("buy_ts"), col("value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_ts"), col("buy_ts"), col("value"))
+  }
+
   /** Streaming dedup-ingest — the continuous form of the d14
     * daily-crawl posture: an arriving document stream is fingerprinted
     * (md5) and LEFT-ANTI joined against the STATIC corpus index, so

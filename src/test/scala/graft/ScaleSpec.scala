@@ -1069,6 +1069,34 @@ class ScaleSpec extends SparkTestBase {
       Array("test", "train", "val")), "a split is empty")
   }
 
+  test("q76: continuous percentiles equal a local sorted interpolation") {
+    val rows = SparkEntry.queries("q76_percentile_cont")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byFlag = graft.sources.Tables.lineitem(spark, sf0001)
+      .selectExpr("l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, v) => f -> v.map(_._2).sorted }
+    assert(rows.map(_.getAs[String]("flag")).distinct.sorted.sameElements(
+      byFlag.keys.toArray.sorted))
+    rows.foreach { r =>
+      val vals = byFlag(r.getAs[String]("flag"))
+      val n = vals.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      val k = r.getAs[Long]("pct") / 25L
+      val pos4 = (n - 1) * k
+      val lo = (pos4 / 4).toInt
+      val rem = pos4 % 4
+      val hi = if (rem > 0) lo + 1 else lo
+      assert(r.getAs[Long]("v_lo") == vals(lo))
+      assert(r.getAs[Long]("v_hi") == vals(hi))
+      val want = (vals(lo) * (4 - rem) + vals(hi) * rem).toDouble / 4.0
+      assert(r.getAs[Double]("pctl_cents") == want,
+        s"${r.getAs[String]("flag")} p${r.getAs[Long]("pct")}")
+      // order-statistic sandwich
+      assert(want >= vals(lo) && want <= vals(hi))
+    }
+  }
+
   test("q75: top paths equal a local sessionized replay") {
     val rows = SparkEntry.queries("q75_top_paths")(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 10)

@@ -235,6 +235,34 @@ class StreamingSpec extends SparkTestBase {
       s"matched-pair multisets differ: ${streamMatched.size} vs ${batchMatched.size}")
   }
 
+  test("clickPurchaseFullOuter: stream ⊆ batch, matched rows equal, organics exist") {
+    // s18's shape as a genuine watermarked stream: matched pairs emit
+    // immediately; null-padded rows (on EITHER side) only once the
+    // other side's watermark closes their window — so the stream is a
+    // sub-multiset of the batch posture containing all matched rows.
+    val batchDf = Streams.clickPurchaseFullOuter(
+      Tables.events(spark, sf0001), watermarked = false)
+    val batch = rowsOf(batchDf)
+    val stream = rowsOf(Streams.runToMemory(spark,
+      Streams.clickPurchaseFullOuter(
+        Streams.eventsStream(spark, sf0001), watermarked = true),
+      "foj_s18_test", "append"))
+    assert(stream.nonEmpty)
+    val batchCounts = batch.groupBy(identity).view.mapValues(_.size).toMap
+    for ((row, n) <- stream.groupBy(identity).view.mapValues(_.size))
+      assert(batchCounts.getOrElse(row, 0) >= n,
+        s"stream emitted a row the batch posture lacks: $row")
+    val batchMatched = rowsOf(batchDf
+      .filter(col("click_ts").isNotNull && col("buy_ts").isNotNull))
+    val streamMatched = stream.filterNot(_.contains("null"))
+    assert(streamMatched.sorted == batchMatched.sorted,
+      s"matched-pair multisets differ: ${streamMatched.size} vs ${batchMatched.size}")
+    // the full-outer's reason to exist: organic purchases (no preceding
+    // click) must be present in the batch posture — non-vacuous
+    assert(batchDf.filter(col("click_ts").isNull).count() > 0L,
+      "fixture has no organic purchases — full outer untested vs left")
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows on watermark expiry") {
     // outer stream-stream semantics: an unmatched left row can only be
     // emitted once the watermark proves no matching right row can still
