@@ -501,6 +501,43 @@ object Clustering {
       kmeans(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy(col("cluster_id"))),
 
+    // SIMPLIFIED SILHOUETTE (internal clustering validation — the
+    // quality number c1's WSS can't give: WSS always improves with k,
+    // silhouette peaks where the clustering is RIGHT): per vector,
+    // a = sq-dist to its OWN centroid, b = min sq-dist to any OTHER
+    // centroid, s = (b−a)/max(a,b) ∈ [−1,1] — the centroid-based
+    // simplification (Hruschka et al.) that needs k distances per
+    // point instead of the full O(n²) pairwise silhouette, which is
+    // the ONLY form that scales. Per-cluster mean s on the dyadic
+    // grid. Shape: one crossJoin against the broadcast centroid set
+    // (c1's quantizer — same k, same iters, so this scores exactly
+    // the clustering c1 ships), one map-side TopK argmin, one agg.
+    "c3_simplified_silhouette" -> ((s, dir) => {
+      val e = prep(Tables.embeddings(s, dir))
+      val cent = broadcast(centroids(Tables.embeddings(s, dir), k = 8, iters = 2))
+      val dists = e.crossJoin(cent)
+        .select(col("vec_id"), col("cid"),
+          VecSqDist(col("v"), col("cv")).as("dist"))
+      val own = graft.plans.TopK.perKey(dists,
+          keys = Seq(col("vec_id")),
+          order = Seq(col("dist").asc, col("cid").asc), k = 1)
+        .select(col("vec_id"), col("cid").as("own_cid"), col("dist").as("a_dist"))
+      val other = dists.join(own, Seq("vec_id"))
+        .filter(col("cid") =!= col("own_cid"))
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("b_dist"))
+      own.join(other, Seq("vec_id"))
+        .withColumn("sil", when(greatest(col("a_dist"), col("b_dist")) > 0,
+          (col("b_dist") - col("a_dist"))
+            / greatest(col("a_dist"), col("b_dist"))).otherwise(lit(0.0)))
+        .groupBy(col("own_cid"))
+        .agg(count(lit(1)).as("n_members"),
+          graft.ops.Num.fsum(col("sil")).as("sil_sum"))
+        .select(col("own_cid").as("cluster_id"), col("n_members"),
+          col("sil_sum"),
+          (col("sil_sum") / col("n_members").cast("double")).as("mean_sil"))
+        .orderBy(col("cluster_id"))
+    }),
+
     "ml1_linear_probe" -> ((s, dir) =>
       linearProbe(Tables.embeddings(s, dir), iters = 2, lr = 0.5)
         .orderBy(col("d"))),
@@ -954,6 +991,29 @@ object Clustering {
       """SELECT cid AS cluster_id, COUNT(*) AS n_members,
         |  CAST(SUM(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS wss
         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin),
+
+    // s2 already holds every (vec, centroid) distance at the final
+    // centroids; a = own (a2's argmin), b = min over the others
+    "c3_simplified_silhouette" ->
+      (kmeansCte + s""",
+        |sil AS (
+        |  SELECT s2.vec_id, a2.cid,
+        |    MAX(CASE WHEN s2.cid = a2.cid THEN s2.dist END) AS a_dist,
+        |    MIN(CASE WHEN s2.cid <> a2.cid THEN s2.dist END) AS b_dist
+        |  FROM s2 JOIN a2 ON a2.vec_id = s2.vec_id
+        |  GROUP BY s2.vec_id, a2.cid
+        |),
+        |sv AS (
+        |  SELECT cid,
+        |    CASE WHEN GREATEST(a_dist, b_dist) > 0
+        |      THEN (b_dist - a_dist) / GREATEST(a_dist, b_dist)
+        |      ELSE CAST(0 AS DOUBLE) END AS sil
+        |  FROM sil
+        |)
+        |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  ${graft.ops.Num.fsumSql("sil")} AS sil_sum,
+        |  ${graft.ops.Num.fsumSql("sil")} / CAST(COUNT(*) AS DOUBLE) AS mean_sil
+        |FROM sv GROUP BY cid ORDER BY cluster_id""".stripMargin),
 
     // the same fold+sqrt norm, the same floor(·10) decimation
     "e6_norm_histogram" ->

@@ -180,4 +180,25 @@ class ClusteringSpec extends SparkTestBase {
     assert(confused > 0L, "no confusion anywhere — comparator vacuous")
     assert(confused < total, "everything confused — labels carry no signal")
   }
+
+  test("c3: silhouette scores c1's exact clustering and detects structure") {
+    val dir = "/root/testdata/sf0.001"
+    val c3 = SparkEntry.queries("c3_simplified_silhouette")(spark, dir).collect()
+    val c1 = SparkEntry.queries("c1_kmeans")(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_members")).toMap
+    assert(c3.nonEmpty)
+    // same assignment as c1: member counts agree cluster by cluster
+    assert(c3.map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_members"))
+      .toMap == c1, "c3 scored a different clustering than c1 ships")
+    c3.foreach { r =>
+      val m = r.getAs[Double]("mean_sil")
+      assert(m >= -1.0 - 1e-9 && m <= 1.0 + 1e-9, s"mean_sil $m out of range")
+      // grid consistency: mean is the grid sum divided by n
+      assert(m == r.getAs[Double]("sil_sum") / r.getAs[Long]("n_members").toDouble)
+    }
+    // the synthetic embedding clusters are real: silhouette mass must be
+    // positive overall (a random partition would center on 0)
+    val weighted = c3.map(r => r.getAs[Double]("sil_sum")).sum
+    assert(weighted > 0.0, s"total silhouette $weighted — no cluster structure found")
+  }
 }
