@@ -123,9 +123,12 @@ class PlanSpec extends SparkTestBase {
   test("LSH paths never degenerate into a cartesian product") {
     assert(!plan("d3_dedup_minhash_lsh").contains("CartesianProduct"))
     assert(!plan("d6_ann_lsh").contains("CartesianProduct"))
-    // the brute-force baseline d5 is the only sanctioned cross join
-    assert(plan("d5_cosine_topk").contains("CartesianProduct") ||
-      plan("d5_cosine_topk").contains("BroadcastNestedLoopJoin"))
+    // d5's sanctioned brute-force cross join now lives inside the
+    // cachedKnn artifact derivation (paid once per corpus snapshot);
+    // the serving read is a plain scan of the persisted lists
+    val p5 = plan("d5_cosine_topk")
+    assert(p5.contains("graft_knn"), "d5 must read the persisted kNN artifact: " + p5)
+    assert(!p5.contains("CartesianProduct"), p5)
   }
 
   test("d13 simhash blocking joins on band keys, never all-pairs") {
@@ -243,6 +246,48 @@ class PlanSpec extends SparkTestBase {
     val pd = finalPlan("d29_sql_cosine_topk")
     assert(pd.toLowerCase.contains("vecdot"), pd)
     assert(!pd.contains("ScalaUDF"), pd)
+  }
+
+  test("q72 sweep-line: boundary netting partial-aggregates before the exchange") {
+    // the scalable shape: per-(type, instant) nets combine map-side —
+    // the window sorts netted instants, never raw boundary rows; and
+    // no interval self-join exists anywhere
+    val p = finalPlan("q72_max_concurrency")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q74/q76: mark tables broadcast; the ranked frame is scanned, not crossed") {
+    Seq("q74_range_partition_histogram", "q76_percentile_cont").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.contains("BroadcastExchange"), s"$q lost its broadcast: " + p)
+      assert(!p.contains("CartesianProduct"), s"$q: " + p)
+    }
+  }
+
+  test("sel7: one sort carries both fills — a single window exchange on lang") {
+    // the raw and dedup-aware cumsums share ONE (lang)-keyed window
+    // sort (two Window operators, zero exchanges between them); a
+    // second lang exchange means the conditional-cumsum trick broke
+    val p = finalPlan("sel7_dedup_aware_budget")
+    val langExchanges = "Exchange hashpartitioning\\(lang".r.findAllIn(p).length
+    assert(langExchanges == 1, s"expected one lang exchange, got $langExchanges:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d39: capped inverted lists broadcast; candidates never shuffle on cid") {
+    // d7's posture must survive in the sweep: the cell lists are
+    // size-bounded by construction and broadcast — a hash exchange on
+    // the 16-value cid key would cap parallelism at k
+    val p = finalPlan("d39_ivf_probe_sweep")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning(cid"), p)
+  }
+
+  test("gr14: mutual-kNN edges come from an equi self-join, no cartesian") {
+    val p = finalPlan("gr14_link_prediction")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
 }
