@@ -1587,6 +1587,33 @@ object Battery {
         .orderBy($"n".desc, $"step1".asc, $"step2".asc, $"step3".asc)
     }),
 
+    // CENTERED ROLLING STATS with min_periods semantics (the pandas
+    // rolling(5, center=True, min_periods=1) contract SQL windows
+    // express natively): per user over event time, a ±2-row frame
+    // carries sum/count/min/max of exact cents and the mean is ONE
+    // double division of two exact integers — the window frame itself
+    // handles series edges (shrinking counts), which is what
+    // min_periods means. Complements q8 (running), q52 (resample),
+    // q62 (interpolation) with the centered-smoother cell. One
+    // user-keyed window shuffle, nothing else.
+    "q77_rolling_stats" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        .rowsBetween(-2, 2)
+      e.withColumn("roll_n", count(lit(1)).over(w))
+        .withColumn("roll_sum", sum($"cents").over(w))
+        .withColumn("roll_min", min($"cents").over(w))
+        .withColumn("roll_max", max($"cents").over(w))
+        .select($"user_id", $"event_id", $"cents", $"roll_n", $"roll_sum",
+          $"roll_min", $"roll_max",
+          ($"roll_sum".cast("double") / $"roll_n".cast("double"))
+            .as("roll_mean"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // PERCENTILE_CONT (SQL:2008 continuous percentile) at q ∈
     // {25,50,75} — q27 gives the discrete (nearest-value) form and
     // q33 the sketch approximation; this is the interpolating form
@@ -2521,6 +2548,25 @@ object Battery {
         |)
         |SELECT step1, step2, step3, CAST(n AS BIGINT) AS n
         |FROM c ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+
+    // the same ±2-row centered frame; mean as one double division
+    "q77_rolling_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1 AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, cents,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum,
+        |  CAST(MIN(cents) OVER w AS BIGINT) AS roll_min,
+        |  CAST(MAX(cents) OVER w AS BIGINT) AS roll_max,
+        |  CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w AS DOUBLE) AS roll_mean
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // the same rank algebra — dyadic rem/4 interpolation on exact
     // int64 numerators, one double division

@@ -2787,6 +2787,84 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // AUDIO MIX AUGMENTATION — the multi-INPUT transform (m16 resamples
+    // one track, m17 flips one image; mixing needs TWO decoded streams
+    // and int16 SATURATION — the clipping arithmetic every audio
+    // pipeline must get right or loud segments wrap into garbage).
+    // Per doc, two independently-synthesized tracks are REALLY encoded
+    // and decoded (the m6 codec path twice), mixed sample-wise with
+    // saturating addition from the DECODED bytes, re-encoded at the
+    // same rate and decoded again. The oracle replays mixed samples —
+    // including exactly which samples clipped — arithmetically from
+    // the two synth formulas; a mixer that wraps instead of clamps, or
+    // misaligns the shorter track, cannot stay green. Scale: batch-
+    // shaped embarrassingly-parallel mapPartitions; integer reductions.
+    "m18_audio_mix" -> ((s, dir) => {
+      import s.implicits._
+      import javax.sound.sampled._
+      def encode(pcm: Array[Byte], n: Int): Array[Byte] = {
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      def decode(bytes: Array[Byte]): Array[Byte] = {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      }
+      val wavs = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = 256 + (id % 256).toInt
+          def synth(seedA: Long, seedB: Long): Array[Byte] = {
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val v = (((id * seedA + i * seedB) % 65536) - 32768).toInt
+              pcm(i * 2) = (v & 0xff).toByte
+              pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            pcm
+          }
+          (id, encode(synth(31L, 17L), n), encode(synth(53L, 29L), n))
+        }).toDF("doc_id", "wav_a", "wav_b")
+      wavs.as[(Long, Array[Byte], Array[Byte])]
+        .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, wa, wb) =>
+          val (da, db) = (decode(wa), decode(wb))
+          val n = da.length / 2
+          val out = new Array[Byte](n * 2)
+          var clipped = 0L
+          var i = 0
+          while (i < n) {
+            val va = (da(i * 2) & 0xff) | (da(i * 2 + 1) << 8)
+            val vb = (db(i * 2) & 0xff) | (db(i * 2 + 1) << 8)
+            var m = va + vb
+            if (m > 32767) { m = 32767; clipped += 1 }
+            else if (m < -32768) { m = -32768; clipped += 1 }
+            out(i * 2) = (m & 0xff).toByte
+            out(i * 2 + 1) = ((m >> 8) & 0xff).toByte
+            i += 1
+          }
+          val d2 = decode(encode(out, n))
+          val n2 = d2.length / 2
+          var sum = 0L; var maxAbs = 0L
+          i = 0
+          while (i < n2) {
+            val v = ((d2(i * 2) & 0xff) | (d2(i * 2 + 1) << 8)).toLong
+            sum += v
+            if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
+            i += 1
+          }
+          (id, n2.toLong, clipped, sum, maxAbs)
+        }))
+        .toDF("doc_id", "n_samples", "n_clipped", "amp_sum", "amp_max")
+        .orderBy($"doc_id")
+    }),
+
     // AUDIO perceptual dedup — m7's idea on the WAV path: recordings
     // that SOUND alike cluster even when their bytes differ. Per doc a
     // real 16-bit PCM WAV is synthesized (waveform keyed by a 16-way
@@ -4791,6 +4869,30 @@ object LlmPipeline {
         |  CAST(SUM(v) AS BIGINT) AS amp_sum,
         |  CAST(MAX(ABS(v)) AS BIGINT) AS amp_max
         |FROM samp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // both synth formulas mixed with explicit clamp arithmetic; the
+    // clip count is part of the contract
+    "m18_audio_mix" ->
+      """WITH samp AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 31 + t.i * 17) % 65536) - 32768 AS va,
+        |    ((d.doc_id * 53 + t.i * 29) % 65536) - 32768 AS vb
+        |  FROM documents d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(256 + CAST(d.doc_id % 256 AS INT))) AS i) t
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN va + vb > 32767 THEN 32767
+        |         WHEN va + vb < -32768 THEN -32768
+        |         ELSE va + vb END AS v,
+        |    CASE WHEN va + vb > 32767 OR va + vb < -32768 THEN 1 ELSE 0 END AS clip
+        |  FROM samp
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(clip) AS BIGINT) AS n_clipped,
+        |  CAST(SUM(v) AS BIGINT) AS amp_sum,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS amp_max
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the decimated sample set replayed arithmetically: kept sample j
     // is synth index 2j, so v = ((id*31 + 34j) % 65536) - 32768

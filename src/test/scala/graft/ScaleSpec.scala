@@ -1069,6 +1069,31 @@ class ScaleSpec extends SparkTestBase {
       Array("test", "train", "val")), "a split is empty")
   }
 
+  test("q77: centered frame shrinks at series edges; stats are internally consistent") {
+    val rows = SparkEntry.queries("q77_rolling_stats")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val n = rs.length
+      // min_periods semantics: the first/last rows see a shrunken frame
+      val counts = rs.map(_.getAs[Long]("roll_n"))
+      if (n >= 5) {
+        assert(counts.min == 3L, s"user $u: edge frame should hold 3 rows")
+        assert(counts.max == 5L, s"user $u: interior frame should hold 5 rows")
+      }
+      assert(counts.forall(c => c >= 1L && c <= 5L))
+      rs.foreach { r =>
+        val (mn, mx, sm, c) = (r.getAs[Long]("roll_min"), r.getAs[Long]("roll_max"),
+          r.getAs[Long]("roll_sum"), r.getAs[Long]("roll_n"))
+        val mean = r.getAs[Double]("roll_mean")
+        assert(mean == sm.toDouble / c.toDouble)
+        assert(mean >= mn.toDouble - 1e-9 && mean <= mx.toDouble + 1e-9)
+        assert(mn <= r.getAs[Long]("cents") && r.getAs[Long]("cents") <= mx,
+          "the row's own value must sit inside its centered frame")
+      }
+    }
+  }
+
   test("q76: continuous percentiles equal a local sorted interpolation") {
     val rows = SparkEntry.queries("q76_percentile_cont")(spark, sf0001).collect()
     assert(rows.nonEmpty)
