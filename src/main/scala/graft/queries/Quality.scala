@@ -393,6 +393,36 @@ object Quality {
         .orderBy($"metric_x", $"metric_y")
     }),
 
+    // INTER-EVENT GAP SPECTRUM — the calibration table behind every
+    // sessionization threshold (s3/q66/q71 all assume 30 min; this is
+    // the evidence): per-user event gaps bucketed on an EXACT log2
+    // grid — bucket = digits of the gap's binary representation
+    // (⌊log2⌋+1 computed as length(conv(gap,2)), a string-length
+    // identity both engines share, so no libm log ever decides a
+    // bucket boundary). A bimodal spectrum (intra-session micro-gaps
+    // vs inter-session hours) with the valley near 2^31 µs ≈ 36 min
+    // is what makes a 30-minute cut defensible. One user-keyed lag
+    // window, one bounded-histogram agg (≤ 64 buckets).
+    "dq11_gap_histogram" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val gaps = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_id")
+        .withColumn("gap", $"us" - lag($"us", 1).over(w))
+        .filter($"gap".isNotNull)
+        .select(length(expr("conv(gap, 10, 2)")).cast("long").as("bucket"),
+          $"gap")
+      val tot = gaps.agg(count(lit(1)).as("tot"))
+      gaps.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_gaps"),
+          min($"gap").as("min_gap_us"), max($"gap").as("max_gap_us"))
+        .crossJoin(broadcast(tot))
+        .select($"bucket", $"n_gaps", $"min_gap_us", $"max_gap_us",
+          expr("n_gaps * 1000000 div tot").as("share_ppm"))
+        .orderBy($"bucket")
+    }),
+
     // CHI-SQUARE INDEPENDENCE TEST on the lang × source contingency
     // table — the bias detector a corpus audit runs before mixing:
     // if language and source were independent, every cell would hold
@@ -637,6 +667,27 @@ object Quality {
         |    / CAST(COUNT(*) * COUNT(*) * COUNT(*) - COUNT(*) AS DOUBLE) AS rho
         |FROM p GROUP BY metric_x, metric_y
         |ORDER BY metric_x, metric_y""".stripMargin,
+
+    // length(bin(gap)) is the same floor(log2)+1 string identity
+    "dq11_gap_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1 AS us, event_id FROM events
+        |),
+        |g AS (
+        |  SELECT us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e
+        |),
+        |b AS (
+        |  SELECT CAST(length(bin(gap)) AS BIGINT) AS bucket, gap
+        |  FROM g WHERE gap IS NOT NULL
+        |),
+        |tot AS (SELECT COUNT(*) AS tot FROM b)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+        |  COUNT(*) * 1000000 // tot.tot AS share_ppm
+        |FROM b CROSS JOIN tot
+        |GROUP BY bucket, tot.tot ORDER BY bucket""".stripMargin,
 
     // the same dense margin-cross grid, exact-int64 deviations, pinned
     // double multiply order, fsum-grid total

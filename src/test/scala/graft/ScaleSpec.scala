@@ -1069,6 +1069,32 @@ class ScaleSpec extends SparkTestBase {
       Array("test", "train", "val")), "a split is empty")
   }
 
+  test("dq11: log2 buckets replay locally; bucket bounds bracket powers of two") {
+    val rows = SparkEntry.queries("dq11_gap_histogram")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(t => (t._2, t._3)).map(_._2)
+      s.zip(s.tail).map { case (a, b) => b - a }
+    }.toSeq
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == gaps.length.toLong)
+    rows.foreach { r =>
+      val bk = r.getAs[Long]("bucket").toInt
+      val inB = gaps.filter(g => java.lang.Long.toBinaryString(g).length == bk)
+      assert(r.getAs[Long]("n_gaps") == inB.length.toLong, s"bucket $bk count")
+      assert(r.getAs[Long]("min_gap_us") == inB.min && r.getAs[Long]("max_gap_us") == inB.max)
+      // the bucket is a true log2 cell: [2^(b-1), 2^b) for b >= 2
+      if (bk >= 2) {
+        assert(r.getAs[Long]("min_gap_us") >= (1L << (bk - 1)))
+        assert(r.getAs[Long]("max_gap_us") < (1L << bk))
+      }
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n_gaps") * 1000000L / gaps.length)
+    }
+  }
+
   test("q77: centered frame shrinks at series edges; stats are internally consistent") {
     val rows = SparkEntry.queries("q77_rolling_stats")(spark, sf0001).collect()
     assert(rows.nonEmpty)
