@@ -1505,15 +1505,19 @@ object Battery {
       val e = Tables.events(s, dir)
         .select(expr("unix_micros(ts) div 86400000000").as("day"), $"user_id")
         .distinct()
-      val span = e.agg(max($"day").as("mxd"))
+      val span = e.agg(min($"day").as("mnd"), max($"day").as("mxd"))
+      // dense day spine over the observed range: a quiet day must read
+      // dau=0 / wau_7d=0, not vanish (the s16 hour-spine posture)
+      val spine = span.select(explode(sequence($"mnd", $"mxd")).as("day"))
       val wau = e
         .select($"user_id", explode(sequence($"day", $"day" + 6)).as("day"))
         .crossJoin(broadcast(span)).filter($"day" <= $"mxd")
         .select($"user_id", $"day").distinct()
         .groupBy($"day").agg(count(lit(1)).as("wau_7d"))
       val dau = e.groupBy($"day").agg(count(lit(1)).as("dau"))
-      wau.join(dau, Seq("day"), "left")
-        .select($"day", coalesce($"dau", lit(0L)).as("dau"), $"wau_7d")
+      spine.join(wau, Seq("day"), "left").join(dau, Seq("day"), "left")
+        .select($"day", coalesce($"dau", lit(0L)).as("dau"),
+          coalesce($"wau_7d", lit(0L)).as("wau_7d"))
         .orderBy($"day")
     }),
 
@@ -2474,7 +2478,8 @@ object Battery {
       """WITH e AS (
         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
         |),
-        |mx AS (SELECT MAX(day) AS mxd FROM e),
+        |mx AS (SELECT MIN(day) AS mnd, MAX(day) AS mxd FROM e),
+        |spine AS (SELECT unnest(range(mnd, mxd + 1)) AS day FROM mx),
         |cover AS (
         |  SELECT DISTINCT user_id, e.day + i.i AS day
         |  FROM e CROSS JOIN (SELECT unnest(range(7)) AS i) i CROSS JOIN mx
@@ -2482,10 +2487,11 @@ object Battery {
         |),
         |wau AS (SELECT day, COUNT(*) AS wau_7d FROM cover GROUP BY day),
         |dau AS (SELECT day, COUNT(*) AS dau FROM e GROUP BY day)
-        |SELECT w.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
-        |  CAST(w.wau_7d AS BIGINT) AS wau_7d
-        |FROM wau w LEFT JOIN dau d ON d.day = w.day
-        |ORDER BY w.day""".stripMargin,
+        |SELECT s.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+        |  CAST(COALESCE(w.wau_7d, 0) AS BIGINT) AS wau_7d
+        |FROM spine s LEFT JOIN wau w ON w.day = s.day
+        |LEFT JOIN dau d ON d.day = s.day
+        |ORDER BY s.day""".stripMargin,
 
     // the same dollar-grain histogram, nearest-rank split points,
     // boundary-count range assignment
@@ -2514,7 +2520,7 @@ object Battery {
         |SELECT CAST(range_id AS BIGINT) AS range_id,
         |  MIN(dollars) AS lo_dollars, MAX(dollars) AS hi_dollars,
         |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
-        |  SUM(cnt) * 8 * 1000000 // tot.tot AS load_x_ideal_ppm
+        |  CAST(SUM(cnt) * 8 * 1000000 // tot.tot AS BIGINT) AS load_x_ideal_ppm
         |FROM asg CROSS JOIN tot
         |GROUP BY range_id, tot.tot
         |ORDER BY range_id""".stripMargin,

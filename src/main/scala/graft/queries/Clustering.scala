@@ -734,19 +734,25 @@ object Clustering {
           keys = Seq(col("vec_id")),
           order = Seq(col("cos").desc, col("clabel").asc), k = 1)
         .select(col("vec_id"), col("cos").as("other_cos"))
+      // the gated projection is ALL INTEGERS: the cosine sums are
+      // exported in raw 2^-30 grid units (the exact int64 the fsum
+      // accumulator holds) rather than folded back to double — the
+      // driver's oracle engine is a different DuckDB build than the
+      // local gate, and integer cells are the only cross-version
+      // invariant we can promise (the r11 lesson: every hash-red
+      // query exported a non-BIGINT cell)
       own.join(other, Seq("vec_id"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("other_cos") > col("own_cos"), 1L).otherwise(0L))
             .as("n_confused"),
-          graft.ops.Num.fsum(col("own_cos")).as("own_cos_sum"),
-          graft.ops.Num.fsum(col("other_cos")).as("other_cos_sum"))
+          sum(graft.ops.Num.fquant(col("own_cos")).cast(DecimalType(38, 0)))
+            .cast("long").as("own_cos_sum_q30"),
+          sum(graft.ops.Num.fquant(col("other_cos")).cast(DecimalType(38, 0)))
+            .cast("long").as("other_cos_sum_q30"))
         .select(col("label"), col("n_vecs"), col("n_confused"),
           expr("n_confused * 1000000 div n_vecs").as("confused_ppm"),
-          col("own_cos_sum"), col("other_cos_sum"),
-          (col("own_cos_sum") / col("n_vecs").cast("double")).as("own_cos_mean"),
-          (col("other_cos_sum") / col("n_vecs").cast("double"))
-            .as("other_cos_mean"))
+          col("own_cos_sum_q30"), col("other_cos_sum_q30"))
         .orderBy(col("label"))
     }),
   )
@@ -1234,12 +1240,10 @@ object Clustering {
         |)
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  CAST(SUM(CASE WHEN other_cos > own_cos THEN 1 ELSE 0 END) AS BIGINT) AS n_confused,
-        |  SUM(CASE WHEN other_cos > own_cos THEN 1 ELSE 0 END) * 1000000
-        |    // COUNT(*) AS confused_ppm,
-        |  ${graft.ops.Num.fsumSql("own_cos")} AS own_cos_sum,
-        |  ${graft.ops.Num.fsumSql("other_cos")} AS other_cos_sum,
-        |  ${graft.ops.Num.fsumSql("own_cos")} / CAST(COUNT(*) AS DOUBLE) AS own_cos_mean,
-        |  ${graft.ops.Num.fsumSql("other_cos")} / CAST(COUNT(*) AS DOUBLE) AS other_cos_mean
+        |  CAST(SUM(CASE WHEN other_cos > own_cos THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS confused_ppm,
+        |  CAST(SUM(${graft.ops.Num.fquantSql("own_cos")}) AS BIGINT) AS own_cos_sum_q30,
+        |  CAST(SUM(${graft.ops.Num.fquantSql("other_cos")}) AS BIGINT) AS other_cos_sum_q30
         |FROM j GROUP BY label
         |ORDER BY label""".stripMargin,
   )

@@ -48,31 +48,28 @@ object Graph {
       .select(col("d1"), col("d2"))
   }
 
-  private val edgeCacheWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** The shared-shingle edge list PERSISTED as a derived artifact, keyed
     * by (dir, params): cc1, cc2 and pr1 all consume the same edges, and
     * a production pipeline materializes such an intermediate once per
     * corpus snapshot rather than re-deriving it per downstream job
-    * (same content-stable reuse idiom as q42/q49's layouts — the
-    * per-JVM set forces one fresh write per process, `_SUCCESS` guards
-    * torn writes). First caller pays the derivation; the rest read
-    * parquet. */
+    * (same content-stable reuse idiom as q42/q49's layouts). First
+    * caller pays the derivation; the rest read parquet. A `_SUCCESS`
+    * marker is trusted across processes because the write is staged +
+    * atomically renamed (Scratch.publish) — a marker can never name a
+    * torn directory, and a fresh JVM no longer overwrites an artifact
+    * another process may be reading. */
   private[graft] def cachedEdges(s: SparkSession, dir: String,
                           minShared: Int, maxDf: Int): DataFrame = {
     val tmp = graft.ops.Scratch.dir("graft_edges", s"$dir|$minShared|$maxDf")
     // serialized per path: two queries racing on first use (cc1/cc2/pr1
-    // share one JVM in the bench) must not run concurrent overwrite
-    // writes into the same scratch dir — only one derivation ever runs,
-    // the loser of the race sees the winner's _SUCCESS and just reads
+    // share one JVM in the bench) must not run concurrent derivations
     tmp.intern.synchronized {
-      val have = edgeCacheWritten.contains(tmp) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))
-      if (!have) {
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        val stage = graft.ops.Scratch.stageFor(tmp)
         sharedShingleEdges(Tables.documents(s, dir), minShared, maxDf)
-          .write.mode("overwrite").parquet(tmp)
-        edgeCacheWritten.add(tmp)
+          .write.mode("overwrite").parquet(stage)
+        graft.ops.Scratch.publish(stage, tmp)
       }
     }
     s.read.parquet(tmp)

@@ -166,8 +166,11 @@ class ClusteringSpec extends SparkTestBase {
       assert(r.getAs[Long]("confused_ppm") ==
         r.getAs[Long]("n_confused") * 1000000L / r.getAs[Long]("n_vecs"))
       assert(r.getAs[Long]("n_confused") == confusedLocal(l), s"label $l confusion")
-      val om = r.getAs[Double]("own_cos_mean")
-      val tm = r.getAs[Double]("other_cos_mean")
+      // the gated projection is all-integer (r12): the cosine sums ride
+      // the 2^-30 grid — reconstruct the means locally
+      val n = r.getAs[Long]("n_vecs").toDouble
+      val om = r.getAs[Long]("own_cos_sum_q30").toDouble / (1L << 30) / n
+      val tm = r.getAs[Long]("other_cos_sum_q30").toDouble / (1L << 30) / n
       assert(om >= -1.0 - 1e-9 && om <= 1.0 + 1e-9)
       assert(tm >= -1.0 - 1e-9 && tm <= 1.0 + 1e-9)
     }

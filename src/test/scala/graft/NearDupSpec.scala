@@ -65,6 +65,41 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("exactInterFor equals brute-force full-set intersection at any hotDf") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = corpus(seed = 77)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (id, t) => Row(id, t) }),
+      schema)
+    val sh = LlmPipeline.shingleIndex(df)
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val ids = docs.map(_._1).filter(sets(_).nonEmpty).sorted
+    // every ordered pair, including zero-overlap ones (inter must read 0)
+    val pairs = for (i <- ids; j <- ids if i < j) yield (i, j)
+    val pairsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) => Row(a, b) }),
+      StructType(Seq(StructField("d1", LongType), StructField("d2", LongType))))
+    // hotDf = 1 (everything hot), 3 (mixed), 10000 (nothing hot): the
+    // split must be invisible to the result
+    for (hotDf <- Seq(1, 3, 10000)) {
+      val got = LlmPipeline.exactInterFor(sh, pairsDf, hotDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got.size === pairs.size, s"hotDf=$hotDf pair count")
+      pairs.foreach { case (a, b) =>
+        val (inter, na, nb) = got((a, b))
+        val exp = (sets(a) & sets(b)).size.toLong
+        assert(inter === exp, s"hotDf=$hotDf inter($a,$b)")
+        assert(na === sets(a).size.toLong && nb === sets(b).size.toLong,
+          s"hotDf=$hotDf sizes($a,$b)")
+      }
+    }
+  }
+
   test("incrementalDedup keeps novel batch docs, drops exact and near dups") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

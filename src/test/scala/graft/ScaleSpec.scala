@@ -1061,8 +1061,10 @@ class ScaleSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_tokens") == a.nt, s"$key n_tokens")
       assert(r.getAs[Long]("total_chars") == a.ch, s"$key total_chars")
       assert(r.getAs[Long]("min_doc_id") == a.mn && r.getAs[Long]("max_doc_id") == a.mx)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("content_fp").toBigInteger) == a.fp,
-        s"$key fingerprint")
+      // exported cell is the exact sum folded mod 2^61-1 (BIGINT both
+      // engines — the r12 portability contract)
+      assert(r.getAs[Long]("content_fp") ==
+        (a.fp mod BigInt(2305843009213693951L)).toLong, s"$key fingerprint")
     }
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
     assert(rows.map(_.getAs[String]("split")).distinct.sorted.sameElements(

@@ -18,6 +18,16 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Oracle-portability lint: the driver runs a DIFFERENT DuckDB build than
+# this local gate, and its comparator converts exotic column types
+# (HUGEINT, DECIMAL, ...) differently than fetchall() does — every one
+# of the 9 CORRECTNESS_r11 hash-reds, and ONLY those 9, had a HUGEINT
+# output column (SUM(BIGINT) or // on it). Restricting oracle OUTPUT
+# columns to this set is the portability contract; intermediates can be
+# any type.
+PORTABLE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "VARCHAR",
+                  "DOUBLE", "FLOAT", "BOOLEAN", "DATE", "TIMESTAMP"}
+
 
 def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -39,6 +49,8 @@ def canon(rows, colnames):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    print(f"local gate DuckDB version: {duckdb.__version__} "
+          f"(the driver's engine may differ — keep oracle outputs portable)")
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -65,11 +77,20 @@ def main():
             t0 = time.monotonic()
             exp_rel = con.sql(oracle[name])
             exp_cols = exp_rel.columns
+            exp_types = [str(t) for t in exp_rel.types]
             exp_rows = exp_rel.fetchall()
             oracle_secs[name] = round(time.monotonic() - t0, 3)
             exp = canon(exp_rows, exp_cols)
         except Exception as e:
             print(f"[FAIL-oracle-sql] {name}: {e}")
+            n_fail += 1
+            continue
+        bad_types = [(c, t) for c, t in zip(exp_cols, exp_types)
+                     if t not in PORTABLE_TYPES]
+        if bad_types:
+            print(f"[FAIL-lint-types] {name}: non-portable oracle output "
+                  f"column types {bad_types} (cast to BIGINT/DOUBLE/... — "
+                  f"the driver's oracle engine mangles exotic types)")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
