@@ -1142,9 +1142,12 @@ object LlmPipeline {
     "d33_lsh_param_sweep" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles(s, dir)
-      val sig = minhashSig(sh)
+      // ONE checkpoint of the 16-permutation signature; the four band
+      // layouts are cheap projections of it (the old shape checkpointed
+      // each layout but recomputed the corpus-sized signature agg 4×)
+      val sig = materialize(minhashSig(sh))
       def candFor(nb: Int, rw: Int): DataFrame =
-        candidatePairs(materialize(minhashBands(sig, nb, rw)),
+        candidatePairs(minhashBands(sig, nb, rw),
             Seq("band", "bkey"), MaxBucketSize)
           .select(lit(s"${nb}x$rw").as("config"), $"d1", $"d2")
       val allCand = materialize(Seq((2, 8), (4, 4), (8, 2), (16, 1))
@@ -1179,9 +1182,11 @@ object LlmPipeline {
     "d32_minhash_calibration" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles(s, dir)
-      val sig = minhashSig(sh)
+      // signature checkpointed once — it feeds both the band/bucket
+      // candidate path and the per-pair signature-agreement join
+      val sig = materialize(minhashSig(sh))
       val bands = minhashBands(sig, nb = 4, rw = 4)
-      val cand = candidatePairs(materialize(bands), Seq("band", "bkey"), MaxBucketSize)
+      val cand = candidatePairs(bands, Seq("band", "bkey"), MaxBucketSize)
       val sigArr = sig.select($"doc_id",
         array((0 until 16).map(i => col(s"m$i")): _*).as("ms"))
       cand
