@@ -104,6 +104,40 @@ object Graph {
         .orderBy(col("doc_id"))
     }),
 
+    // CLUSTER-SIZE SPECTRUM of the near-dup graph — the "how much of my
+    // corpus sits in dup families of what size" curve a dedup audit
+    // reads before choosing a keeper policy (a corpus dominated by
+    // size-2 families dedups cheaply; a few giant families mean
+    // boilerplate and need p3's segment surgery instead). Every doc
+    // joins the spectrum: unclustered docs are size-1 singleton
+    // clusters — the honest baseline bar, not an omission. Buckets ride
+    // dq11's EXACT log2 grid (binary digit count — no libm log decides
+    // a boundary). Scale shape: labels from the log-round
+    // pointer-jumping CC (cachedEdges artifact), one cluster-keyed
+    // count, one ≤64-bucket histogram agg; the corpus-sized frame
+    // shuffles once on cluster_id.
+    "gr16_cluster_size_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val labels = ConnectedComponents.run(
+          cachedEdges(s, dir, minShared = 5, maxDf = 100), "d1", "d2")
+        .select(col("node").as("doc_id"), col("label"))
+      val sizes = Tables.documents(s, dir).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(coalesce($"label", $"doc_id").as("cluster_id"))
+        .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      val tot = sizes.agg(sum($"sz").as("tot"))
+      sizes
+        .select(length(expr("conv(sz, 10, 2)")).cast("long").as("bucket"),
+          $"sz")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs"),
+          min($"sz").as("min_size"), max($"sz").as("max_size"))
+        .crossJoin(broadcast(tot))
+        .select($"bucket", $"n_clusters", $"n_docs", $"min_size",
+          $"max_size", expr("n_docs * 1000000 div tot").as("doc_share_ppm"))
+        .orderBy($"bucket")
+    }),
+
     // PAGERANK over the near-dup similarity graph (3 power iterations,
     // damping 0.85): the centrality pass a dedup pipeline runs to pick
     // CANONICAL representatives — the highest-rank member of a dup
@@ -814,6 +848,47 @@ object Graph {
         |)
         |SELECT node AS doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // cc1's recursive closure + singleton fill; length(bin(sz)) is the
+    // same floor(log2)+1 identity dq11 uses; every output cell BIGINT
+    "gr16_cluster_size_spectrum" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |lab AS (SELECT node AS doc_id, MIN(lbl) AS label FROM reach GROUP BY node),
+        |cl AS (
+        |  SELECT COALESCE(l.label, d.doc_id) AS cluster_id, COUNT(*) AS sz
+        |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+        |  GROUP BY 1
+        |),
+        |tot AS (SELECT SUM(sz) AS tot FROM cl)
+        |SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |  CAST(MIN(sz) AS BIGINT) AS min_size,
+        |  CAST(MAX(sz) AS BIGINT) AS max_size,
+        |  CAST(SUM(sz) * 1000000 // tot.tot AS BIGINT) AS doc_share_ppm
+        |FROM cl CROSS JOIN tot
+        |GROUP BY length(bin(sz)), tot.tot
+        |ORDER BY bucket""".stripMargin,
 
     "cc2_cluster_resolve" ->
       """WITH RECURSIVE docs AS (

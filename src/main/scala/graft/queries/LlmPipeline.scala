@@ -1204,6 +1204,53 @@ object LlmPipeline {
         .orderBy($"d1", $"d2")
     }),
 
+    // ONE-PERMUTATION-HASHING MinHash (Li, Owen & Zhang, NIPS'12) —
+    // the 16× cheaper signature for 100 TB: ONE hash per shingle
+    // (vs 16 permutations), slot = hash mod 16, slot value = min hash
+    // in the slot, empty slots stay an explicit 'E' sentinel (no
+    // densification — the audit must see emptiness). Candidates come
+    // from 4-slot band buckets of the OPH signature itself; each pair
+    // reports the OPH estimate (matches over both-filled slots)
+    // against exact Jaccard via the hot-only verify — the d32
+    // calibration methodology applied to the estimator you'd actually
+    // run at scale. All-integer outputs; band-keyed shuffle, never
+    // all-pairs.
+    "d40_oph_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val sig = materialize(sh
+        .withColumn("x",
+          expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("slot", pmod($"x", lit(16L)))
+        .groupBy($"doc_id", $"slot").agg(min($"x").as("mv"))
+        .groupBy($"doc_id")
+        .agg(expr("map_from_entries(collect_list(struct(slot, mv)))").as("m"))
+        .select($"doc_id", expr(
+          "transform(sequence(0, 15), i -> coalesce(" +
+            "CAST(element_at(m, CAST(i AS BIGINT)) AS STRING), 'E'))")
+          .as("sv")))
+      val bands = sig.select($"doc_id",
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> md5(concat_ws(',', slice(sv, b*4+1, 4))))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val cand = candidatePairs(bands, Seq("band", "bkey"), MaxBucketSize)
+      cand
+        .join(sig.select($"doc_id".as("d1"), $"sv".as("sa")), "d1")
+        .join(sig.select($"doc_id".as("d2"), $"sv".as("sb")), "d2")
+        .withColumn("filled_both", expr(
+          "CAST(size(filter(zip_with(sa, sb, (a, b) -> a <> 'E' AND b <> 'E'), v -> v)) AS BIGINT)"))
+        .withColumn("matches", expr(
+          "CAST(size(filter(zip_with(sa, sb, (a, b) -> a <> 'E' AND a = b), v -> v)) AS BIGINT)"))
+        .join(exactInterFor(sh, cand), Seq("d1", "d2"))
+        .select($"d1", $"d2", $"filled_both", $"matches",
+          when($"filled_both" === 0L, 0L)
+            .otherwise(expr("matches * 1000000 div filled_both"))
+            .as("oph_est_ppm"),
+          expr("inter * 1000000 div (na + nb - inter)").as("exact_ppm"))
+        .withColumn("err_ppm", $"oph_est_ppm" - $"exact_ppm")
+        .orderBy($"d1", $"d2")
+    }),
+
     // SimHash: 60-bit fingerprint from per-token md5 bit votes, folded
     // in a SINGLE typed Aggregator pass — the 60× bit expansion lives
     // inside the aggregation buffer (map-side), so the exchange carries
@@ -3521,6 +3568,35 @@ object LlmPipeline {
         .orderBy($"split", $"shard")
     }),
 
+    // TOKENIZER FERTILITY AUDIT — the per-language table every
+    // multilingual tokenizer ships with: tokens per word (fertility)
+    // and chars per token, off the PERSISTED BPE artifact (zero
+    // retraining — the cachedBpe reuse posture). A language whose
+    // fertility runs hot is under-served by the learned merges: its
+    // text costs more sequence length per word, which is a budget and
+    // quality decision at training time, not a curiosity. Shape: vocab
+    // is corpus-bounded — the n_syms table is a vocabulary-sized
+    // aggregate joined onto the per-(lang, word) frequency aggregate;
+    // the corpus itself is scanned once. All-integer outputs (ppm).
+    "p9_tokenizer_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val (_, syms) = cachedBpe(s, dir, BpeSteps)
+      val nsyms = syms.groupBy($"word").agg(count(lit(1)).as("n_syms"))
+      val wf = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"lang", explode(toks($"text")).as("word"))
+        .filter(length($"word") >= 1)
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("occ"))
+      wf.join(nsyms, Seq("word"))
+        .groupBy($"lang")
+        .agg(sum($"occ").as("n_words"),
+          sum($"occ" * $"n_syms").as("n_tokens"),
+          sum($"occ" * length($"word").cast("long")).as("n_chars"))
+        .select($"lang", $"n_words", $"n_tokens", $"n_chars",
+          expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+          expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+        .orderBy($"lang")
+    }),
+
     "p6_dataset_card" -> ((s, dir) => {
       import s.implicits._
       val docs = materialize(graft.ops.Spread.fanout(Tables.documents(s, dir))
@@ -4072,6 +4148,70 @@ object LlmPipeline {
         |JOIN sizes s2 ON c.d2 = s2.doc_id
         |LEFT JOIN iv ON c.d1 = iv.d1 AND c.d2 = iv.d2
         |ORDER BY c.d1, c.d2""".stripMargin)
+    },
+
+    // the single-hash OPH replay: slot minima densified over a dense
+    // 16-slot spine with the 'E' sentinel, 4-slot band keys, the same
+    // capped bucket join; exact Jaccard from the posting self-join;
+    // every emitted cell BIGINT
+    "d40_oph_minhash" -> {
+      (docsCte.dropRight(1) + s""",
+        |xs AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(8),
+        |      d -> strpos('0123456789abcdef', substr(md5(shingle), d+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT AS x
+        |  FROM sh
+        |),
+        |mins AS (SELECT doc_id, x % 16 AS slot, MIN(x) AS mv FROM xs GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT d.doc_id, s.slot, COALESCE(CAST(m.mv AS VARCHAR), 'E') AS v
+        |  FROM (SELECT DISTINCT doc_id FROM sh) d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS slot) s
+        |  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.slot = s.slot
+        |),
+        |sv AS (SELECT doc_id, list(v ORDER BY slot) AS sv FROM dense GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, bb.b AS band,
+        |    md5(array_to_string(sv[bb.b*4+1 : bb.b*4+4], ',')) AS bkey
+        |  FROM sv CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+        |),
+        |okb AS (
+        |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= $MaxBucketSize
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a
+        |  JOIN okb o ON a.band = o.band AND a.bkey = o.bkey
+        |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |),
+        |iv AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |scored AS (
+        |  SELECT c.d1, c.d2,
+        |    len(list_filter(range(16), i -> sa.sv[i+1] <> 'E' AND sb.sv[i+1] <> 'E')) AS filled_both,
+        |    len(list_filter(range(16), i -> sa.sv[i+1] <> 'E' AND sa.sv[i+1] = sb.sv[i+1])) AS matches,
+        |    COALESCE(iv.inter, 0) * 1000000
+        |      // (s1.n + s2.n - COALESCE(iv.inter, 0)) AS exact_ppm
+        |  FROM cand c
+        |  JOIN sv sa ON c.d1 = sa.doc_id
+        |  JOIN sv sb ON c.d2 = sb.doc_id
+        |  JOIN sizes s1 ON c.d1 = s1.doc_id
+        |  JOIN sizes s2 ON c.d2 = s2.doc_id
+        |  LEFT JOIN iv ON c.d1 = iv.d1 AND c.d2 = iv.d2
+        |)
+        |SELECT d1, d2,
+        |  CAST(filled_both AS BIGINT) AS filled_both,
+        |  CAST(matches AS BIGINT) AS matches,
+        |  CAST(CASE WHEN filled_both = 0 THEN 0
+        |       ELSE matches * 1000000 // filled_both END AS BIGINT) AS oph_est_ppm,
+        |  CAST(exact_ppm AS BIGINT) AS exact_ppm,
+        |  CAST(CASE WHEN filled_both = 0 THEN 0
+        |       ELSE matches * 1000000 // filled_both END - exact_ppm AS BIGINT) AS err_ppm
+        |FROM scored ORDER BY d1, d2""".stripMargin)
     },
 
     "d4_simhash" ->
@@ -5668,6 +5808,29 @@ object LlmPipeline {
         |  CAST(SUM(dh) % 2305843009213693951 AS BIGINT) AS content_fp
         |FROM tagged GROUP BY split, shard
         |ORDER BY split, shard""".stripMargin,
+
+    // vocab-sized n_syms off the unrolled trainer CTEs; per-(lang,
+    // word) corpus frequencies; inner join on word BOTH sides; every
+    // emitted cell BIGINT (the r12 portability contract)
+    "p9_tokenizer_fertility" ->
+      (bpeCtes(BpeSteps) + s""",
+        |ns AS (SELECT word, COUNT(*) AS n_syms FROM c$BpeSteps GROUP BY word),
+        |wf AS (
+        |  SELECT lang, word, COUNT(*) AS occ FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS word
+        |    FROM documents
+        |  ) WHERE length(word) >= 1 GROUP BY 1, 2
+        |)
+        |SELECT wf.lang,
+        |  CAST(SUM(wf.occ) AS BIGINT) AS n_words,
+        |  CAST(SUM(wf.occ * ns.n_syms) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(wf.occ * length(wf.word)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(wf.occ * ns.n_syms) * 1000000 // SUM(wf.occ) AS BIGINT)
+        |    AS fertility_ppm,
+        |  CAST(SUM(wf.occ * length(wf.word)) * 1000000
+        |    // SUM(wf.occ * ns.n_syms) AS BIGINT) AS chars_per_token_ppm
+        |FROM wf JOIN ns ON wf.word = ns.word
+        |GROUP BY wf.lang ORDER BY wf.lang""".stripMargin),
 
     "p6_dataset_card" ->
       """WITH RECURSIVE dtok AS (

@@ -423,6 +423,32 @@ object Quality {
         .orderBy($"bucket")
     }),
 
+    // EVENT-STREAM FIELD QUALITY — dq2's contract report turned on the
+    // ingest stream itself, per event family: payload completeness
+    // (empty/missing props), value validity (non-positive amounts on
+    // events that claim one), and audience breadth (events per distinct
+    // user — a family whose ratio explodes is one bot away from skewing
+    // every downstream session metric). This is the per-family gate a
+    // streaming ingest files BEFORE events reach sessionization. All
+    // integer ppm; one map-side-combining pass over the stream table,
+    // |event_type|-row output.
+    "dq12_event_field_quality" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          sum(when($"props".isNull || $"props" === "", 1L).otherwise(0L))
+            .as("n_empty_props"),
+          sum(when($"value".isNull || $"value" <= 0.0, 1L).otherwise(0L))
+            .as("n_nonpos_value"))
+        .select($"event_type", $"n_events", $"n_users",
+          expr("n_empty_props * 1000000 div n_events").as("empty_props_ppm"),
+          expr("n_nonpos_value * 1000000 div n_events").as("nonpos_value_ppm"),
+          expr("n_events * 1000 div n_users").as("events_per_user_x1000"))
+        .orderBy($"event_type")
+    }),
+
     // CHI-SQUARE INDEPENDENCE TEST on the lang × source contingency
     // table — the bias detector a corpus audit runs before mixing:
     // if language and source were independent, every cell would hold
@@ -688,6 +714,20 @@ object Quality {
         |  COUNT(*) * 1000000 // tot.tot AS share_ppm
         |FROM b CROSS JOIN tot
         |GROUP BY bucket, tot.tot ORDER BY bucket""".stripMargin,
+
+    // one grouped pass; every emitted cell CAST BIGINT (the r12
+    // portability contract)
+    "dq12_event_field_quality" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS empty_props_ppm,
+        |  CAST(SUM(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS nonpos_value_ppm,
+        |  CAST(COUNT(*) * 1000 // COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS events_per_user_x1000
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the same dense margin-cross grid, exact-int64 deviations, pinned
     // double multiply order, fsum-grid total

@@ -10,6 +10,107 @@ import graft.sources.Tables
 class ScaleSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("gr16: spectrum replays from cc1 labels; mass conserved") {
+    val rows = SparkEntry.queries("gr16_cluster_size_spectrum")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    // mass conservation: the histogram's doc mass is the whole corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // local replay from cc1's labels + singleton fill
+    val labels = SparkEntry.queries("cc1_dup_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allIds = Tables.documents(spark, sf0001).select($"doc_id")
+      .collect().map(_.getLong(0))
+    val sizes = allIds.groupBy(id => labels.getOrElse(id, id)).map(_._2.length)
+    val expected = sizes.groupBy(sz => java.lang.Long.toBinaryString(sz.toLong).length)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket").toInt
+      val cl = expected(b)
+      assert(r.getAs[Long]("n_clusters") == cl.size.toLong, s"bucket $b clusters")
+      assert(r.getAs[Long]("n_docs") == cl.map(_.toLong).sum, s"bucket $b docs")
+      assert(r.getAs[Long]("min_size") == cl.min.toLong &&
+        r.getAs[Long]("max_size") == cl.max.toLong, s"bucket $b bounds")
+    }
+    assert(rows.map(_.getAs[Long]("bucket")).toSet == expected.keySet.map(_.toLong))
+  }
+
+  test("p9: fertility algebra — word/char mass replays, tokens bound below") {
+    val rows = SparkEntry.queries("p9_tokenizer_fertility")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // corpus word/char mass per lang recomputed directly (no BPE)
+    val direct = Tables.documents(spark, sf0001)
+      .selectExpr("lang", "filter(split(lower(text), '\\\\s+'), w -> length(w) >= 1) AS ws")
+      .selectExpr("lang", "CAST(size(ws) AS LONG) AS nw",
+        "CAST(aggregate(ws, 0L, (a, w) -> a + length(w)) AS LONG) AS nc")
+      .groupBy("lang").agg(sum($"nw").as("nw"), sum($"nc").as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val (nw, nc) = direct(l)
+      assert(r.getAs[Long]("n_words") == nw, s"$l word mass")
+      assert(r.getAs[Long]("n_chars") == nc, s"$l char mass")
+      // every word tokenizes to >= 1 symbol and <= its char count
+      val nt = r.getAs[Long]("n_tokens")
+      assert(nt >= nw && nt <= nc, s"$l token mass $nt outside [$nw, $nc]")
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L, s"$l fertility < 1")
+      assert(r.getAs[Long]("chars_per_token_ppm") >= 1000000L,
+        s"$l chars/token < 1")
+    }
+  }
+
+  test("dq12: event field-quality report replays locally") {
+    val rows = SparkEntry.queries("dq12_event_field_quality")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("event_type", "user_id",
+        "props IS NULL OR props = '' AS ep", "value IS NULL OR value <= 0 AS nv")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    val byType = ev.groupBy(_._1)
+    assert(rows.length == byType.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val g = byType(t)
+      val n = g.length.toLong
+      assert(r.getAs[Long]("n_events") == n, s"$t n_events")
+      assert(r.getAs[Long]("n_users") == g.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("empty_props_ppm") ==
+        g.count(_._3).toLong * 1000000L / n, s"$t empty props")
+      assert(r.getAs[Long]("nonpos_value_ppm") ==
+        g.count(_._4).toLong * 1000000L / n, s"$t nonpos value")
+      assert(r.getAs[Long]("events_per_user_x1000") ==
+        n * 1000L / g.map(_._2).distinct.length.toLong)
+    }
+  }
+
+  test("d40: OPH estimator bounds; identical docs read a perfect estimate") {
+    val rows = SparkEntry.queries("d40_oph_minhash")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "no OPH candidates — banding vacuous")
+    rows.foreach { r =>
+      val fb = r.getAs[Long]("filled_both")
+      val m = r.getAs[Long]("matches")
+      assert(fb >= 0L && fb <= 16L && m >= 0L && m <= fb)
+      val est = r.getAs[Long]("oph_est_ppm")
+      assert(est >= 0L && est <= 1000000L)
+      assert(r.getAs[Long]("err_ppm") ==
+        est - r.getAs[Long]("exact_ppm"))
+      // an exact duplicate has identical slot signatures: estimate 10^6
+      // (vacuous at sf0.001 — the fixture has no exact-dup docs — but
+      // the invariant must hold wherever one appears)
+      if (r.getAs[Long]("exact_ppm") == 1000000L) {
+        assert(m == fb && fb > 0L, s"dup pair with imperfect signature: $r")
+        assert(est == 1000000L && r.getAs[Long]("err_ppm") == 0L)
+      }
+    }
+    // banding is not vacuous: a candidate pair shares an exact band —
+    // its 4 slot strings are equal — so filled slots in that band match
+    assert(rows.exists(_.getAs[Long]("matches") >= 1L),
+      "no candidate pair with any matching filled slot")
+  }
+
   test("saltedJoin produces exactly the plain join result") {
     val li = Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_quantity")
     val o = Tables.orders(spark, sf0001).select($"o_orderkey", $"o_orderpriority")
