@@ -68,6 +68,16 @@ def main():
         name = d.name
         got_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         got_cols = got_rel.columns
+        # same portability lint on the SPARK side: a DECIMAL(38,0)
+        # parquet column is as comparator-hostile as an oracle HUGEINT
+        # (TIMESTAMP_NS allowed: that's how nanos parquet reads back)
+        bad_got = [(c, str(t)) for c, t in zip(got_cols, got_rel.types)
+                   if str(t) not in PORTABLE_TYPES and str(t) != "TIMESTAMP_NS"]
+        if bad_got:
+            print(f"[FAIL-lint-types] {name}: non-portable SPARK output "
+                  f"column types {bad_got}")
+            n_fail += 1
+            continue
         got = canon(got_rel.fetchall(), got_cols)
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")
