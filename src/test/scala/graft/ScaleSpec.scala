@@ -86,6 +86,16 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("r12 additions: no cartesian products anywhere in the plans") {
+    for (q <- Seq("gr16_cluster_size_spectrum", "p9_tokenizer_fertility",
+        "dq12_event_field_quality", "d40_oph_minhash")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
   test("d40: OPH estimator bounds; identical docs read a perfect estimate") {
     val rows = SparkEntry.queries("d40_oph_minhash")(spark, sf0001).collect()
     assert(rows.nonEmpty, "no OPH candidates — banding vacuous")
