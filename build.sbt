@@ -28,11 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
   "-Dderby.system.home=/tmp/graft_derby",
-  // 16g default: local[32] runs 32 executor threads in ONE JVM — at 8g
-  // the 136-query bench battery ends under real GC pressure and the
-  // last (heaviest) queries bill GC time as query time; the box has
-  // 128 GiB, so a 16g heap is the honest single-node configuration.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 24g default: local[32] runs 32 executor threads in ONE JVM — at 8g
+  // the bench battery ends under real GC pressure and the last
+  // (heaviest) queries bill GC time as query time; measured again at
+  // 254 queries, 16g -> 24g shaves ~6% off the battery tail (audio /
+  // binary-artifact queries). The box has 128 GiB, so 24g remains an
+  // honest single-node configuration.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // catalogImplementation is a STATIC conf fixed by the first session in the
 // JVM — set it for the test JVM so HiveSpec exercises the real
