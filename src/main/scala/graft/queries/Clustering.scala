@@ -755,6 +755,46 @@ object Clustering {
           col("own_cos_sum_q30"), col("other_cos_sum_q30"))
         .orderBy(col("label"))
     }),
+
+    // EMBEDDING DISTRIBUTION DRIFT — the embedding-space monitor a
+    // pipeline runs between corpus snapshots (d19's deterministic
+    // old/new convention: old = vec_id%3≠0, new = vec_id%3≠1, with a
+    // planted per-dim shift of (d%3)/128 on every vec_id%5=0 vector —
+    // /128 is a power of two, so the perturbation is EXACT in every
+    // IEEE engine). Per dimension: both counts, both dyadic-grid sums,
+    // and the mean-shift NUMERATOR sum_new·n_old − sum_old·n_new as an
+    // exact cross-multiplied integer — NO division anywhere, so no
+    // engine's rounding-toward-anything can touch a cell (the r12
+    // portability posture taken to its limit). An embedding model or
+    // preprocessing change shows up as nonzero shift on dims it moves.
+    // Shape: one posexplode per snapshot → 64-row dim aggregates;
+    // envelope: |Σ q30|·n < 2⁶³ holds to ~10⁹ vectors, and the
+    // DECIMAL(38,0) multiply fails loudly, never silently, beyond.
+    "e8_embedding_drift" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val old = e.filter($"vec_id" % 3 =!= 0)
+      val nw = e.filter($"vec_id" % 3 =!= 1)
+        .select($"vec_id", expr(
+          "CASE WHEN vec_id % 5 = 0 THEN transform(sequence(0, size(v)-1), " +
+            "i -> element_at(v, i+1) + CAST(i % 3 AS DOUBLE) / 128) " +
+            "ELSE v END").as("v"))
+      def dimSums(df: DataFrame, tag: String): DataFrame = df
+        .select(posexplode($"v").as(Seq("d", "x")))
+        .groupBy($"d")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(graft.ops.Num.fquant($"x").cast(DecimalType(38, 0)))
+            .cast("long").as(s"sum_${tag}_q30"))
+      dimSums(old, "old").join(dimSums(nw, "new"), "d")
+        .select($"d".cast("long").as("dim"), $"n_old", $"n_new",
+          $"sum_old_q30", $"sum_new_q30",
+          expr("CAST(CAST(sum_new_q30 AS DECIMAL(38,0)) * n_old - " +
+            "CAST(sum_old_q30 AS DECIMAL(38,0)) * n_new AS BIGINT)")
+            .as("shift_num_q30"))
+        .orderBy($"dim")
+    }),
   )
 
   // two Lloyd iterations unrolled as CTEs, shared by c1 and d20;
@@ -1246,5 +1286,43 @@ object Clustering {
         |  CAST(SUM(${graft.ops.Num.fquantSql("other_cos")}) AS BIGINT) AS other_cos_sum_q30
         |FROM j GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    // d19's old/new split on vectors; the /128 perturbation is a
+    // power-of-two (exact both engines); every cell BIGINT, the shift
+    // numerator cross-multiplied in HUGEINT — no division anywhere
+    "e8_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |old_ AS (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0),
+        |nw AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 5 = 0
+        |      THEN list_transform(range(len(v)), i -> v[i+1] + CAST(i % 3 AS DOUBLE) / 128)
+        |      ELSE v END AS v
+        |  FROM e WHERE vec_id % 3 <> 1
+        |),
+        |ox AS (SELECT v, unnest(range(len(v))) AS d FROM old_),
+        |nx AS (SELECT v, unnest(range(len(v))) AS d FROM nw),
+        |om AS (
+        |  SELECT d, COUNT(*) AS n_old,
+        |    SUM(CAST(round(v[d+1] * 1073741824) AS BIGINT)) AS s_old
+        |  FROM ox GROUP BY d
+        |),
+        |nm AS (
+        |  SELECT d, COUNT(*) AS n_new,
+        |    SUM(CAST(round(v[d+1] * 1073741824) AS BIGINT)) AS s_new
+        |  FROM nx GROUP BY d
+        |)
+        |SELECT CAST(om.d AS BIGINT) AS dim,
+        |  CAST(om.n_old AS BIGINT) AS n_old,
+        |  CAST(nm.n_new AS BIGINT) AS n_new,
+        |  CAST(om.s_old AS BIGINT) AS sum_old_q30,
+        |  CAST(nm.s_new AS BIGINT) AS sum_new_q30,
+        |  CAST(nm.s_new * CAST(om.n_old AS HUGEINT)
+        |    - om.s_old * CAST(nm.n_new AS HUGEINT) AS BIGINT) AS shift_num_q30
+        |FROM om JOIN nm ON om.d = nm.d
+        |ORDER BY dim""".stripMargin,
   )
 }

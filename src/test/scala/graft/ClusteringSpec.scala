@@ -184,6 +184,41 @@ class ClusteringSpec extends SparkTestBase {
     assert(confused < total, "everything confused — labels carry no signal")
   }
 
+  test("e8: drift cells replay exactly from a local fquant fold") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("e8_embedding_drift")(spark, dir).collect()
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+    val dims = vecs.head._2.length
+    assert(rows.length == dims)
+    // ties-away-from-zero like Spark/DuckDB round() — math.round is
+    // half-UP and differs on negative ties
+    def q30(x: Double): Long = {
+      val v = x * 1073741824.0
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    }
+    val old = vecs.filter(_._1 % 3 != 0)
+    val nw = vecs.filter(_._1 % 3 != 1).map { case (id, v) =>
+      if (id % 5 == 0) Array.tabulate(dims)(d => v(d) + (d % 3).toDouble / 128)
+      else v
+    }
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim").toInt
+      val so = old.map(t => q30(t._2(d))).sum
+      val sn = nw.map(v => q30(v(d))).sum
+      assert(r.getAs[Long]("n_old") == old.length.toLong)
+      assert(r.getAs[Long]("n_new") == nw.length.toLong)
+      assert(r.getAs[Long]("sum_old_q30") == so, s"dim $d old sum")
+      assert(r.getAs[Long]("sum_new_q30") == sn, s"dim $d new sum")
+      assert(r.getAs[Long]("shift_num_q30") ==
+        sn * old.length - so * nw.length, s"dim $d shift numerator")
+    }
+    // the planted perturbation is visible: dims with d%3 != 0 must
+    // drift strictly more positive than the same data unperturbed
+    assert(rows.exists(_.getAs[Long]("shift_num_q30") != 0L))
+  }
+
   test("c3: silhouette scores c1's exact clustering and detects structure") {
     val dir = "/root/testdata/sf0.001"
     val c3 = SparkEntry.queries("c3_simplified_silhouette")(spark, dir).collect()
