@@ -88,7 +88,8 @@ class ScaleSpec extends SparkTestBase {
 
   test("r12 additions: no cartesian products anywhere in the plans") {
     for (q <- Seq("gr16_cluster_size_spectrum", "p9_tokenizer_fertility",
-        "dq12_event_field_quality", "d40_oph_minhash")) {
+        "dq12_event_field_quality", "d40_oph_minhash",
+        "e8_embedding_drift")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
