@@ -214,6 +214,32 @@ object Streaming {
         .orderBy($"event_type")
     }),
 
+    // STREAM-SIDE FIELD QUALITY — dq12's ingest contract as the live
+    // monitor it would actually run as: per event family, event /
+    // empty-payload / non-positive-value counters with ppm verdicts.
+    // Batch posture below; the INCREMENTAL execution is
+    // [[graft.streaming.Streams.fieldQualityBatch]]: per-micro-batch
+    // partial counts SUM-merged into batchId-versioned state
+    // (|event_type| rows total regardless of volume, replay-
+    // idempotent), ppm derived at read by the same projection.
+    // StreamingSpec proves stream == one-shot and replay no-op.
+    // Distinct-user breadth is deliberately NOT here: exact distincts
+    // don't merge by SUM — that is s13's HLL-sketch state.
+    "s19_stream_field_quality" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"props".isNull || $"props" === "", 1L).otherwise(0L))
+            .as("n_empty"),
+          sum(when($"value".isNull || $"value" <= 0.0, 1L).otherwise(0L))
+            .as("n_nonpos"))
+        .select($"event_type", $"n_events",
+          expr("n_empty * 1000000 div n_events").as("empty_props_ppm"),
+          expr("n_nonpos * 1000000 div n_events").as("nonpos_value_ppm"))
+        .orderBy($"event_type")
+    }),
+
     // incremental CRAWL NOVELTY accounting: sources are crawl
     // increments processed in rank order; a 10-token segment is NOVEL
     // iff no earlier crawl (nor an earlier position in this one)
@@ -345,6 +371,16 @@ object Streaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // one grouped pass; every cell BIGINT (the r12 portability contract)
+    "s19_stream_field_quality" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS empty_props_ppm,
+        |  CAST(SUM(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS nonpos_value_ppm
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "s1_tumbling" ->
       """SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS w_start,
         |  event_type, COUNT(*) AS n,

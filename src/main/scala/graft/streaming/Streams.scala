@@ -338,6 +338,50 @@ object Streams {
     percentilesFromBuckets(spark.read.parquet(s"$dir/v$v"))
   }
 
+  /** Incremental FIELD-QUALITY state (s19): the per-event-family
+    * ingest-contract counters — events, empty/missing payloads,
+    * non-positive values — merge by SUM, so the whole state is
+    * |event_type| rows regardless of event volume. Same
+    * batchId-versioned, replay-idempotent layout as
+    * [[windowTopkBatch]]; ppm verdicts are DERIVED AT READ, never
+    * stored (a stored ratio cannot merge). */
+  def fieldQualityBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val inc = batch
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("props").isNull || col("props") === "", 1L)
+          .otherwise(0L)).as("n_empty"),
+        sum(when(col("value").isNull || col("value") <= 0.0, 1L)
+          .otherwise(0L)).as("n_nonpos"))
+    val base =
+      if (java.nio.file.Files.exists(marker)) {
+        val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+        // replay guard: merging v>=batchId would double-count this batch
+        if (v.toLong >= batchId) return
+        Some(spark.read.parquet(s"$dir/v$v"))
+      } else None
+    val merged = base.map(_.unionByName(inc)).getOrElse(inc)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("n_empty")).as("n_empty"),
+        sum(col("n_nonpos")).as("n_nonpos"))
+    merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+  }
+
+  /** Current field-quality report from [[fieldQualityBatch]] state —
+    * same projection as the batch-posture query (s19), one definition
+    * of the ppm verdicts. */
+  def readFieldQuality(spark: SparkSession, dir: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+    spark.read.parquet(s"$dir/v$v")
+      .select(col("event_type"), col("n").as("n_events"),
+        expr("n_empty * 1000000 div n").as("empty_props_ppm"),
+        expr("n_nonpos * 1000000 div n").as("nonpos_value_ppm"))
+  }
+
   /** Nearest-rank percentile pick over integer histogram buckets —
     * smallest bucket whose cumulative count reaches q% of the total,
     * decided entirely on exact integers (cum·100 ≥ tot·q). ONE

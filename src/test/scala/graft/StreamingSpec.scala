@@ -488,6 +488,64 @@ class StreamingSpec extends SparkTestBase {
     assert(state() == oneShot(), "replayed batch mutated the anomaly state")
   }
 
+  test("s19: incremental field-quality counters equal one-shot; replay no-op") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_fq_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_fq_out").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def write(rows: (String, String, Double)*): Unit =
+      rows.map { case (e, p, v) => (t0, e, 0L, 0L, v, p) }
+        .toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src)
+    write(("click", "", 1.5), ("click", "a=1", -2.0),
+      ("view", "b=2", 3.0), ("view", "", 0.0))
+    val schema = spark.read.parquet(src).schema
+    def state(): Seq[(String, Long, Long, Long)] =
+      Streams.readFieldQuality(spark, out).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("empty_props_ppm"), r.getAs[Long]("nonpos_value_ppm")))
+        .sortBy(_._1).toSeq
+    def oneShot(): Seq[(String, Long, Long, Long)] = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(src)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"props".isNull || $"props" === "", 1L).otherwise(0L)).as("ne"),
+          sum(when($"value".isNull || $"value" <= 0.0, 1L).otherwise(0L)).as("np"))
+        .select($"event_type", $"n_events",
+          expr("ne * 1000000 div n_events").as("e"),
+          expr("np * 1000000 div n_events").as("p"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.fieldQualityBatch(b, out, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(state() == oneShot(), "batch-1 state diverged from one-shot")
+      // batch 2: new type + more mass on existing types — counters SUM
+      write(("purchase", "", -1.0), ("click", "", 2.0), ("view", "c=3", 4.0))
+      q.processAllAvailable()
+      val s2 = state()
+      assert(s2 == oneShot(), "merged state diverged from one-shot")
+      val click = s2.find(_._1 == "click").get
+      // click: 3 events, 2 empty props, 1 nonpos value
+      assert(click._2 == 3L && click._3 == 666666L && click._4 == 333333L,
+        s"click counters wrong: $click")
+    } finally q.stop()
+    // replayed batch ids must not double-count
+    val bogus = Seq((t0, "click", 0L, 0L, -9.0, ""))
+      .toDF("ts", "event_type", "event_id", "user_id", "value", "props")
+    Streams.fieldQualityBatch(bogus, out, 1L)
+    Streams.fieldQualityBatch(bogus, out, 0L)
+    assert(state() == oneShot(), "replayed batch mutated the quality state")
+  }
+
   test("s15: incremental latency histogram equals the one-shot percentiles; replay no-op") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_lp_src").toString
