@@ -107,6 +107,16 @@ object Clustering {
         count(lit(1)).as("n_dups"))
   }
 
+  /** Frozen-codebook ROUTER: nearest-centroid assignment of every
+    * vector against a FIXED centroid table (cid, cv) — the serving-time
+    * half of k-means (c1 trains; this routes). One broadcast crossJoin
+    * + the map-side TopKPerKey argmin; the corpus never reshuffles.
+    * Shared by the s20 batch posture and the incremental
+    * [[graft.streaming.Streams.centroidRouteBatch]] so the two cannot
+    * drift. */
+  def route(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assign(prep(embeddings), cents)
+
   private def prep(embeddings: DataFrame): DataFrame =
     graft.ops.Spread.fanout(embeddings)
       .select(col("vec_id"),
@@ -538,6 +548,49 @@ object Clustering {
         .orderBy(col("cluster_id"))
     }),
 
+    // GRID-DENSITY CORE POINTS — DBSCAN's density test [Ester et al.,
+    // KDD'96] at grid resolution (the D-Stream/DenStream family's
+    // blocking): quantize the first two embedding dims to 0.1-wide
+    // cells, count points per cell, and score every point by its 3×3
+    // cell-neighborhood mass; a point is CORE when the neighborhood
+    // holds ≥ 20 points. This is the density-based complement to c1's
+    // kmeans (arbitrary-shape clusters, explicit noise) in the only
+    // form that scales: density comes from CELL COUNTS, never pairwise
+    // distances — candidate generation is the same blocked posture as
+    // d2/d3 (grid cell = the band). Scale shape: one cell-keyed count
+    // (map-side partials), a 9× explode of the CELL frame (bounded by
+    // occupied-cell count, ~10² here, never by corpus), a cell-keyed
+    // re-sum, and a broadcast join back to points; output is the ≤64-
+    // bucket log2 density spectrum with core/noise mass split out.
+    // Quantization is FLOOR(double(v)·10) — one deterministic IEEE
+    // multiply, identical in DuckDB; every gated cell is BIGINT.
+    "c4_grid_density" -> ((s, dir) => {
+      val pts = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 10)
+            .cast("long").as("cx"),
+          floor(element_at(col("embedding"), 2).cast("double") * 10)
+            .cast("long").as("cy"))
+      val cells = pts.groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      val density = cells
+        .select(col("cx"), col("cy"), col("n"),
+          explode(expr("sequence(-1, 1)")).as("dx"))
+        .select((col("cx") + col("dx")).as("gx"), col("cy"), col("n"),
+          explode(expr("sequence(-1, 1)")).as("dy"))
+        .select(col("gx"), (col("cy") + col("dy")).as("gy"), col("n"))
+        .groupBy(col("gx"), col("gy")).agg(sum(col("n")).as("nbhd"))
+      pts.join(broadcast(density),
+          pts("cx") === density("gx") && pts("cy") === density("gy"))
+        .select(length(expr("conv(nbhd, 10, 2)")).cast("long").as("bucket"),
+          col("nbhd"), expr("(cx + 100) * 1000 + (cy + 100)").as("cell_key"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_points"),
+          countDistinct(col("cell_key")).as("n_cells"),
+          sum(when(col("nbhd") >= 20, 1L).otherwise(0L)).as("n_core"),
+          min(col("nbhd")).as("min_nbhd"), max(col("nbhd")).as("max_nbhd"))
+        .orderBy(col("bucket"))
+    }),
+
     "ml1_linear_probe" -> ((s, dir) =>
       linearProbe(Tables.embeddings(s, dir), iters = 2, lr = 0.5)
         .orderBy(col("d"))),
@@ -802,7 +855,7 @@ object Clustering {
   // identical to the Spark side's fold from 0.0) and the mean sums are
   // DECIMAL(38,6)-stabilized on both sides. Ends at a2 — the final
   // (vec_id, cid, dist) assignment.
-  private val kmeansCte =
+  private[queries] val kmeansCte =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
@@ -1060,6 +1113,36 @@ object Clustering {
         |  ${graft.ops.Num.fsumSql("sil")} AS sil_sum,
         |  ${graft.ops.Num.fsumSql("sil")} / CAST(COUNT(*) AS DOUBLE) AS mean_sil
         |FROM sv GROUP BY cid ORDER BY cluster_id""".stripMargin),
+
+    // same grid quantization, same 3×3 neighbor sum (VALUES offsets in
+    // place of the explode), same log2 string identity; all cells BIGINT
+    "c4_grid_density" ->
+      """WITH pts AS (
+        |  SELECT vec_id,
+        |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10) AS BIGINT) AS cx,
+        |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 10) AS BIGINT) AS cy
+        |  FROM embeddings
+        |),
+        |cells AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+        |density AS (
+        |  SELECT c.cx + dx.dx AS gx, c.cy + dy.dy AS gy, SUM(c.n) AS nbhd
+        |  FROM cells c,
+        |    (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)
+        |  GROUP BY 1, 2
+        |),
+        |pd AS (
+        |  SELECT CAST(d.nbhd AS BIGINT) AS nbhd,
+        |    (p.cx + 100) * 1000 + (p.cy + 100) AS cell_key
+        |  FROM pts p JOIN density d ON d.gx = p.cx AND d.gy = p.cy
+        |)
+        |SELECT CAST(length(bin(nbhd)) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(COUNT(DISTINCT cell_key) AS BIGINT) AS n_cells,
+        |  CAST(SUM(CASE WHEN nbhd >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_core,
+        |  CAST(MIN(nbhd) AS BIGINT) AS min_nbhd,
+        |  CAST(MAX(nbhd) AS BIGINT) AS max_nbhd
+        |FROM pd GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // the same fold+sqrt norm, the same floor(·10) decimation
     "e6_norm_histogram" ->

@@ -3597,6 +3597,63 @@ object LlmPipeline {
         .orderBy($"lang")
     }),
 
+    // EPOCH SHUFFLE PLAN — the data-ORDER artifact for reproducible
+    // multi-epoch training at 100 TB: random access over the corpus is
+    // off the table, so training "shuffles" by permuting SHARD read
+    // order per epoch (the tf.data/WebDataset posture). The permutation
+    // key is md5(epoch:shard) — fully deterministic, reproducible from
+    // the seed tuple alone, no RNG state to ship — and the table audits
+    // the property shard-order shuffling is FOR: source interleaving.
+    // Per epoch: shard count, a position⊗shard permutation fingerprint
+    // (two runs agree ⟺ the read order is byte-identical), and the
+    // run-length profile of each shard's DOMINANT source along the
+    // permuted order (n_runs low / max_run high ⟹ the epoch feeds the
+    // trainer long single-source stretches — the gradient-staleness
+    // smell shuffling exists to kill). Shape: one doc→shard count
+    // (map-side partials, md5 keys — p8's hash), a 64-row shard frame
+    // crossed with 4 epochs, and windows over the 256-row permutation —
+    // every post-aggregation frame is shard-bounded, never corpus-
+    // bounded. All-BIGINT cells (the r12 portability contract).
+    "p10_epoch_shuffle_plan" -> ((s, dir) => {
+      import s.implicits._
+      val shardSrc = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .withColumn("dh", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"))
+        .select(pmod($"dh", lit(64L)).as("shard"), $"source")
+        .groupBy($"shard", $"source").agg(count(lit(1)).as("n"))
+      val dom = shardSrc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"shard").orderBy($"n".desc, $"source")))
+        .withColumn("n_docs",
+          sum($"n").over(Window.partitionBy($"shard")))
+        .filter($"rn" === 1)
+        .select($"shard", $"source".as("dom_source"), $"n_docs")
+      val w = Window.partitionBy($"epoch").orderBy($"okey", $"shard")
+      val perm = dom
+        .select($"shard", $"dom_source", $"n_docs",
+          explode(expr("sequence(0, 3)")).as("epoch"))
+        .withColumn("okey", expr(
+          "CAST(conv(substr(md5(concat(CAST(epoch AS STRING), ':', CAST(shard AS STRING))), 1, 13), 16, 10) AS BIGINT)"))
+        .withColumn("position", row_number().over(w))
+        .withColumn("chg", when(
+          lag($"dom_source", 1).over(w).isNull ||
+            lag($"dom_source", 1).over(w) =!= $"dom_source", 1L)
+          .otherwise(0L))
+        .withColumn("run_id", sum($"chg").over(w))
+      val runs = perm.groupBy($"epoch", $"run_id")
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy($"epoch")
+        .agg(max($"run_id").as("n_runs"), max($"run_len").as("max_run"))
+      perm.groupBy($"epoch")
+        .agg(count(lit(1)).as("n_shards"),
+          sum($"position" * $"shard").as("perm_fp"),
+          sum($"position".cast("long") * $"n_docs").as("weighted_pos"))
+        .join(runs, Seq("epoch"))
+        .select($"epoch".cast("long").as("epoch"), $"n_shards", $"perm_fp",
+          $"weighted_pos", $"n_runs", $"max_run")
+        .orderBy($"epoch")
+    }),
+
     "p6_dataset_card" -> ((s, dir) => {
       import s.implicits._
       val docs = materialize(graft.ops.Spread.fanout(Tables.documents(s, dir))
@@ -5831,6 +5888,64 @@ object LlmPipeline {
         |    // SUM(wf.occ * ns.n_syms) AS BIGINT) AS chars_per_token_ppm
         |FROM wf JOIN ns ON wf.word = ns.word
         |GROUP BY wf.lang ORDER BY wf.lang""".stripMargin),
+
+    // same md5 int52 fold both for the doc→shard hash and the
+    // epoch:shard permutation key; IS DISTINCT FROM mirrors the
+    // null-or-changed lag test; every cell BIGINT
+    "p10_epoch_shuffle_plan" ->
+      """WITH base AS (
+        |  SELECT list_reduce(list_transform(range(13),
+        |      dd -> strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), dd+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT % 64 AS shard,
+        |    source
+        |  FROM documents
+        |),
+        |ss AS (SELECT shard, source, COUNT(*) AS n FROM base GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT shard, source AS dom_source, n_docs FROM (
+        |    SELECT shard, source, n,
+        |      ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n DESC, source) AS rn,
+        |      SUM(n) OVER (PARTITION BY shard) AS n_docs
+        |    FROM ss) WHERE rn = 1
+        |),
+        |perm AS (
+        |  SELECT d.shard, d.dom_source, d.n_docs, e.epoch,
+        |    list_reduce(list_transform(range(13),
+        |      dd -> strpos('0123456789abcdef',
+        |            substr(md5(CAST(e.epoch AS VARCHAR) || ':'
+        |                       || CAST(d.shard AS VARCHAR)), dd+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT AS okey
+        |  FROM dom d, (VALUES (0), (1), (2), (3)) e(epoch)
+        |),
+        |pos AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY okey, shard)
+        |      AS position,
+        |    CASE WHEN LAG(dom_source)
+        |        OVER (PARTITION BY epoch ORDER BY okey, shard)
+        |        IS DISTINCT FROM dom_source THEN 1 ELSE 0 END AS chg
+        |  FROM perm
+        |),
+        |rid AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY epoch ORDER BY okey, shard)
+        |    AS run_id
+        |  FROM pos
+        |),
+        |runs AS (
+        |  SELECT epoch, MAX(run_id) AS n_runs, MAX(run_len) AS max_run
+        |  FROM (SELECT epoch, run_id, COUNT(*) AS run_len
+        |        FROM rid GROUP BY 1, 2)
+        |  GROUP BY epoch
+        |)
+        |SELECT CAST(r.epoch AS BIGINT) AS epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |  CAST(SUM(r.position * r.shard) AS BIGINT) AS perm_fp,
+        |  CAST(SUM(r.position * r.n_docs) AS BIGINT) AS weighted_pos,
+        |  CAST(MAX(runs.n_runs) AS BIGINT) AS n_runs,
+        |  CAST(MAX(runs.max_run) AS BIGINT) AS max_run
+        |FROM rid r JOIN runs ON runs.epoch = r.epoch
+        |GROUP BY r.epoch ORDER BY epoch""".stripMargin,
 
     "p6_dataset_card" ->
       """WITH RECURSIVE dtok AS (

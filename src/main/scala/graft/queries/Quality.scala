@@ -449,6 +449,41 @@ object Quality {
         .orderBy($"event_type")
     }),
 
+    // K-ANONYMITY AUDIT over the quasi-identifier tuple (nation,
+    // segment, account-balance band) — the privacy gate a dataset
+    // release runs before rows with "non-identifying" attributes ship:
+    // any equivalence class smaller than k = 5 re-identifies its
+    // members by intersection [Sweeney, IJUFKS'02]. Output is the
+    // class-size spectrum on dq11's exact log2 grid (bucket =
+    // length of the size's binary representation — no libm log) with
+    // the below-k row mass split out per bucket: a release passes when
+    // rows_below_k is 0 everywhere, and the spectrum shows HOW FAR the
+    // generalization has to coarsen to get there. Scale shape: one
+    // QI-keyed count (map-side partials), then a ≤64-bucket histogram
+    // agg; the row total crosses as a broadcast — nothing is collected
+    // and nothing re-shuffles by row. The balance band is
+    // FLOOR(bal/1000) — one deterministic IEEE divide, band identity
+    // engine-invariant; every emitted cell is BIGINT.
+    "dq13_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val classes = Tables.customer(s, dir)
+        .select($"c_nationkey", $"c_mktsegment",
+          floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+        .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("sz"))
+      val tot = classes.agg(sum($"sz").as("tot"))
+      classes
+        .select(length(expr("conv(sz, 10, 2)")).cast("long").as("bucket"),
+          $"sz")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_classes"), sum($"sz").as("n_rows"),
+          sum(when($"sz" < 5, $"sz").otherwise(0L)).as("rows_below_k"))
+        .crossJoin(broadcast(tot))
+        .select($"bucket", $"n_classes", $"n_rows", $"rows_below_k",
+          expr("n_rows * 1000000 div tot").as("rows_ppm"))
+        .orderBy($"bucket")
+    }),
+
     // CHI-SQUARE INDEPENDENCE TEST on the lang × source contingency
     // table — the bias detector a corpus audit runs before mixing:
     // if language and source were independent, every cell would hold
@@ -728,6 +763,24 @@ object Quality {
         |  CAST(COUNT(*) * 1000 // COUNT(DISTINCT user_id) AS BIGINT)
         |    AS events_per_user_x1000
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same QI grouping, same log2 string identity, every cell BIGINT
+    "dq13_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    COUNT(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3
+        |),
+        |tot AS (SELECT SUM(sz) AS tot FROM cls)
+        |SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k,
+        |  CAST(SUM(sz) * 1000000 // tot.tot AS BIGINT) AS rows_ppm
+        |FROM cls CROSS JOIN tot
+        |GROUP BY bucket, tot.tot ORDER BY bucket""".stripMargin,
 
     // the same dense margin-cross grid, exact-int64 deviations, pinned
     // double multiply order, fsum-grid total

@@ -122,6 +122,106 @@ class ScaleSpec extends SparkTestBase {
       "no candidate pair with any matching filled slot")
   }
 
+  test("dq13: k-anonymity spectrum replays exactly from a local QI grouping") {
+    val rows = SparkEntry.queries("dq13_k_anonymity")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val cust = Tables.customer(spark, sf0001)
+      .select($"c_nationkey", $"c_mktsegment", $"c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 1000.0).toLong))
+    val sizes = cust.groupBy(identity).map(_._2.length.toLong).toSeq
+    val tot = sizes.sum
+    assert(tot == cust.length.toLong)
+    val byBucket = sizes.groupBy(sz => java.lang.Long.toBinaryString(sz).length.toLong)
+    assert(rows.map(_.getAs[Long]("bucket")).toSet == byBucket.keySet)
+    rows.foreach { r =>
+      val szs = byBucket(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_classes") == szs.length.toLong)
+      assert(r.getAs[Long]("n_rows") == szs.sum)
+      assert(r.getAs[Long]("rows_below_k") == szs.filter(_ < 5L).sum)
+      assert(r.getAs[Long]("rows_ppm") == szs.sum * 1000000L / tot)
+    }
+  }
+
+  test("c4: grid-density core points replay exactly from a local cell fold") {
+    val rows = SparkEntry.queries("c4_grid_density")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val pts = Tables.embeddings(spark, sf0001)
+      .selectExpr("CAST(embedding[0] AS DOUBLE) AS x",
+        "CAST(embedding[1] AS DOUBLE) AS y")
+      .collect()
+      .map(r => (math.floor(r.getDouble(0) * 10).toLong,
+        math.floor(r.getDouble(1) * 10).toLong))
+    val cells = pts.groupBy(identity).map { case (c, v) => c -> v.length.toLong }
+    def nbhd(c: (Long, Long)): Long =
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield cells.getOrElse((c._1 + dx, c._2 + dy), 0L)).sum
+    val perPoint = pts.map(c => (c, nbhd(c)))
+    assert(rows.map(_.getAs[Long]("n_points")).sum == pts.length.toLong)
+    val byBucket = perPoint.groupBy { case (_, n) =>
+      java.lang.Long.toBinaryString(n).length.toLong }
+    assert(rows.map(_.getAs[Long]("bucket")).toSet == byBucket.keySet)
+    rows.foreach { r =>
+      val g = byBucket(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_points") == g.length.toLong)
+      assert(r.getAs[Long]("n_cells") == g.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("n_core") == g.count(_._2 >= 20L).toLong)
+      assert(r.getAs[Long]("min_nbhd") == g.map(_._2).min)
+      assert(r.getAs[Long]("max_nbhd") == g.map(_._2).max)
+    }
+    // a point's neighborhood includes its own cell: nbhd >= 1 everywhere
+    assert(perPoint.forall(_._2 >= 1L))
+  }
+
+  test("p10: epoch shuffle plan replays exactly from a JVM md5 permutation") {
+    val rows = SparkEntry.queries("p10_epoch_shuffle_plan")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("epoch"))
+    assert(rows.length == 4)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h52(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(13), 16)
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").collect()
+      .map(r => (h52(r.getLong(0).toString) % 64L, r.getString(1)))
+    val shards = docs.groupBy(_._1).map { case (sh, g) =>
+      val dom = g.groupBy(_._2).map { case (src, v) => (src, v.length) }
+        .toSeq.minBy { case (src, n) => (-n, src) }._1
+      (sh, dom, g.length.toLong)
+    }.toSeq
+    for (epoch <- 0L to 3L) {
+      val perm = shards
+        .map { case (sh, dom, nd) => (h52(s"$epoch:$sh"), sh, dom, nd) }
+        .sortBy { case (k, sh, _, _) => (k, sh) }
+        .zipWithIndex.map { case ((_, sh, dom, nd), i) => (i + 1L, sh, dom, nd) }
+      val runLens = perm.foldLeft(List.empty[(String, Long)]) {
+        case ((src, len) :: tail, (_, _, dom, _)) if src == dom =>
+          (src, len + 1L) :: tail
+        case (acc, (_, _, dom, _)) => (dom, 1L) :: acc
+      }.map(_._2)
+      val r = rows(epoch.toInt)
+      assert(r.getAs[Long]("n_shards") == shards.length.toLong)
+      assert(r.getAs[Long]("perm_fp") ==
+        perm.map { case (p, sh, _, _) => p * sh }.sum)
+      assert(r.getAs[Long]("weighted_pos") ==
+        perm.map { case (p, _, _, nd) => p * nd }.sum)
+      assert(r.getAs[Long]("n_runs") == runLens.length.toLong)
+      assert(r.getAs[Long]("max_run") == runLens.max)
+    }
+    // the permutations actually differ across epochs (that's the point)
+    assert(rows.map(_.getAs[Long]("perm_fp")).distinct.length > 1)
+  }
+
+  test("r12 session-2 additions: no cartesian products in the plans") {
+    for (q <- Seq("dq13_k_anonymity", "c4_grid_density",
+        "p10_epoch_shuffle_plan")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
   test("saltedJoin produces exactly the plain join result") {
     val li = Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_quantity")
     val o = Tables.orders(spark, sf0001).select($"o_orderkey", $"o_orderpriority")
