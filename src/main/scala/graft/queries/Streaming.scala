@@ -368,9 +368,46 @@ object Streaming {
         .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_events"))
         .orderBy($"w_start")
     }),
+    // STREAMING CENTROID ROUTER — the ingest half of an ANN/cluster
+    // serving surface: arriving embeddings route against a FROZEN
+    // k-means codebook (trained offline on the static corpus — c1's
+    // exact centroids; retrain-on-ingest is an offline job, d27's
+    // posture), and the per-cluster admission counters are the
+    // load-balance monitor behind IVF cell sizing. Batch posture below
+    // (route + one k-row aggregate); the INCREMENTAL execution is
+    // [[graft.streaming.Streams.centroidRouteBatch]]: per-micro-batch
+    // routed partials merged into batchId-versioned state (k rows
+    // total, SUM/MIN/MAX merges, replay-idempotent), shares derived at
+    // read. StreamingSpec proves stream == one-shot and replay no-op.
+    "s20_stream_centroid_route" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.queries.Clustering.centroids(emb, k = 8, iters = 2)
+      val routed = graft.queries.Clustering.route(emb, cents)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_vecs"),
+          min($"vec_id").as("min_vec_id"), max($"vec_id").as("max_vec_id"))
+      val tot = routed.agg(sum($"n_vecs").as("tot"))
+      routed.crossJoin(broadcast(tot))
+        .select($"cid".as("cluster_id"), $"n_vecs",
+          $"min_vec_id", $"max_vec_id",
+          expr("n_vecs * 1000000 div tot").as("share_ppm"))
+        .orderBy($"cluster_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // a2 IS the frozen-codebook routing at c1's refined centroids;
+    // every cell BIGINT (the r12 portability contract)
+    "s20_stream_centroid_route" ->
+      (graft.queries.Clustering.kmeansCte + """,
+        |tot AS (SELECT COUNT(*) AS tot FROM a2)
+        |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id,
+        |  CAST(COUNT(*) * 1000000 // tot.tot AS BIGINT) AS share_ppm
+        |FROM a2 CROSS JOIN tot
+        |GROUP BY cid, tot.tot ORDER BY cluster_id""".stripMargin),
+
     // one grouped pass; every cell BIGINT (the r12 portability contract)
     "s19_stream_field_quality" ->
       """SELECT event_type,

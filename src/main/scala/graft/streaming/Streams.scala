@@ -370,6 +370,55 @@ object Streams {
     java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
   }
 
+  /** Incremental CENTROID-ROUTE state (s20): each arriving embedding
+    * micro-batch is routed against a FROZEN centroid codebook
+    * ([[graft.queries.Clustering.route]] — broadcast crossJoin +
+    * map-side argmin, never a corpus shuffle), reduced to per-cluster
+    * counters (n, min id, max id), and merged into the batchId-
+    * versioned state: n by SUM, ids by MIN/MAX — all three merge
+    * associatively, so the state is k rows regardless of stream
+    * volume and replays are no-ops. The codebook is NOT retrained on
+    * ingest (d27's production posture: retrain is an offline job).
+    * Share verdicts are derived at read — a stored share cannot
+    * merge. */
+  def centroidRouteBatch(batch: DataFrame, cents: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val inc = graft.queries.Clustering.route(batch, cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
+    val base =
+      if (java.nio.file.Files.exists(marker)) {
+        val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+        if (v.toLong >= batchId) return
+        Some(spark.read.parquet(s"$dir/v$v"))
+      } else None
+    val merged = base.map(_.unionByName(inc)).getOrElse(inc)
+      .groupBy(col("cid"))
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        min(col("min_vec_id")).as("min_vec_id"),
+        max(col("max_vec_id")).as("max_vec_id"))
+    merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
+    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+  }
+
+  /** Current routing report from [[centroidRouteBatch]] state — same
+    * projection as the s20 batch posture, one definition of the share
+    * verdict. */
+  def readCentroidRoute(spark: SparkSession, dir: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(dir, "_CURRENT")
+    val v = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+    val state = spark.read.parquet(s"$dir/v$v")
+    val tot = state.agg(sum(col("n_vecs")).as("tot"))
+    state.crossJoin(broadcast(tot))
+      .select(col("cid").as("cluster_id"), col("n_vecs"),
+        col("min_vec_id"), col("max_vec_id"),
+        expr("n_vecs * 1000000 div tot").as("share_ppm"))
+  }
+
   /** Current field-quality report from [[fieldQualityBatch]] state —
     * same projection as the batch-posture query (s19), one definition
     * of the ppm verdicts. */

@@ -546,6 +546,69 @@ class StreamingSpec extends SparkTestBase {
     assert(state() == oneShot(), "replayed batch mutated the quality state")
   }
 
+  test("s20: incremental centroid routing equals one-shot; replay no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft_route_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_route_out").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // frozen codebook trained offline on the static corpus (d27 posture);
+    // materialized so every micro-batch routes against the SAME table
+    val cents = graft.ops.Materialize(
+      graft.queries.Clustering.centroids(emb, k = 8, iters = 2))
+    def state(): Seq[(Long, Long, Long, Long, Long)] =
+      Streams.readCentroidRoute(spark, out).collect()
+        .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_vecs"),
+          r.getAs[Long]("min_vec_id"), r.getAs[Long]("max_vec_id"),
+          r.getAs[Long]("share_ppm")))
+        .sortBy(_._1).toSeq
+    def oneShot(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] = {
+      val routed = graft.queries.Clustering.route(df, cents)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_vecs"),
+          min($"vec_id").as("min_vec_id"), max($"vec_id").as("max_vec_id"))
+      val tot = routed.agg(sum($"n_vecs").as("tot"))
+      routed.crossJoin(broadcast(tot))
+        .select($"cid", $"n_vecs", $"min_vec_id", $"max_vec_id",
+          expr("n_vecs * 1000000 div tot").as("share_ppm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1).toSeq
+    }
+    emb.filter($"vec_id" % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    val schema = emb.schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.centroidRouteBatch(b, cents, out, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(state() == oneShot(emb.filter($"vec_id" % 2 === 0)),
+        "batch-1 state diverged from one-shot routing of the same vectors")
+      emb.filter($"vec_id" % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(state() == oneShot(emb),
+        "merged state diverged from one-shot routing of the full corpus")
+      // and the registered batch-posture query is the same projection
+      val reg = SparkEntry.queries("s20_stream_centroid_route")(spark, sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1).toSeq
+      assert(state() == reg, "state diverged from the registered s20 query")
+    } finally q.stop()
+    // replayed batch ids must not double-count
+    val bogus = emb.limit(3)
+    Streams.centroidRouteBatch(bogus, cents, out, 1L)
+    Streams.centroidRouteBatch(bogus, cents, out, 0L)
+    assert(state() == oneShot(emb), "replayed batch mutated the route state")
+  }
+
   test("s15: incremental latency histogram equals the one-shot percentiles; replay no-op") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_lp_src").toString
