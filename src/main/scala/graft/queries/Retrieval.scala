@@ -62,7 +62,10 @@ object Retrieval {
       .select($"doc_id", $"m", $"wmin").distinct()
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesA ++ queriesB
+
+  private def queriesA: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SQL-surface n-gram mining THROUGH the injected macro: the query
     // text is plain `spark.sql` calling `graft_ngrams(text, 3)` — the
@@ -328,6 +331,58 @@ object Retrieval {
     // corpus is never reshuffled except by bigram/unigram key.
     "t22_lm_score" -> ((s, dir) => {
       import s.implicits._
+      lmScores(s, dir).orderBy($"doc_id")
+    }),
+
+    // PERPLEXITY BUCKETS (CCNet, Wenzek et al. 2020): split the corpus
+    // into head/middle/tail thirds by the t22 LM score — the standard
+    // quality-stratification a pretraining mixture consumes (train on
+    // head+middle, sample tail). The thirds are decided WITHOUT a
+    // corpus-wide total order (a global ntile is a single-reducer sort
+    // at 100 TB): scores quantize onto a 2²⁰ integer grid, the cutoffs
+    // come from the GRID-SIZED histogram via s15's nearest-rank rule
+    // (cum·3 ≥ tot / cum·3 ≥ 2·tot — exact integers), and docs bucket
+    // by comparing their grid cell to the two broadcast cutoffs. Ties
+    // inside a cell stay together (CCNet's own cutoffs are sample-
+    // derived score thresholds, not exact thirds). Shape: one score
+    // pass (shared with t22), a ≤2²⁰-row histogram + window, broadcast
+    // cutoffs back over the doc frame; every gated cell is BIGINT or
+    // the bucket name.
+    "t36_perplexity_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val sc = graft.ops.Materialize(lmScores(s, dir)
+        .select($"doc_id", $"n_bigrams",
+          floor($"lm_score" * 1048576).cast("long").as("q")))
+      val hist = sc.groupBy($"q").agg(count(lit(1)).as("n"))
+      val wc = Window.orderBy($"q")
+      val cum = hist.withColumn("cum", sum($"n").over(wc))
+        .crossJoin(broadcast(hist.agg(sum($"n").as("tot"))))
+      val cuts = cum
+        .agg(min(when($"cum" * 3 >= $"tot", $"q")).as("cut_tail"),
+          min(when($"cum" * 3 >= $"tot" * 2, $"q")).as("cut_mid"),
+          first($"tot").as("tot"))
+      sc.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when($"q" <= $"cut_tail", "tail")
+            .when($"q" <= $"cut_mid", "middle").otherwise("head"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_bigrams").as("sum_bigrams"),
+          min($"q").as("min_qscore"), max($"q").as("max_qscore"),
+          first($"tot").as("tot"))
+        .select($"bucket", $"n_docs", $"sum_bigrams",
+          $"min_qscore", $"max_qscore",
+          expr("n_docs * 1000000 div tot").as("share_ppm"))
+        .orderBy($"bucket")
+    }),
+  )
+
+  /** t22's add-½-smoothed bigram LM scorer: (doc_id, n_bigrams,
+    * lm_score) for every ≥2-token document. One definition shared by
+    * t22 and t36 so the score and its stratification cannot drift. */
+  private def lmScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    {
       // materialized: FOUR consumers read the tokenized frame (vocab
       // scalar, context counts, bigram counts, the scoring stream) —
       // without the checkpoint the split() pass runs four times
@@ -365,9 +420,10 @@ object Retrieval {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           (dsum($"p") / count(lit(1))).as("lm_score"))
-        .orderBy($"doc_id")
-    }),
+    }
+  }
 
+  private def queriesB: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HEAVY HITTERS via a Count-Min Sketch built by the native
     // [[graft.functions.CountMinAgg]] TypedImperativeAggregate: one
     // pass over the token stream reduces each partition to a 4×256
@@ -641,6 +697,34 @@ object Retrieval {
     }),
   )
 
+  /** Shared CTE prefix of the t22/t36 oracles: tokenized docs, vocab
+    * scalar, context counts, bigram counts, the scoring stream. */
+  private val lmCtes =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+      |),
+      |vocab AS (
+      |  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+      |  FROM (SELECT unnest(toks) AS w FROM docs)
+      |),
+      |ctx AS (
+      |  SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1
+      |  FROM (SELECT unnest(toks[1:len(toks)-1]) AS w1 FROM docs WHERE len(toks) >= 2)
+      |  GROUP BY w1
+      |),
+      |c2 AS (
+      |  SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2
+      |  FROM (SELECT unnest(list_transform(range(len(toks)-1),
+      |          i -> array_to_string(toks[i+1:i+2], ' '))) AS bg
+      |        FROM docs WHERE len(toks) >= 2)
+      |  GROUP BY bg
+      |),
+      |stream AS (
+      |  SELECT doc_id, toks[i+1] AS w1, array_to_string(toks[i+1:i+2], ' ') AS bg
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i
+      |        FROM docs WHERE len(toks) >= 2)
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t28_zipf_spectrum" ->
       """WITH w AS (
@@ -853,35 +937,47 @@ object Retrieval {
         |FROM fr f JOIN g5 USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "t22_lm_score" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
-        |),
-        |vocab AS (
-        |  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
-        |  FROM (SELECT unnest(toks) AS w FROM docs)
-        |),
-        |ctx AS (
-        |  SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1
-        |  FROM (SELECT unnest(toks[1:len(toks)-1]) AS w1 FROM docs WHERE len(toks) >= 2)
-        |  GROUP BY w1
-        |),
-        |c2 AS (
-        |  SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2
-        |  FROM (SELECT unnest(list_transform(range(len(toks)-1),
-        |          i -> array_to_string(toks[i+1:i+2], ' '))) AS bg
-        |        FROM docs WHERE len(toks) >= 2)
-        |  GROUP BY bg
-        |),
-        |stream AS (
-        |  SELECT doc_id, toks[i+1] AS w1, array_to_string(toks[i+1:i+2], ' ') AS bg
-        |  FROM (SELECT doc_id, toks, unnest(range(len(toks)-1)) AS i
-        |        FROM docs WHERE len(toks) >= 2)
-        |)
+      (lmCtes + """
         |SELECT s.doc_id, COUNT(*) AS n_bigrams,
         |  CAST(SUM(CAST((c2.c2 + 0.5) / (ctx.c1 + 0.5 * (SELECT v FROM vocab)) AS DECIMAL(38,6))) AS DOUBLE)
         |    / COUNT(*) AS lm_score
         |FROM stream s JOIN c2 ON s.bg = c2.bg JOIN ctx ON s.w1 = ctx.w1
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
+    // the same score, quantized to the 2^20 grid; cutoffs by the
+    // nearest-rank rule over the histogram; every cell BIGINT
+    "t36_perplexity_buckets" ->
+      (lmCtes + """,
+        |sc AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(FLOOR(
+        |      CAST(SUM(CAST((c2.c2 + 0.5) / (ctx.c1 + 0.5 * (SELECT v FROM vocab)) AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*) * 1048576) AS BIGINT) AS q
+        |  FROM stream s JOIN c2 ON s.bg = c2.bg JOIN ctx ON s.w1 = ctx.w1
+        |  GROUP BY s.doc_id
+        |),
+        |hist AS (SELECT q, COUNT(*) AS n FROM sc GROUP BY q),
+        |tot AS (SELECT SUM(n) AS tot FROM hist),
+        |cum AS (SELECT q, SUM(n) OVER (ORDER BY q) AS cum FROM hist),
+        |cuts AS (
+        |  SELECT MIN(CASE WHEN cum * 3 >= tot.tot THEN q END) AS cut_tail,
+        |    MIN(CASE WHEN cum * 3 >= tot.tot * 2 THEN q END) AS cut_mid,
+        |    MAX(tot.tot) AS tot
+        |  FROM cum CROSS JOIN tot
+        |),
+        |b AS (
+        |  SELECT sc.n_bigrams, sc.q, cuts.tot,
+        |    CASE WHEN sc.q <= cuts.cut_tail THEN 'tail'
+        |         WHEN sc.q <= cuts.cut_mid THEN 'middle'
+        |         ELSE 'head' END AS bucket
+        |  FROM sc CROSS JOIN cuts
+        |)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  CAST(MIN(q) AS BIGINT) AS min_qscore,
+        |  CAST(MAX(q) AS BIGINT) AS max_qscore,
+        |  CAST(COUNT(*) * 1000000 // MAX(tot) AS BIGINT) AS share_ppm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
 
     // the same 4×256 sketch rebuilt relationally: per-(row, bucket)
     // counts, probes via the identical md5 hex-fold bucket

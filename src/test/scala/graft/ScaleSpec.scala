@@ -212,9 +212,39 @@ class ScaleSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("perm_fp")).distinct.length > 1)
   }
 
+  test("t36: perplexity buckets replay from t22's gated scores") {
+    val sc = SparkEntry.queries("t22_lm_score")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("n_bigrams"),
+        math.floor(r.getAs[Double]("lm_score") * 1048576).toLong))
+    val rows = SparkEntry.queries("t36_perplexity_buckets")(spark, sf0001)
+      .collect()
+    val tot = sc.length.toLong
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == tot)
+    // nearest-rank cutoffs: min q with cum*3 >= tot is the value at
+    // rank ceil(tot/3) of the sorted score multiset (ties inclusive)
+    val qs = sc.map(_._2).sorted
+    val cutTail = qs((((tot + 2) / 3) - 1).toInt)
+    val cutMid = qs((((2 * tot + 2) / 3) - 1).toInt)
+    val byBucket = sc.groupBy { case (_, q) =>
+      if (q <= cutTail) "tail" else if (q <= cutMid) "middle" else "head" }
+    assert(rows.map(_.getAs[String]("bucket")).toSet == byBucket.keySet)
+    rows.foreach { r =>
+      val g = byBucket(r.getAs[String]("bucket"))
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      assert(r.getAs[Long]("sum_bigrams") == g.map(_._1).sum)
+      assert(r.getAs[Long]("min_qscore") == g.map(_._2).min)
+      assert(r.getAs[Long]("max_qscore") == g.map(_._2).max)
+      assert(r.getAs[Long]("share_ppm") == g.length.toLong * 1000000L / tot)
+    }
+    // the tail third reaches at least a third of the corpus (nearest
+    // rank overshoots only by grid ties), and buckets are ordered
+    assert(byBucket("tail").length.toLong * 3 >= tot)
+  }
+
   test("r12 session-2 additions: no cartesian products in the plans") {
     for (q <- Seq("dq13_k_anonymity", "c4_grid_density",
-        "p10_epoch_shuffle_plan")) {
+        "p10_epoch_shuffle_plan", "t36_perplexity_buckets",
+        "s20_stream_centroid_route")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
