@@ -484,6 +484,40 @@ object Quality {
         .orderBy($"bucket")
     }),
 
+    // CROSS-TABLE RECONCILIATION — the "do the books balance" audit
+    // between a header table and its detail lines (the TPC-H invariant:
+    // o_totalprice = Σ extendedprice·(1−discount)·(1+tax) over the
+    // order's lineitems). A warehouse runs this after every load:
+    // headers with NO lines, lines that drift from the header total,
+    // and the drift mass are each a distinct ingest failure mode.
+    // Exactness: the per-order recompute is the repo's dsum (DECIMAL-
+    // stabilized fold — identical in DuckDB), and the drift decimates
+    // to integer CENTS via FLOOR(|Δ|·100) before any verdict, so the
+    // gate hashes only integers. Scale shape: one map-side-combining
+    // lineitem aggregate keyed by order, one key-partitioned left join
+    // (both sides shuffle on the key once — the natural co-partition),
+    // one |status|-row rollup. Nothing is collected.
+    "dq14_order_reconciliation" -> ((s, dir) => {
+      import s.implicits._
+      val rec = Tables.lineitem(s, dir)
+        .select($"l_orderkey",
+          (($"l_extendedprice" * (lit(1) - $"l_discount"))
+            * (lit(1) + $"l_tax")).as("x"))
+        .groupBy($"l_orderkey").agg(dsum($"x").as("recomputed"))
+      Tables.orders(s, dir)
+        .join(rec, $"o_orderkey" === $"l_orderkey", "left")
+        .withColumn("delta_u",
+          floor(abs($"recomputed" - $"o_totalprice") * 100).cast("long"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when($"recomputed".isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when($"delta_u" === 0L, 1L).otherwise(0L)).as("n_exact"),
+          sum(when($"delta_u" >= 1L, 1L).otherwise(0L)).as("n_drift"),
+          max(coalesce($"delta_u", lit(0L))).as("max_delta_cents"),
+          sum(coalesce($"delta_u", lit(0L))).as("sum_delta_cents"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // CHI-SQUARE INDEPENDENCE TEST on the lang × source contingency
     // table — the bias detector a corpus audit runs before mixing:
     // if language and source were independent, every cell would hold
@@ -763,6 +797,33 @@ object Quality {
         |  CAST(COUNT(*) * 1000 // COUNT(DISTINCT user_id) AS BIGINT)
         |    AS events_per_user_x1000
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the same dsum stabilizer, the same FLOOR(|Δ|·100) decimation to
+    // cents; every cell BIGINT
+    "dq14_order_reconciliation" ->
+      """WITH rec AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS recomputed
+        |  FROM lineitem GROUP BY 1
+        |),
+        |j AS (
+        |  SELECT o.o_orderstatus, r.recomputed,
+        |    CASE WHEN r.recomputed IS NULL THEN NULL
+        |      ELSE CAST(FLOOR(ABS(r.recomputed - o.o_totalprice) * 100)
+        |        AS BIGINT) END AS delta_u
+        |  FROM orders o LEFT JOIN rec r ON r.l_orderkey = o.o_orderkey
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_lines,
+        |  CAST(SUM(CASE WHEN delta_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(SUM(CASE WHEN delta_u >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_drift,
+        |  CAST(MAX(COALESCE(delta_u, 0)) AS BIGINT) AS max_delta_cents,
+        |  CAST(SUM(COALESCE(delta_u, 0)) AS BIGINT) AS sum_delta_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same QI grouping, same log2 string identity, every cell BIGINT
     "dq13_k_anonymity" ->

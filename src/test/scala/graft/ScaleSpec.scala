@@ -241,10 +241,46 @@ class ScaleSpec extends SparkTestBase {
     assert(byBucket("tail").length.toLong * 3 >= tot)
   }
 
+  test("dq14: reconciliation replays from a local stabilized per-order fold") {
+    val rows = SparkEntry.queries("dq14_order_reconciliation")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val rec = Tables.lineitem(spark, sf0001)
+      .selectExpr("l_orderkey",
+        "(l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS x")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, xs) =>
+        // the dsum contract: each term rounds onto DECIMAL(38,6), the
+        // sum is exact decimal, the result casts back to double
+        k -> xs.map(x => java.math.BigDecimal.valueOf(x._2)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue
+      }
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getAs[String]("o_orderstatus"),
+        rec.get(r.getAs[Long]("o_orderkey"))
+          .map(x => math.floor(math.abs(x - r.getAs[Double]("o_totalprice"))
+            * 100).toLong)))
+    val byStatus = orders.groupBy(_._1)
+    assert(rows.length == byStatus.size)
+    rows.foreach { r =>
+      val g = byStatus(r.getAs[String]("o_orderstatus")).map(_._2)
+      assert(r.getAs[Long]("n_orders") == g.length.toLong)
+      assert(r.getAs[Long]("n_no_lines") == g.count(_.isEmpty).toLong)
+      assert(r.getAs[Long]("n_exact") == g.count(_.contains(0L)).toLong)
+      assert(r.getAs[Long]("n_drift") == g.count(_.exists(_ >= 1L)).toLong)
+      assert(r.getAs[Long]("max_delta_cents") ==
+        (0L +: g.flatten).max)
+      assert(r.getAs[Long]("sum_delta_cents") == g.flatten.sum)
+    }
+  }
+
   test("r12 session-2 additions: no cartesian products in the plans") {
     for (q <- Seq("dq13_k_anonymity", "c4_grid_density",
         "p10_epoch_shuffle_plan", "t36_perplexity_buckets",
-        "s20_stream_centroid_route")) {
+        "s20_stream_centroid_route", "dq14_order_reconciliation")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
