@@ -1303,6 +1303,51 @@ object LlmPipeline {
       cachedKnn(s, dir).orderBy($"vec_id", $"rn")
     }),
 
+    // k-NN LABEL EVAL — the second standard embedding-quality probe
+    // next to ml1's linear probe: majority vote of the 3 nearest
+    // neighbors' labels vs the vector's own label, reported per class
+    // with the dominant confusion target (the class a failing label
+    // most often reads as — what an embedding-model regression review
+    // looks at first). Neighbors come from the shared exact-kNN
+    // artifact (the sanctioned truth-set baseline, d5's caveat: at
+    // corpus scale the candidate set comes from d7/d26's ANN index —
+    // the EVAL semantics here are index-agnostic). On this fixture the
+    // labels are geometry-independent, so the table honestly reads
+    // ~chance accuracy — detecting a label the space does NOT encode
+    // is the negative half of what this eval exists for (ml1's probe
+    // reads the same data near zero R²). Vote and confusion
+    // ranks are total orders (count DESC, label ASC), both via the
+    // map-side TopKPerKey; everything downstream of the artifact is
+    // label-keyed counting — two |labels|²-bounded frames. All-BIGINT.
+    "ml2_knn_label_eval" -> ((s, dir) => {
+      import s.implicits._
+      val labels = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val votes = cachedKnn(s, dir).filter($"rn" <= 3)
+        .join(labels.select($"vec_id".as("nbr"), $"label".as("nl")), "nbr")
+        .groupBy($"vec_id", $"nl").agg(count(lit(1)).as("c"))
+      val pred = graft.plans.TopK.perKey(votes,
+          keys = Seq($"vec_id"), order = Seq($"c".desc, $"nl".asc), k = 1)
+        .select($"vec_id", $"nl".as("predicted"))
+      val own = pred.join(labels, "vec_id")
+      val base = own.groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when($"predicted" === $"label", 1L).otherwise(0L))
+            .as("n_correct"))
+      val conf = own.filter($"predicted" =!= $"label")
+        .groupBy($"label", $"predicted").agg(count(lit(1)).as("nc"))
+      val topw = graft.plans.TopK.perKey(conf,
+          keys = Seq($"label"), order = Seq($"nc".desc, $"predicted".asc),
+          k = 1)
+        .select($"label", $"predicted".as("top_wrong"), $"nc")
+      base.join(topw, Seq("label"), "left")
+        .select($"label", $"n_vecs", $"n_correct",
+          expr("n_correct * 1000000 div n_vecs").as("acc_ppm"),
+          coalesce($"top_wrong", lit(-1L)).as("top_wrong"),
+          coalesce($"nc", lit(0L)).as("n_top_wrong"))
+        .orderBy($"label")
+    }),
+
     // similarity search at scale: MULTI-TABLE random-hyperplane LSH
     // (Indyk–Motwani/Charikar): L independent tables of k hyperplane
     // bits each; a candidate pair needs to collide in only ONE table, so
@@ -4346,6 +4391,69 @@ object LlmPipeline {
         |)
         |SELECT vec_id, rn, nbr, cos FROM ranked WHERE rn <= 5
         |ORDER BY vec_id, rn""".stripMargin,
+
+    // the same n²-exact kNN derivation as d5's oracle, then pure
+    // label-keyed counting with the identical (count DESC, label ASC)
+    // total orders; every cell BIGINT
+    "ml2_knn_label_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |knn AS (
+        |  SELECT vec_id, nbr FROM (
+        |    SELECT vec_id, nbr,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |    FROM pairs) WHERE rn <= 3
+        |),
+        |votes AS (
+        |  SELECT k.vec_id, CAST(emb.label AS BIGINT) AS nl, COUNT(*) AS c
+        |  FROM knn k JOIN embeddings emb ON emb.vec_id = k.nbr
+        |  GROUP BY 1, 2
+        |),
+        |pred AS (
+        |  SELECT vec_id, nl AS predicted FROM (
+        |    SELECT vec_id, nl, ROW_NUMBER() OVER
+        |      (PARTITION BY vec_id ORDER BY c DESC, nl ASC) AS vr
+        |    FROM votes) WHERE vr = 1
+        |),
+        |own AS (
+        |  SELECT p.vec_id, CAST(emb.label AS BIGINT) AS label, p.predicted
+        |  FROM pred p JOIN embeddings emb ON emb.vec_id = p.vec_id
+        |),
+        |conf AS (
+        |  SELECT label, predicted, COUNT(*) AS nc FROM own
+        |  WHERE predicted <> label GROUP BY 1, 2
+        |),
+        |topw AS (
+        |  SELECT label, predicted AS top_wrong, nc FROM (
+        |    SELECT label, predicted, nc, ROW_NUMBER() OVER
+        |      (PARTITION BY label ORDER BY nc DESC, predicted ASC) AS wr
+        |    FROM conf) WHERE wr = 1
+        |),
+        |base AS (
+        |  SELECT label, COUNT(*) AS n_vecs,
+        |    SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS n_correct
+        |  FROM own GROUP BY 1
+        |)
+        |SELECT b.label AS label, CAST(b.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(b.n_correct AS BIGINT) AS n_correct,
+        |  CAST(b.n_correct * 1000000 // b.n_vecs AS BIGINT) AS acc_ppm,
+        |  CAST(COALESCE(t.top_wrong, -1) AS BIGINT) AS top_wrong,
+        |  CAST(COALESCE(t.nc, 0) AS BIGINT) AS n_top_wrong
+        |FROM base b LEFT JOIN topw t ON t.label = b.label
+        |ORDER BY label""".stripMargin,
 
     // d6_ann_lsh: END-TO-END hash-gated (round 11 — the d26/d7 posture):
     // the hyperplane weights are deterministic (digit(md5("t|p|j"))-7.5,

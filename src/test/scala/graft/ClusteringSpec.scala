@@ -239,4 +239,52 @@ class ClusteringSpec extends SparkTestBase {
     val weighted = c3.map(r => r.getAs[Double]("sil_sum")).sum
     assert(weighted > 0.0, s"total silhouette $weighted — no cluster structure found")
   }
+
+  test("ml2: knn label eval replays from d5's gated neighbors") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ml2_knn_label_eval")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val knn = SparkEntry.queries("d5_cosine_topk")(spark, dir).collect()
+      .filter(_.getAs[Int]("rn") <= 3)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr")))
+    val pred = knn.groupBy(_._1).map { case (v, nbrs) =>
+      val votes = nbrs.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, g) => (l, g.length) }
+      v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+    }
+    val own = pred.toSeq.map { case (v, p) => (labels(v), p) }
+    val byLabel = own.groupBy(_._1)
+    assert(rows.length == byLabel.size)
+    // every vector got exactly 3 votes — the eval covers the corpus
+    assert(own.length.toLong == rows.map(_.getAs[Long]("n_vecs")).sum)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("label")
+      val g = byLabel(l)
+      assert(r.getAs[Long]("n_vecs") == g.length.toLong)
+      assert(r.getAs[Long]("n_correct") == g.count(x => x._2 == l).toLong)
+      assert(r.getAs[Long]("acc_ppm") ==
+        g.count(x => x._2 == l).toLong * 1000000L / g.length)
+      val wrong = g.filter(_._2 != l).groupBy(_._2)
+        .map { case (p, w) => (p, w.length.toLong) }
+      if (wrong.isEmpty) {
+        assert(r.getAs[Long]("top_wrong") == -1L &&
+          r.getAs[Long]("n_top_wrong") == 0L)
+      } else {
+        val (tw, nw) = wrong.toSeq.minBy { case (p, c) => (-c, p) }
+        assert(r.getAs[Long]("top_wrong") == tw, s"label $l top_wrong")
+        assert(r.getAs[Long]("n_top_wrong") == nw, s"label $l n_top_wrong")
+      }
+    }
+    // the fixture's labels are geometry-INDEPENDENT (measured 1-NN
+    // agreement ~= 1/|labels| at every SF), so the honest eval reads
+    // chance — detecting exactly that is what ml2 is for. Assert the
+    // report stays in the chance band rather than a separability floor
+    // this data does not have.
+    val acc = own.count(x => x._1 == x._2).toLong * 1000000L / own.length
+    assert(acc < 400000L,
+      s"knn accuracy $acc ppm on geometry-independent labels — replay suspect")
+  }
 }
