@@ -614,6 +614,71 @@ object Graph {
         .orderBy(col("cluster_id"))
     }),
 
+    // FREQUENCY CAPPING — the middle dedup policy between cc2's
+    // keep-one and d34's soft weights (the FineWeb/RefinedWeb stance:
+    // some duplication is signal, unbounded duplication is boilerplate
+    // — keep at most N=2 copies per near-dup family). Which two is
+    // decided by md5(doc_id) order — deterministic, reproducible,
+    // position/source-unbiased, unlike "first two seen". Output is the
+    // retention ledger per cluster-size log2 bucket: clusters, docs,
+    // kept, dropped, drop ppm — the table that says what the cap costs
+    // at each family size before a 100 TB run commits to it.
+    // Shape: the rank window sorts only CLUSTER MEMBERS (edge-cover-
+    // sized — d36's posture); singletons never enter a shuffle, they
+    // are accounted arithmetically from two scalar counts.
+    "d41_frequency_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val labels = ConnectedComponents
+        .run(cachedEdges(s, dir, minShared = 5, maxDf = 100), "d1", "d2")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val mem = docs.join(labels, Seq("doc_id"))
+        .withColumn("okey", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("okey"), col("doc_id"))
+      val per = mem.withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"),
+          sum(when(col("rn") <= 2, 1L).otherwise(0L)).as("kept"),
+          // WHICH members survive is part of the contract: an order-
+          // insensitive keeper-id checksum (p8's Mersenne residue)
+          // pins the md5 selection itself in the hash gate
+          sum(when(col("rn") <= 2, col("doc_id")).otherwise(lit(0L)))
+            .as("kfp"),
+          sum(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("idsum"))
+      val bucketed = per
+        .select(length(expr("conv(sz, 10, 2)")).cast("long").as("bucket"),
+          col("sz"), col("kept"), col("kfp"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          sum(col("sz") - col("kept")).as("n_dropped"),
+          pmod(sum(col("kfp").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            lit(2305843009213693951L)).cast("long").as("kept_id_fp"))
+      // singletons: every unclustered doc is its own size-1 family,
+      // kept by definition — two scalar rows, no shuffle; their keeper
+      // fingerprint is the id-mass difference of the same residue
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val singles = docs
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("doc_id").cast(dec)).as("id_total"))
+        .crossJoin(broadcast(per.agg(
+          coalesce(sum(col("sz")), lit(0L)).as("n_clustered"),
+          coalesce(sum(col("idsum")), lit(0).cast(dec)).as("id_clustered"))))
+        .withColumn("single_fp",
+          pmod(col("id_total") - col("id_clustered"),
+            lit(2305843009213693951L)).cast("long"))
+        .select(lit(1L).as("bucket"),
+          (col("n_total") - col("n_clustered")).as("n_clusters"),
+          (col("n_total") - col("n_clustered")).as("n_docs"),
+          (col("n_total") - col("n_clustered")).as("n_kept"),
+          lit(0L).as("n_dropped"), col("single_fp").as("kept_id_fp"))
+      bucketed.unionByName(singles)
+        .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_docs"))
+        .orderBy(col("bucket"))
+    }),
+
     // LINK PREDICTION (common-neighbors + neighborhood Jaccard) over
     // the MUTUAL-kNN embedding graph: two vectors that are NOT each
     // other's top-5 neighbors but share ≥2 mutual-kNN neighbors are
@@ -1507,6 +1572,79 @@ object Graph {
         |FROM lng l JOIN mn m ON m.cluster_id = l.cluster_id
         |JOIN mem mc ON mc.doc_id = m.keeper_minid
         |ORDER BY l.cluster_id""".stripMargin,
+
+    // cc1's transitive closure, p8's md5 int52 fold as the in-cluster
+    // rank key, the log2 string identity, singletons from two scalar
+    // counts; every cell BIGINT
+    "d41_frequency_cap" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+        |  FROM docs WHERE len(toks) >= 3
+        |),
+        |ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN ok o ON a.shingle = o.shingle
+        |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        |),
+        |lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        |mem AS (
+        |  SELECT cluster_id, doc_id,
+        |    list_reduce(list_transform(range(13),
+        |      dd -> strpos('0123456789abcdef',
+        |            substr(md5(CAST(doc_id AS VARCHAR)), dd+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT AS okey
+        |  FROM lab
+        |),
+        |per AS (
+        |  SELECT cluster_id, COUNT(*) AS sz,
+        |    SUM(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS kept,
+        |    SUM(CASE WHEN rn <= 2 THEN doc_id ELSE 0 END) AS kfp,
+        |    SUM(doc_id) AS idsum
+        |  FROM (SELECT cluster_id, doc_id,
+        |          ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                             ORDER BY okey, doc_id) AS rn
+        |        FROM mem)
+        |  GROUP BY cluster_id
+        |),
+        |bucketed AS (
+        |  SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_clusters, SUM(sz) AS n_docs,
+        |    SUM(kept) AS n_kept, SUM(sz - kept) AS n_dropped,
+        |    SUM(kfp) % 2305843009213693951 AS kept_id_fp
+        |  FROM per GROUP BY 1
+        |),
+        |tot AS (SELECT COUNT(*) AS n_total, SUM(doc_id) AS id_total
+        |        FROM documents),
+        |cl AS (SELECT COALESCE(SUM(sz), 0) AS n_clustered,
+        |         COALESCE(SUM(idsum), 0) AS id_clustered FROM per),
+        |singles AS (
+        |  SELECT CAST(1 AS BIGINT) AS bucket,
+        |    n_total - n_clustered AS n_clusters,
+        |    n_total - n_clustered AS n_docs,
+        |    n_total - n_clustered AS n_kept,
+        |    0 AS n_dropped,
+        |    (id_total - id_clustered) % 2305843009213693951 AS kept_id_fp
+        |  FROM tot CROSS JOIN cl
+        |)
+        |SELECT bucket, CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_dropped AS BIGINT) AS n_dropped,
+        |  CAST(n_dropped * 1000000 // n_docs AS BIGINT) AS drop_ppm,
+        |  CAST(kept_id_fp AS BIGINT) AS kept_id_fp
+        |FROM (SELECT * FROM bucketed UNION ALL SELECT * FROM singles)
+        |ORDER BY bucket""".stripMargin,
 
     // d5's brute-force top-5 CTE (bit-identical left-fold cosine),
     // then the same wedge self-join / anti-join / inclusion-exclusion

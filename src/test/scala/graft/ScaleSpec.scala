@@ -277,10 +277,49 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("d41: frequency cap replays from cc1 labels with the md5 keeper pick") {
+    val rows = SparkEntry.queries("d41_frequency_cap")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h52(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(13), 16)
+    val M = BigInt(2305843009213693951L)
+    val labels = SparkEntry.queries("cc1_dup_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allIds = Tables.documents(spark, sf0001).select($"doc_id")
+      .collect().map(_.getLong(0))
+    val clusters = allIds.groupBy(id => labels.getOrElse(id, id)).values.map {
+      members =>
+        val kept = members.sortBy(id => (h52(id.toString), id)).take(2)
+        (members.length.toLong, kept.length.toLong,
+          kept.map(BigInt(_)).sum)
+    }
+    val byBucket = clusters.groupBy { case (sz, _, _) =>
+      java.lang.Long.toBinaryString(sz).length.toLong }
+    assert(rows.map(_.getAs[Long]("bucket")).toSet == byBucket.keySet)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == allIds.length.toLong)
+    rows.foreach { r =>
+      val g = byBucket(r.getAs[Long]("bucket")).toSeq
+      assert(r.getAs[Long]("n_clusters") == g.length.toLong)
+      assert(r.getAs[Long]("n_docs") == g.map(_._1).sum)
+      assert(r.getAs[Long]("n_kept") == g.map(_._2).sum)
+      assert(r.getAs[Long]("n_dropped") == g.map(x => x._1 - x._2).sum)
+      assert(r.getAs[Long]("drop_ppm") ==
+        g.map(x => x._1 - x._2).sum * 1000000L / g.map(_._1).sum)
+      assert(BigInt(r.getAs[Long]("kept_id_fp")) == g.map(_._3).sum.mod(M),
+        s"bucket ${r.getAs[Long]("bucket")} keeper fingerprint")
+    }
+    // the cap bites: some family bigger than 2 exists and drops mass
+    assert(rows.exists(_.getAs[Long]("n_dropped") > 0L),
+      "no cluster exceeded the cap — fixture vacuous for d41")
+  }
+
   test("r12 session-2 additions: no cartesian products in the plans") {
     for (q <- Seq("dq13_k_anonymity", "c4_grid_density",
         "p10_epoch_shuffle_plan", "t36_perplexity_buckets",
-        "s20_stream_centroid_route", "dq14_order_reconciliation")) {
+        "s20_stream_centroid_route", "dq14_order_reconciliation",
+        "ml2_knn_label_eval", "d41_frequency_cap")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
