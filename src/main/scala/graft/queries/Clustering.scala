@@ -511,6 +511,44 @@ object Clustering {
       kmeans(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy(col("cluster_id"))),
 
+    // PQ RATE–DISTORTION SWEEP — the compression-side tuning table next
+    // to d39's nprobe sweep: for m ∈ {4, 8, 16} subquantizers (code
+    // sizes 16/32/64 bits at k=16), train the per-subspace codebook
+    // exactly as d26 does and measure total quantization distortion
+    // Σ‖sv − c(sv)‖² on the dyadic grid — the number that prices code
+    // bytes against reconstruction error BEFORE an index build commits
+    // to a layout. Monotonicity (more subspaces ⇒ finer product grid ⇒
+    // less distortion) is asserted in the spec. Shape per m: the
+    // Lloyd/assign machinery is d26's (broadcast codebooks, map-side
+    // TopKPerKey argmins); the sweep output is 3 rows. Envelope: the
+    // grid sum accumulates in DECIMAL and exports BIGINT — loud, not
+    // silent, past ~4e8 vectors·2^30 units (dq10's overflow posture).
+    "e9_pq_rate_distortion" -> ((s, dir) => {
+      val e = prep(Tables.embeddings(s, dir))
+      Seq(4, 8, 16).map { m =>
+        val subDim = 64 / m
+        val subs = Materialize(e.select(col("vec_id"),
+          posexplode(expr(
+            s"transform(sequence(0, ${m - 1}), s -> slice(v, s*$subDim+1, $subDim))"))
+            .as(Seq("sub", "sv"))))
+        val cb = pqCodebook(subs, iters = 2)
+        val scored = subs.join(broadcast(cb), "sub")
+          .select(col("vec_id"), col("sub"), col("cid"),
+            VecSqDist(col("sv"), col("cv")).as("dist"))
+        graft.plans.TopK.perKey(scored,
+            keys = Seq(col("vec_id"), col("sub")),
+            order = Seq(col("dist").asc, col("cid").asc), k = 1)
+          .agg(countDistinct(col("vec_id")).as("n_vecs"),
+            count(lit(1)).as("n_cells"),
+            sum(graft.ops.Num.fquant(col("dist"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("long").as("distortion_grid"))
+          .select(lit(m.toLong).as("m"), lit(subDim.toLong).as("sub_dim"),
+            lit(4L * m).as("code_bits"), col("n_vecs"), col("n_cells"),
+            col("distortion_grid"))
+      }.reduce(_ unionByName _).orderBy(col("m"))
+    }),
+
     // SIMPLIFIED SILHOUETTE (internal clustering validation — the
     // quality number c1's WSS can't give: WSS always improves with k,
     // silhouette peaks where the clustering is RIGHT): per vector,
@@ -1143,6 +1181,69 @@ object Clustering {
         |  CAST(MIN(nbhd) AS BIGINT) AS min_nbhd,
         |  CAST(MAX(nbhd) AS BIGINT) AS max_nbhd
         |FROM pd GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // d26's per-subspace Lloyd replay with m as DATA (one extra key
+    // column), the same left-fold distances and (dist, cid) argmin
+    // total order, the fquant grid for the distortion sum
+    "e9_pq_rate_distortion" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |ms AS (SELECT unnest([4, 8, 16]) AS m),
+        |sub AS (
+        |  SELECT ms.m, e.vec_id, s.s AS sub,
+        |    list_slice(e.v, s.s*(64//ms.m)+1, s.s*(64//ms.m)+(64//ms.m)) AS sv
+        |  FROM e CROSS JOIN ms
+        |  CROSS JOIN (SELECT unnest(range(16)) AS s) s
+        |  WHERE s.s < ms.m
+        |),
+        |cb0 AS (SELECT m, sub, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+        |s1 AS (
+        |  SELECT t.m, t.vec_id, t.sub, c.cid,
+        |    list_reduce(list_transform(range(len(t.sv)),
+        |      i -> (t.sv[i+1]-c.cv[i+1])*(t.sv[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+        |  FROM sub t JOIN cb0 c ON c.m = t.m AND c.sub = t.sub
+        |),
+        |a1 AS (
+        |  SELECT m, vec_id, sub, cid FROM (
+        |    SELECT m, vec_id, sub, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY m, vec_id, sub
+        |                         ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM s1) WHERE rn = 1
+        |),
+        |x1 AS (
+        |  SELECT a1.m, a1.sub, a1.cid, t.sv, unnest(range(len(t.sv))) AS d
+        |  FROM a1 JOIN sub t
+        |    ON t.m = a1.m AND t.vec_id = a1.vec_id AND t.sub = a1.sub
+        |),
+        |u1 AS (
+        |  SELECT m, sub, cid, d,
+        |    CAST(SUM(CAST(sv[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM x1 GROUP BY 1, 2, 3, 4
+        |),
+        |cb1 AS (SELECT m, sub, cid, list(mu ORDER BY d) AS cv
+        |        FROM u1 GROUP BY 1, 2, 3),
+        |s2 AS (
+        |  SELECT t.m, t.vec_id, t.sub, c.cid,
+        |    list_reduce(list_transform(range(len(t.sv)),
+        |      i -> (t.sv[i+1]-c.cv[i+1])*(t.sv[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+        |  FROM sub t JOIN cb1 c ON c.m = t.m AND c.sub = t.sub
+        |),
+        |a2 AS (
+        |  SELECT m, vec_id, sub, dist FROM (
+        |    SELECT m, vec_id, sub, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY m, vec_id, sub
+        |                         ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM s2) WHERE rn = 1
+        |)
+        |SELECT CAST(m AS BIGINT) AS m, CAST(64 // m AS BIGINT) AS sub_dim,
+        |  CAST(4 * m AS BIGINT) AS code_bits,
+        |  CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(${graft.ops.Num.fquantSql("dist")}) AS BIGINT)
+        |    AS distortion_grid
+        |FROM a2 GROUP BY m ORDER BY m""".stripMargin,
 
     // the same fold+sqrt norm, the same floor(·10) decimation
     "e6_norm_histogram" ->

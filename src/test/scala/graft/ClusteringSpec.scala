@@ -240,6 +240,25 @@ class ClusteringSpec extends SparkTestBase {
     assert(weighted > 0.0, s"total silhouette $weighted — no cluster structure found")
   }
 
+  test("e9: PQ distortion is monotone in m; cell mass conserved") {
+    val rows = SparkEntry.queries("e9_pq_rate_distortion")(spark,
+        "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("m"))
+    assert(rows.map(_.getAs[Long]("m")).toSeq == Seq(4L, 8L, 16L))
+    val n = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("n_cells") == n * r.getAs[Long]("m"))
+      assert(r.getAs[Long]("sub_dim") * r.getAs[Long]("m") == 64L)
+      assert(r.getAs[Long]("code_bits") == 4L * r.getAs[Long]("m"))
+      assert(r.getAs[Long]("distortion_grid") >= 0L)
+    }
+    // finer product grids reconstruct better: total distortion strictly
+    // falls as code bits double (the trade the sweep exists to price)
+    val d = rows.map(_.getAs[Long]("distortion_grid"))
+    assert(d(0) > d(1) && d(1) > d(2), s"distortion not monotone: ${d.toSeq}")
+  }
+
   test("ml2: knn label eval replays from d5's gated neighbors") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("ml2_knn_label_eval")(spark, dir).collect()
