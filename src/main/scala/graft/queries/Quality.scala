@@ -484,6 +484,54 @@ object Quality {
         .orderBy($"bucket")
     }),
 
+    // PER-USER RATE OUTLIERS — the bot gate an event pipeline runs
+    // BEFORE sessionization (dq4 watches the daily total; this watches
+    // WHO): per event family, the median/MAD of events-per-user and
+    // the users whose volume clears the robust fence
+    // (n − med > 5·MAD, with an absolute floor of 5 so a zero-MAD
+    // family cannot flag every off-median user). Median and MAD are
+    // NEAREST-RANK picks over the (family, count) HISTOGRAM — the
+    // count spectrum is value-bounded, never user-bounded, so no
+    // corpus-wide order exists anywhere (t36's posture); every
+    // decision is an integer compare. One user-keyed count, two
+    // histogram-sized windows, one broadcast of the 2-row-per-family
+    // fence back over the histogram (not the users).
+    "dq15_user_rate_outliers" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, dir)
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+      val hist = counts.groupBy($"event_type", $"n")
+        .agg(count(lit(1)).as("u"))
+      val wc = Window.partitionBy($"event_type").orderBy($"n")
+      val tot = hist.groupBy($"event_type").agg(sum($"u").as("tot"),
+        max($"n").as("max_events"))
+      val med = hist.withColumn("cum", sum($"u").over(wc))
+        .join(tot, "event_type")
+        .filter($"cum" >= expr("(tot + 1) div 2"))
+        .groupBy($"event_type").agg(min($"n").as("med"))
+      val devHist = hist.join(broadcast(med), "event_type")
+        .select($"event_type", abs($"n" - $"med").as("dev"), $"u", $"med")
+        .groupBy($"event_type", $"med", $"dev").agg(sum($"u").as("u"))
+      val wd = Window.partitionBy($"event_type").orderBy($"dev")
+      val mad = devHist.withColumn("cum", sum($"u").over(wd))
+        .join(tot.select($"event_type", $"tot"), "event_type")
+        .filter($"cum" >= expr("(tot + 1) div 2"))
+        .groupBy($"event_type").agg(min($"dev").as("mad"))
+      hist.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .join(broadcast(tot), "event_type")
+        .groupBy($"event_type")
+        .agg(first($"tot").as("n_users"), first($"med").as("med_events"),
+          first($"mad").as("mad_events"), first($"max_events").as("max_events"),
+          sum(when($"n" - $"med" > $"mad" * 5 && $"n" - $"med" >= 5, $"u")
+            .otherwise(0L)).as("n_flagged"))
+        .select($"event_type", $"n_users", $"med_events", $"mad_events",
+          $"max_events", $"n_flagged",
+          expr("n_flagged * 1000000 div n_users").as("flagged_ppm"))
+        .orderBy($"event_type")
+    }),
+
     // CROSS-TABLE RECONCILIATION — the "do the books balance" audit
     // between a header table and its detail lines (the TPC-H invariant:
     // o_totalprice = Σ extendedprice·(1−discount)·(1+tax) over the
@@ -797,6 +845,52 @@ object Quality {
         |  CAST(COUNT(*) * 1000 // COUNT(DISTINCT user_id) AS BIGINT)
         |    AS events_per_user_x1000
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the same histogram nearest-rank median/MAD, the same integer
+    // fence; every cell BIGINT
+    "dq15_user_rate_outliers" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+        |),
+        |hist AS (SELECT event_type, n, COUNT(*) AS u FROM counts GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(u) AS tot, MAX(n) AS max_events
+        |        FROM hist GROUP BY 1),
+        |med AS (
+        |  SELECT h.event_type, MIN(h.n) AS med FROM (
+        |    SELECT event_type, n,
+        |      SUM(u) OVER (PARTITION BY event_type ORDER BY n) AS cum
+        |    FROM hist) h
+        |  JOIN tot t ON t.event_type = h.event_type
+        |  WHERE h.cum >= (t.tot + 1) // 2 GROUP BY 1
+        |),
+        |devh AS (
+        |  SELECT h.event_type, abs(h.n - m.med) AS dev, SUM(h.u) AS u
+        |  FROM hist h JOIN med m ON m.event_type = h.event_type
+        |  GROUP BY 1, 2
+        |),
+        |mad AS (
+        |  SELECT d.event_type, MIN(d.dev) AS mad FROM (
+        |    SELECT event_type, dev,
+        |      SUM(u) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+        |    FROM devh) d
+        |  JOIN tot t ON t.event_type = d.event_type
+        |  WHERE d.cum >= (t.tot + 1) // 2 GROUP BY 1
+        |)
+        |SELECT h.event_type,
+        |  CAST(MAX(t.tot) AS BIGINT) AS n_users,
+        |  CAST(MAX(m.med) AS BIGINT) AS med_events,
+        |  CAST(MAX(x.mad) AS BIGINT) AS mad_events,
+        |  CAST(MAX(t.max_events) AS BIGINT) AS max_events,
+        |  CAST(SUM(CASE WHEN h.n - m.med > x.mad * 5 AND h.n - m.med >= 5
+        |    THEN h.u ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN h.n - m.med > x.mad * 5 AND h.n - m.med >= 5
+        |    THEN h.u ELSE 0 END) * 1000000 // MAX(t.tot) AS BIGINT)
+        |    AS flagged_ppm
+        |FROM hist h
+        |JOIN med m ON m.event_type = h.event_type
+        |JOIN mad x ON x.event_type = h.event_type
+        |JOIN tot t ON t.event_type = h.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same dsum stabilizer, the same FLOOR(|Δ|·100) decimation to
     // cents; every cell BIGINT

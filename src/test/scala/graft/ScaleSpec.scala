@@ -315,11 +315,40 @@ class ScaleSpec extends SparkTestBase {
       "no cluster exceeded the cap — fixture vacuous for d41")
   }
 
+  test("dq15: user-rate fence replays from a local median/MAD fold") {
+    val rows = SparkEntry.queries("dq15_user_rate_outliers")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.events(spark, sf0001)
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).toSeq.map { case ((t, _), g) => (t, g.length.toLong) }
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sorted }
+    assert(rows.length == counts.size)
+    // nearest-rank lower median of a sorted multiset: rank (n+1) div 2
+    def medOf(xs: Seq[Long]): Long = xs(((xs.length + 1) / 2 - 1))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val ns = counts(t)
+      val med = medOf(ns)
+      val mad = medOf(ns.map(n => math.abs(n - med)).sorted)
+      assert(r.getAs[Long]("n_users") == ns.length.toLong, s"$t users")
+      assert(r.getAs[Long]("med_events") == med, s"$t median")
+      assert(r.getAs[Long]("mad_events") == mad, s"$t mad")
+      assert(r.getAs[Long]("max_events") == ns.max, s"$t max")
+      val flagged = ns.count(n => n - med > mad * 5 && n - med >= 5).toLong
+      assert(r.getAs[Long]("n_flagged") == flagged, s"$t flagged")
+      assert(r.getAs[Long]("flagged_ppm") ==
+        flagged * 1000000L / ns.length, s"$t ppm")
+    }
+  }
+
   test("r12 session-2 additions: no cartesian products in the plans") {
     for (q <- Seq("dq13_k_anonymity", "c4_grid_density",
         "p10_epoch_shuffle_plan", "t36_perplexity_buckets",
         "s20_stream_centroid_route", "dq14_order_reconciliation",
-        "ml2_knn_label_eval", "d41_frequency_cap")) {
+        "ml2_knn_label_eval", "d41_frequency_cap",
+        "e9_pq_rate_distortion", "dq15_user_rate_outliers")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
