@@ -2049,6 +2049,58 @@ object LlmPipeline {
         .orderBy($"lang", $"rk")
     }),
 
+    // CODE-SWITCHING AUDIT — segment-level language mixing inside
+    // documents (the multilingual-contamination check CCNet's DOC-level
+    // langid cannot see: a doc labeled 'en' whose middle third is
+    // another language poisons monolingual training sets). Each
+    // 10-token segment (p3's grain) is classified by trigram-profile
+    // overlap against every language's top-200 character-trigram
+    // profile (t35's Cavnar–Trenkle table, wider cut), argmax with
+    // (hits DESC, lang ASC) — a total order. Per doc-language: scored
+    // segments, segments whose predicted language differs, and the
+    // docs containing any such segment. Scale shape: the profile is
+    // 200×|langs| rows — BROADCAST; the segment-gram stream joins it
+    // map-side and reduces by (doc, seg, lang) counts; no corpus
+    // reshuffle except the gram-count aggregates. Segments with no
+    // profile hit at all have no prediction and are excluded from the
+    // denominator (documented semantics). All-integer cells.
+    "t37_code_switch_segments" -> ((s, dir) => {
+      import s.implicits._
+      val norm = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", $"lang",
+          regexp_replace(lower($"text"), "\\s+", " ").as("t"))
+      val gramCounts = norm.filter(length($"t") >= 3)
+        .select($"lang", explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .as("gram"))
+        .groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
+      val profile = graft.plans.TopK.perKey(gramCounts,
+          keys = Seq($"lang"), order = Seq($"cnt".desc, $"gram".asc), k = 200)
+        .select($"lang".as("plang"), $"gram")
+      val segs = segmentize(graft.ops.Spread.fanout(Tables.documents(s, dir)),
+        Seq("doc_id", "lang"))
+      val segGrams = segs.filter(length($"seg") >= 3)
+        .select($"doc_id", $"lang", $"seg_idx", explode(expr(
+          "transform(sequence(1, length(seg) - 2), i -> substring(seg, i, 3))"))
+          .as("gram"))
+      val scores = segGrams.join(broadcast(profile), Seq("gram"))
+        .groupBy($"doc_id", $"lang", $"seg_idx", $"plang")
+        .agg(count(lit(1)).as("hits"))
+      val best = graft.plans.TopK.perKey(scores,
+        keys = Seq($"doc_id", $"seg_idx"),
+        order = Seq($"hits".desc, $"plang".asc), k = 1)
+      best.groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_segments"),
+          sum(when($"plang" =!= $"lang", 1L).otherwise(0L)).as("n_foreign"),
+          countDistinct(when($"plang" =!= $"lang", $"doc_id"))
+            .as("docs_with_foreign"))
+        .select($"lang", $"n_docs", $"n_segments", $"n_foreign",
+          $"docs_with_foreign",
+          expr("n_foreign * 1000000 div n_segments").as("foreign_ppm"))
+        .orderBy($"lang")
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -4969,6 +5021,61 @@ object LlmPipeline {
         |FROM r JOIN tot ON tot.lang = r.lang
         |WHERE r.rk <= 5
         |ORDER BY r.lang, r.rk""".stripMargin,
+
+    // t35's profile at k=200, p3's 10-token segment grain, the same
+    // (hits DESC, lang ASC) argmin total order; every cell BIGINT
+    "t37_code_switch_segments" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |),
+        |gc AS (
+        |  SELECT lang, gram, COUNT(*) AS cnt FROM (
+        |    SELECT lang,
+        |      unnest(list_transform(range(1, len(t) - 1), i -> substr(t, i, 3))) AS gram
+        |    FROM d WHERE len(t) >= 3)
+        |  GROUP BY 1, 2
+        |),
+        |profile AS (
+        |  SELECT lang AS plang, gram FROM (
+        |    SELECT lang, gram,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rk
+        |    FROM gc) WHERE rk <= 200
+        |),
+        |segs AS (
+        |  SELECT doc_id, lang, s.i AS seg_idx,
+        |    array_to_string(toks[s.i*10+1 : s.i*10+10], ' ') AS seg
+        |  FROM d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(CAST(ceil(len(toks)/10.0) AS INT))) AS i) s
+        |),
+        |sg AS (
+        |  SELECT doc_id, lang, seg_idx,
+        |    unnest(list_transform(range(1, len(seg) - 1), j -> substr(seg, j, 3))) AS gram
+        |  FROM segs WHERE len(seg) >= 3
+        |),
+        |scores AS (
+        |  SELECT s.doc_id, s.lang, s.seg_idx, p.plang, COUNT(*) AS hits
+        |  FROM sg s JOIN profile p ON p.gram = s.gram
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |best AS (
+        |  SELECT doc_id, lang, plang FROM (
+        |    SELECT doc_id, lang, plang,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, seg_idx
+        |                         ORDER BY hits DESC, plang ASC) AS rn
+        |    FROM scores) WHERE rn = 1
+        |)
+        |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN plang <> lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_foreign,
+        |  CAST(COUNT(DISTINCT CASE WHEN plang <> lang THEN doc_id END)
+        |    AS BIGINT) AS docs_with_foreign,
+        |  CAST(SUM(CASE WHEN plang <> lang THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS foreign_ppm
+        |FROM best GROUP BY lang ORDER BY lang""".stripMargin,
 
     // full-vocab rank at oracle scale stands in for the TakeOrdered
     // heavy-hitter cut; same (cnt DESC, term ASC) total order

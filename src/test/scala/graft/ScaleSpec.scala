@@ -343,12 +343,58 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("t37: code-switch verdicts replay from a local profile fold") {
+    val rows = SparkEntry.queries("t37_code_switch_segments")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // normalized doc text and p3-grain segments from the SAME Spark
+    // expressions the query uses; profile + argmax replayed in the JVM
+    val norm = Tables.documents(spark, sf0001)
+      .selectExpr("lang", "regexp_replace(lower(text), '\\\\s+', ' ') AS t")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def grams(t: String): Seq[String] =
+      if (t.length < 3) Seq.empty else (1 to t.length - 2).map(i => t.substring(i - 1, i + 2))
+    val profile: Map[String, Set[String]] = norm.groupBy(_._1).map { case (l, g) =>
+      val counts = g.flatMap(x => grams(x._2)).groupBy(identity)
+        .map { case (gr, v) => (gr, v.length) }
+      l -> counts.toSeq.sortBy { case (gr, c) => (-c, gr) }.take(200)
+        .map(_._1).toSet
+    }
+    val langs = profile.keys.toSeq.sorted
+    val segs = graft.queries.LlmPipeline.segmentize(
+        Tables.documents(spark, sf0001), Seq("doc_id", "lang"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Int]("seg_idx"), r.getAs[String]("seg")))
+    val verdicts = segs.filter(_._4.length >= 3).flatMap {
+      case (doc, lang, _, seg) =>
+        val gs = grams(seg)
+        val hits = langs.map(l => l -> gs.count(profile(l))).filter(_._2 > 0)
+        if (hits.isEmpty) None
+        else Some((doc, lang, hits.minBy { case (l, h) => (-h, l) }._1))
+    }
+    val byLang = verdicts.groupBy(_._2)
+    assert(rows.length == byLang.size)
+    rows.foreach { r =>
+      val g = byLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == g.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("n_segments") == g.length.toLong)
+      val foreign = g.filter(x => x._3 != x._2)
+      assert(r.getAs[Long]("n_foreign") == foreign.length.toLong)
+      assert(r.getAs[Long]("docs_with_foreign") ==
+        foreign.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("foreign_ppm") ==
+        foreign.length.toLong * 1000000L / g.length)
+    }
+  }
+
   test("r12 session-2 additions: no cartesian products in the plans") {
     for (q <- Seq("dq13_k_anonymity", "c4_grid_density",
         "p10_epoch_shuffle_plan", "t36_perplexity_buckets",
         "s20_stream_centroid_route", "dq14_order_reconciliation",
         "ml2_knn_label_eval", "d41_frequency_cap",
-        "e9_pq_rate_distortion", "dq15_user_rate_outliers")) {
+        "e9_pq_rate_distortion", "dq15_user_rate_outliers",
+        "t37_code_switch_segments")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
