@@ -1659,6 +1659,41 @@ object Battery {
           ($"num4".cast("double") / 4.0).as("pctl_cents"))
         .orderBy($"flag", $"pct")
     }),
+
+    // GAPS-AND-ISLANDS — consecutive-day activity streaks, the classic
+    // retention metric (user streaks, uptime islands, sensor runs)
+    // built on the canonical trick: within a user's DISTINCT active
+    // days ordered ascending, `day − row_number()` is constant exactly
+    // along a run of consecutive days, so one user-keyed window turns
+    // runs into groupable island ids — no self-join, no recursive CTE.
+    // Output is the resolution-bounded streak spectrum: per streak
+    // length, how many streaks of that length exist and how many users
+    // have it as their PERSONAL BEST. Scale shape: the (day, user)
+    // dedup is map-side combined at the source grain; the one shuffle
+    // is the window's user-key exchange (each user's days are a tiny
+    // group); both histograms are bounded by the observed span, never
+    // by event volume. All exact integers.
+    "q78_activity_streaks" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), $"user_id")
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+      val streaks = e
+        .withColumn("grp", $"day" - row_number().over(w))
+        .groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("streak_len"))
+      val best = streaks.groupBy($"user_id")
+        .agg(max($"streak_len").as("best_len"))
+      val h1 = streaks.groupBy($"streak_len")
+        .agg(count(lit(1)).as("n_streaks"))
+      val h2 = best.groupBy($"best_len".as("streak_len"))
+        .agg(count(lit(1)).as("n_users_best"))
+      h1.join(h2, Seq("streak_len"), "left")
+        .select($"streak_len", $"n_streaks",
+          coalesce($"n_users_best", lit(0L)).as("n_users_best"))
+        .orderBy($"streak_len")
+    }),
   )
 
   /** 2-D skyline core over (p_partkey, p_size, p_retailprice): minimize
@@ -2609,5 +2644,26 @@ object Battery {
         |  CAST(v_lo * (4 - rem) + v_hi * rem AS DOUBLE) / 4.0 AS pctl_cents
         |FROM picked
         |ORDER BY flag, pct""".stripMargin,
+
+    // the same day−row_number island id over distinct (user, day)
+    "q78_activity_streaks" ->
+      """WITH e AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+        |),
+        |streaks AS (
+        |  SELECT user_id, grp, COUNT(*) AS streak_len FROM (
+        |    SELECT user_id,
+        |      day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp
+        |    FROM e)
+        |  GROUP BY 1, 2
+        |),
+        |best AS (SELECT user_id, MAX(streak_len) AS best_len FROM streaks GROUP BY 1),
+        |h1 AS (SELECT streak_len, COUNT(*) AS n_streaks FROM streaks GROUP BY 1),
+        |h2 AS (SELECT best_len AS streak_len, COUNT(*) AS n_users_best
+        |       FROM best GROUP BY 1)
+        |SELECT h1.streak_len, CAST(h1.n_streaks AS BIGINT) AS n_streaks,
+        |  CAST(COALESCE(h2.n_users_best, 0) AS BIGINT) AS n_users_best
+        |FROM h1 LEFT JOIN h2 ON h2.streak_len = h1.streak_len
+        |ORDER BY h1.streak_len""".stripMargin,
   )
 }

@@ -2101,6 +2101,59 @@ object LlmPipeline {
         .orderBy($"lang")
     }),
 
+    // CORPUS NOVELTY CURVE — the diminishing-returns audit over
+    // acquisition order: slice the corpus into 10 doc_id deciles (the
+    // crawl-batch proxy) and measure, per slice, how many of its
+    // distinct word-8-grams appear for the FIRST time there. A flat
+    // novelty_ppm tail is the "the next crawl batch buys almost no new
+    // content" signal data teams read before paying for more ingest;
+    // cum_gram_types is the saturation curve itself. Scale shape: one
+    // gram explode (per-doc distinct), one (slice, gram) dedup and one
+    // gram-keyed min-slice aggregate — all map-side combining, no
+    // corpus reshuffle beyond the gram aggregation; the output frame
+    // is a fixed 10-row spine (empty slices read 0, the q73 dense-
+    // spine posture). Grams ride as strings to match the oracle
+    // cell-for-cell; production would xxhash64 them through the
+    // shuffle (d10's documented 8-byte-key trade). All-integer cells.
+    "t38_ngram_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val d0 = Tables.documents(s, dir)
+        .select($"doc_id", toks($"text").as("toks"))
+        .filter(size($"toks") >= 8)
+      val mx = d0.agg(max($"doc_id").as("mxid"))
+      val grams = d0.crossJoin(broadcast(mx))
+        .select($"doc_id",
+          least(lit(9L), expr("doc_id * 10 div (mxid + 1)")).as("slice"),
+          explode(expr(
+            "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+            .as("g"))
+      val docsPerSlice = grams.groupBy($"slice")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      val sliceGram = grams.select($"slice", $"g").distinct()
+      val firstSlice = sliceGram.groupBy($"g").agg(min($"slice").as("fs"))
+      val per = sliceGram.join(firstSlice, Seq("g"))
+        .groupBy($"slice")
+        .agg(count(lit(1)).as("n_gram_types"),
+          sum(when($"fs" === $"slice", 1L).otherwise(0L)).as("n_novel"))
+      val spine = s.range(10).select($"id".as("slice"))
+      val joined = spine
+        .join(per.join(docsPerSlice, Seq("slice")), Seq("slice"), "left")
+        .select($"slice",
+          coalesce($"n_docs", lit(0L)).as("n_docs"),
+          coalesce($"n_gram_types", lit(0L)).as("n_gram_types"),
+          coalesce($"n_novel", lit(0L)).as("n_novel"))
+      val wc = Window.orderBy($"slice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined
+        .withColumn("novelty_ppm",
+          when($"n_gram_types" === 0L, 0L)
+            .otherwise(expr("n_novel * 1000000 div n_gram_types")))
+        .withColumn("cum_gram_types", sum($"n_novel").over(wc))
+        .select($"slice", $"n_docs", $"n_gram_types", $"n_novel",
+          $"novelty_ppm", $"cum_gram_types")
+        .orderBy($"slice")
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -5076,6 +5129,45 @@ object LlmPipeline {
         |  CAST(SUM(CASE WHEN plang <> lang THEN 1 ELSE 0 END) * 1000000
         |    // COUNT(*) AS BIGINT) AS foreign_ppm
         |FROM best GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the same doc_id-decile slicing, per-doc-distinct 8-grams,
+    // min-slice first occurrence, 10-row dense spine
+    "t38_ngram_novelty" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 8
+        |),
+        |mx AS (SELECT MAX(doc_id) AS mxid FROM d0),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    LEAST(9, doc_id * 10 // (mxid + 1)) AS slice,
+        |    unnest(list_transform(range(len(toks)-7),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS g
+        |  FROM d0 CROSS JOIN mx
+        |),
+        |dps AS (SELECT slice, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1),
+        |sg AS (SELECT DISTINCT slice, g FROM grams),
+        |fs AS (SELECT g, MIN(slice) AS fs FROM sg GROUP BY 1),
+        |per AS (
+        |  SELECT sg.slice, COUNT(*) AS n_gram_types,
+        |    SUM(CASE WHEN fs.fs = sg.slice THEN 1 ELSE 0 END) AS n_novel
+        |  FROM sg JOIN fs ON fs.g = sg.g GROUP BY 1
+        |),
+        |spine AS (SELECT unnest(range(10)) AS slice)
+        |SELECT CAST(s.slice AS BIGINT) AS slice,
+        |  CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(p.n_gram_types, 0) AS BIGINT) AS n_gram_types,
+        |  CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN COALESCE(p.n_gram_types, 0) = 0 THEN 0
+        |       ELSE p.n_novel * 1000000 // p.n_gram_types END AS BIGINT)
+        |    AS novelty_ppm,
+        |  CAST(SUM(COALESCE(p.n_novel, 0))
+        |    OVER (ORDER BY s.slice ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_gram_types
+        |FROM spine s LEFT JOIN per p ON p.slice = s.slice
+        |LEFT JOIN dps d ON d.slice = s.slice
+        |ORDER BY s.slice""".stripMargin,
 
     // full-vocab rank at oracle scale stands in for the TakeOrdered
     // heavy-hitter cut; same (cnt DESC, term ASC) total order

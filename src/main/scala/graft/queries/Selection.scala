@@ -202,6 +202,38 @@ object Selection {
         .orderBy($"alpha_pct", $"source")
     }),
 
+    // MIXTURE ANNEALING SCHEDULE — the per-epoch companion to sel6's
+    // per-α sweep: a 5-epoch linear interpolation from the NATURAL
+    // source mixture (epoch 0: sample in proportion to token mass)
+    // toward the UNIFORM mixture (epoch 4: every source equally),
+    // the "rebalance toward rare/high-quality sources late in
+    // training" schedule mixture owners commit to a run config. The
+    // whole schedule is integer basis-point arithmetic — w_bp(e) =
+    // ((4−e)·natural_bp + e·uniform_bp) div 4 — plus the planned
+    // per-epoch token draw under a fixed 100k-token epoch budget, so
+    // every cell is engine-invariant BIGINT (bp rounding is the
+    // documented semantics, not drift). Shape: ONE source-level
+    // aggregate; the totals row and the 5-row epoch spine broadcast
+    // onto the |sources| frame — nothing corpus-sized moves after
+    // the token count.
+    "sel8_mixture_anneal" -> ((s, dir) => {
+      import s.implicits._
+      val n = Tables.documents(s, dir)
+        .select($"source", size(split(lower($"text"), "\\s+")).cast("long").as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("n_tokens"))
+      val tot = n.agg(sum($"n_tokens").as("tot"), count(lit(1)).as("k"))
+      val epochs = s.range(5).select($"id".as("epoch"))
+      n.crossJoin(broadcast(tot)).crossJoin(broadcast(epochs))
+        .withColumn("natural_bp", expr("n_tokens * 10000 div tot"))
+        .withColumn("uniform_bp", expr("10000 div k"))
+        .withColumn("weight_bp",
+          expr("((4 - epoch) * natural_bp + epoch * uniform_bp) div 4"))
+        .withColumn("planned_tokens", expr("100000 * weight_bp div 10000"))
+        .select($"epoch", $"source", $"n_tokens", $"natural_bp",
+          $"uniform_bp", $"weight_bp", $"planned_tokens")
+        .orderBy($"epoch", $"source")
+    }),
+
     // GREEDY K-CENTER CORESET (farthest-first / Gonzalez): k documents'
     // embeddings that 2-approximate the optimal k-center cover — the
     // geometric "coverage" selection a pipeline uses to pick maximally
@@ -477,6 +509,33 @@ object Selection {
         |  CAST(sqq AS DOUBLE) /
         |    CAST(CAST(SUM(sqq) OVER (PARTITION BY alpha_pct) AS BIGINT) AS DOUBLE) AS weight
         |FROM s ORDER BY alpha_pct, source""".stripMargin,
+
+    // the same integer bp interpolation over the 5-epoch spine
+    "sel8_mixture_anneal" ->
+      """WITH n AS (
+        |  SELECT source, SUM(len(string_split_regex(lower(text), '\s+'))) AS n_tokens
+        |  FROM documents GROUP BY source
+        |),
+        |tot AS (SELECT SUM(n_tokens) AS tot, COUNT(*) AS k FROM n),
+        |ep AS (SELECT unnest(range(5)) AS epoch),
+        |b AS (
+        |  SELECT epoch, source, n_tokens,
+        |    n_tokens * 10000 // tot AS natural_bp,
+        |    10000 // k AS uniform_bp
+        |  FROM n CROSS JOIN tot CROSS JOIN ep
+        |),
+        |w AS (
+        |  SELECT epoch, source, n_tokens, natural_bp, uniform_bp,
+        |    ((4 - epoch) * natural_bp + epoch * uniform_bp) // 4 AS weight_bp
+        |  FROM b
+        |)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, source,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(natural_bp AS BIGINT) AS natural_bp,
+        |  CAST(uniform_bp AS BIGINT) AS uniform_bp,
+        |  CAST(weight_bp AS BIGINT) AS weight_bp,
+        |  CAST(100000 * weight_bp // 10000 AS BIGINT) AS planned_tokens
+        |FROM w ORDER BY epoch, source""".stripMargin,
 
     // the same ranked cumsum; admission by integer cross-multiplication
     "sel5_budget_frontier" ->

@@ -388,6 +388,98 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("q78: streak spectrum replays from a local gaps-and-islands fold") {
+    val rows = SparkEntry.queries("q78_activity_streaks")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val days = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val streaks: Seq[(Long, Long)] = days.groupBy(_._1).toSeq.flatMap {
+      case (u, g) =>
+        val ds = g.map(_._2).sorted
+        // island id: day − 1-based index is constant along consecutive runs
+        ds.zipWithIndex.groupBy { case (d, i) => d - i }
+          .values.toSeq.map(run => (u, run.length.toLong))
+    }
+    val h1 = streaks.groupBy(_._2).map { case (l, g) => l -> g.size.toLong }
+    val h2 = streaks.groupBy(_._1).map { case (_, g) => g.map(_._2).max }
+      .groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    assert(rows.map(_.getAs[Long]("streak_len")).toSet == h1.keySet)
+    rows.foreach { r =>
+      val len = r.getAs[Long]("streak_len")
+      assert(r.getAs[Long]("n_streaks") == h1(len), s"len $len streaks")
+      assert(r.getAs[Long]("n_users_best") == h2.getOrElse(len, 0L),
+        s"len $len personal bests")
+    }
+    // totals: every streak counted once; every user counted in one bucket
+    assert(rows.map(_.getAs[Long]("n_streaks")).sum == streaks.size.toLong)
+    assert(rows.map(_.getAs[Long]("n_users_best")).sum ==
+      days.map(_._1).distinct.size.toLong)
+  }
+
+  test("t38: novelty curve replays from a local first-occurrence fold") {
+    val rows = SparkEntry.queries("t38_ngram_novelty")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 8)
+    val mx = docs.map(_._1).max
+    val sliceGrams: Seq[(Long, String)] = docs.flatMap { case (id, toks) =>
+      val slice = math.min(9L, id * 10 / (mx + 1))
+      toks.sliding(8).map(w => slice -> w.mkString(" ")).toSeq.distinct
+    }.distinct
+    val firstSlice = sliceGrams.groupBy(_._2).map { case (g, s) => g -> s.map(_._1).min }
+    val bySlice = sliceGrams.groupBy(_._1)
+    val docsPerSlice = docs.groupBy { case (id, _) => math.min(9L, id * 10 / (mx + 1)) }
+    var cum = 0L
+    rows.sortBy(_.getAs[Long]("slice")).foreach { r =>
+      val sl = r.getAs[Long]("slice")
+      val grams = bySlice.getOrElse(sl, Seq.empty).map(_._2)
+      val novel = grams.count(g => firstSlice(g) == sl).toLong
+      assert(r.getAs[Long]("n_docs") ==
+        docsPerSlice.get(sl).map(_.length).getOrElse(0).toLong, s"slice $sl docs")
+      assert(r.getAs[Long]("n_gram_types") == grams.size.toLong, s"slice $sl types")
+      assert(r.getAs[Long]("n_novel") == novel, s"slice $sl novel")
+      assert(r.getAs[Long]("novelty_ppm") ==
+        (if (grams.isEmpty) 0L else novel * 1000000L / grams.size), s"slice $sl ppm")
+      cum += novel
+      assert(r.getAs[Long]("cum_gram_types") == cum, s"slice $sl cum")
+    }
+    // saturation identity: the last cum equals the global distinct gram count
+    assert(cum == sliceGrams.map(_._2).distinct.size.toLong)
+  }
+
+  test("sel8: anneal schedule replays from local integer bp arithmetic") {
+    val rows = SparkEntry.queries("sel8_mixture_anneal")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf0001)
+      .selectExpr("source", "CAST(size(split(lower(text), '\\\\s+')) AS LONG) AS nt")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._2).sum }
+    val tot = n.values.sum
+    val k = n.size.toLong
+    assert(rows.length == n.size * 5)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("epoch")
+      val nat = n(r.getAs[String]("source")) * 10000L / tot
+      val uni = 10000L / k
+      val w = ((4 - e) * nat + e * uni) / 4
+      assert(r.getAs[Long]("n_tokens") == n(r.getAs[String]("source")))
+      assert(r.getAs[Long]("natural_bp") == nat)
+      assert(r.getAs[Long]("uniform_bp") == uni)
+      assert(r.getAs[Long]("weight_bp") == w)
+      assert(r.getAs[Long]("planned_tokens") == 100000L * w / 10000L)
+    }
+    // endpoints: epoch 0 is the natural mixture, epoch 4 the uniform one
+    rows.filter(_.getAs[Long]("epoch") == 0L).foreach { r =>
+      assert(r.getAs[Long]("weight_bp") == r.getAs[Long]("natural_bp"))
+    }
+    rows.filter(_.getAs[Long]("epoch") == 4L).foreach { r =>
+      assert(r.getAs[Long]("weight_bp") == r.getAs[Long]("uniform_bp"))
+    }
+  }
+
   test("r12 session-2 additions: no cartesian products in the plans") {
     for (q <- Seq("dq13_k_anonymity", "c4_grid_density",
         "p10_epoch_shuffle_plan", "t36_perplexity_buckets",
