@@ -3,13 +3,45 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the given scale factor
-  * and prints ONE JSON line. Each query gets one untimed warmup pass first
-  * (JVM/codegen/session warmup would otherwise be billed to the first
-  * query), and failures are reported per-query instead of being recorded
-  * as plausible timings. */
+  * and prints ONE JSON line.
+  *
+  * STRUCTURE (r13): the battery runs in K FRESH-JVM SHARDS (default 4),
+  * coordinated by this process — each shard JVM times ~|queries|/K
+  * queries and exits. Rationale: at 270 queries in one JVM the heavy
+  * tail bills 1.3–2× its isolated cost from accumulated JVM context
+  * (JIT/code-cache/page-cache churn across hundreds of distinct plans)
+  * — measured three rounds running (PLANS.md), with per-query state
+  * drops and a 24g heap already in place. Fresh JVMs are the structural
+  * fix: each shard starts with a clean code cache and block manager, so
+  * the billed number per query approaches its isolated BenchOne cost.
+  * Shards run SEQUENTIALLY (one JVM at a time) so the numbers stay an
+  * honest single-node fleet cost — no box contention between shards.
+  * Shared derived artifacts (shingles/knn/wavs/edges — the Scratch
+  * _SUCCESS contract) persist across shard JVMs, exactly like the
+  * production posture where corpus artifacts outlive any one job.
+  *
+  * Set SPARK_GRAFT_SHARDS=1 (or 0) for the old single-JVM in-process
+  * battery; any worker failure falls back to in-process for the
+  * missing queries so the artifact is always complete. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** (query name, all timed runs, first error if any). */
+  type Result = (String, Seq[Double], Option[String])
+
+  private def sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private def allNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "--worker" :: spec :: out :: Nil => workerMain(spec, out)
+    case _ => coordinatorMain()
+  }
+
+  // ---------------------------------------------------------------------
+  // shared battery core (runs inside a worker JVM or in-process fallback)
+  // ---------------------------------------------------------------------
+
+  private def newSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,14 +53,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    def esc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      }
-
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+  /** Times `names` in order on a fresh session; calls `emit` after each
+    * query so a crashed JVM loses only the in-flight query. */
+  private def runBattery(names: Seq[String])(emit: Result => Unit): Unit = {
+    val spark = newSession()
+    val dir = sfDir
+    val qmap = SparkEntry.queries
 
     // Session-level warmup on one cheap query so JVM/session/codegen
     // startup isn't billed to the first query's own warmup pass.
@@ -36,11 +69,11 @@ object Bench {
 
     // Blocks pinned by localCheckpoint (Materialize) and broadcasts are
     // only reclaimed when the ContextCleaner notices dead references
-    // after a GC. Across 76 queries x 3 invocations in one JVM they
-    // accumulate in BlockManager storage and inflate every query that
-    // runs after a checkpoint-heavy one (the r5 artifact showed 5-9x
-    // inflation on untouched queries). Dropping persistent RDDs and
-    // forcing a GC after each query keeps measurements independent.
+    // after a GC. Across many queries in one JVM they accumulate in
+    // BlockManager storage and inflate every query that runs after a
+    // checkpoint-heavy one (the r5 artifact showed 5-9x inflation on
+    // untouched queries). Dropping persistent RDDs and forcing a GC
+    // after each query keeps measurements independent.
     def dropQueryState(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sqlContext.clearCache()
@@ -61,21 +94,18 @@ object Bench {
     // faster (single-run numbers on a shared box swing 2-3x on GC/JIT
     // noise). If the two timed runs disagree by >1.5x the query is
     // NOISY — take a third run so one GC pause can't be the billed
-    // number, and record every run in BENCH_full.json so bimodality is
-    // visible in the artifact instead of hiding behind the min.
-    // dropQueryState runs BETWEEN runs, not just after the query: each
-    // run materializes its OWN checkpoint/broadcast blocks (new plan
-    // objects every invocation), so without the inter-run drop a
+    // number; every run lands in the artifact so bimodality is visible
+    // instead of hiding behind the min. dropQueryState runs BETWEEN
+    // runs, not just after the query: each run materializes its OWN
+    // checkpoint/broadcast blocks, so without the inter-run drop a
     // re-run executes under the dead weight of its predecessors'
-    // pinned blocks — measured as d7 billing [2.8, 18.7, 17.7] in a
-    // 140-query battery whose isolated runs are a stable ~2 s. The
-    // drop happens OUTSIDE the timed window and every run re-derives
-    // its state from scratch, so billing stays honest.
-    val results = queries.map { case (name, fn) =>
+    // pinned blocks.
+    names.foreach { name =>
+      val fn = qmap(name)
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
-          try { run(fn(spark, sfDir)); None }
+          try { run(fn(spark, dir)); None }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           }
@@ -83,7 +113,7 @@ object Bench {
         dropQueryState()
         (dt, err)
       }
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try run(fn(spark, dir)) catch { case _: Throwable => () }
       dropQueryState()
       val (t1, e1) = timed()
       val (t2, e2) = timed()
@@ -96,9 +126,114 @@ object Bench {
       // duration must not become the billed min and its error must not
       // flip a clean query into the failure count
       val runs = Seq(t1, t2) ++ extra.filter(_._2.isEmpty).map(_._1)
-      (name, runs, e1.orElse(e2))
+      emit((name, runs, e1.orElse(e2)))
+    }
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------------
+  // worker: one shard of the battery, results appended to a TSV
+  // ---------------------------------------------------------------------
+
+  /** One TSV line per query: `name \t run1,run2[,run3] \t err` (err
+    * empty when clean; tabs/newlines in messages squashed to spaces). */
+  private def workerMain(spec: String, out: String): Unit = {
+    val Array(i, k) = spec.split(":").map(_.toInt)
+    val names = allNames.zipWithIndex.collect { case (n, j) if j % k == i => n }
+    val w = new java.io.PrintWriter(new java.io.FileWriter(out, true))
+    try runBattery(names) { case (name, runs, err) =>
+      val e = err.getOrElse("").replaceAll("[\\t\\n\\r]", " ")
+      w.println(s"$name\t${runs.map(_.toString).mkString(",")}\t$e")
+      w.flush()
+    } finally w.close()
+  }
+
+  // ---------------------------------------------------------------------
+  // coordinator: spawn shard JVMs sequentially, merge, emit the artifact
+  // ---------------------------------------------------------------------
+
+  private def coordinatorMain(): Unit = {
+    val k = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "4").toInt
+    val names = allNames
+    val results: Seq[Result] =
+      if (k <= 1) { // legacy single-JVM path
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
+        runBattery(names)(buf += _)
+        buf.toSeq
+      } else {
+        val got = scala.collection.mutable.Map.empty[String, Result]
+        (0 until k).foreach { i =>
+          val out = java.io.File.createTempFile(s"graft_bench_shard_${i}_", ".tsv")
+          out.delete() // worker appends; start clean
+          val rc = spawnWorker(s"$i:$k", out.getAbsolutePath, i)
+          readTsv(out.getAbsolutePath).foreach(r => got(r._1) = r)
+          if (rc != 0)
+            System.err.println(s"[bench] shard $i/$k exited rc=$rc " +
+              s"(${got.size} results so far; missing queries rerun in-process)")
+          out.delete()
+        }
+        // completeness guarantee: anything a crashed/unspawnable worker
+        // didn't report is re-timed in-process so the artifact always
+        // covers the full registry
+        val missing = names.filterNot(got.contains)
+        if (missing.nonEmpty) {
+          System.err.println(s"[bench] in-process fallback for ${missing.size} queries")
+          runBattery(missing)(r => got(r._1) = r)
+        }
+        names.map(got)
+      }
+    emitArtifacts(results)
+  }
+
+  /** Launch one shard JVM with this JVM's own options (add-opens, heap,
+    * -D props) and classpath; stdout/stderr go to a per-shard log under
+    * tmp so the coordinator's stdout stays one clean JSON line. */
+  private def spawnWorker(spec: String, out: String, idx: Int): Int = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", cp, "graft.Bench", "--worker", spec, out)
+    val log = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_bench_shard_$idx.log")
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(log))
+      val t0 = System.nanoTime()
+      val rc = pb.start().waitFor()
+      System.err.println(f"[bench] shard $spec rc=$rc in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      rc
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] shard $spec spawn failed: $e"); -1
+    }
+  }
+
+  private def readTsv(path: String): Seq[Result] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(p).asScala.toSeq.flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(name, runs, err) if runs.nonEmpty =>
+          val rs = runs.split(",").toSeq.flatMap(s => s.toDoubleOption)
+          if (rs.isEmpty) None
+          else Some((name, rs, Option(err).filter(_.nonEmpty)))
+        case _ => None
+      }
+    }
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
 
+  private def emitArtifacts(results: Seq[Result]): Unit = {
     // ms precision keeps the line short, and the headline total goes LAST:
     // the round artifact stores only the TAIL of this process's output, so
     // a long queries map must not push the total out of the window. The
@@ -129,6 +264,5 @@ object Bench {
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // read-only CWD must not fail the bench
     println(line)
-    spark.stop()
   }
 }

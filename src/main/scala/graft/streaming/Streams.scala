@@ -226,6 +226,21 @@ object Streams {
     * (batchId-keyed idempotent writes). On a real
     * cluster the marker flip is a rename on a DFS; a transactional
     * table format (MERGE INTO) replaces the whole dance unchanged. */
+  /** Flip a batchId-versioned state's `_CURRENT` marker ATOMICALLY:
+    * write-to-temp + ATOMIC_MOVE (the Scratch.publish posture). A
+    * truncate-in-place write would leave an empty/partial marker on a
+    * crash mid-write, after which every subsequent batch and read
+    * throws NumberFormatException on `v.toLong` — permanently wedging
+    * the stream state. */
+  private def writeMarker(marker: java.nio.file.Path, batchId: Long): Unit = {
+    import java.nio.file._
+    val tmp = marker.resolveSibling(
+      s"._CURRENT.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def upsertServing(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val marker = java.nio.file.Paths.get(dir, "_CURRENT")
@@ -246,7 +261,7 @@ object Streams {
     merged.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
       .write.mode("overwrite").parquet(s"$dir/v$batchId")
-    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+    writeMarker(marker, batchId)
   }
 
   /** Current contents of an [[upsertServing]] serving table. */
@@ -290,7 +305,7 @@ object Streams {
       .groupBy(col("w_start"), col("event_type"))
       .agg(sum(col("n")).as("n"))
     merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
-    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+    writeMarker(marker, batchId)
   }
 
   /** Current top-`k` event types per hour window from
@@ -328,7 +343,7 @@ object Streams {
       .groupBy(col("event_type"), col("bucket"))
       .agg(sum(col("n")).as("n"))
     merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
-    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+    writeMarker(marker, batchId)
   }
 
   /** Current percentile report from [[latencyHistBatch]] state. */
@@ -367,7 +382,7 @@ object Streams {
       .agg(sum(col("n")).as("n"), sum(col("n_empty")).as("n_empty"),
         sum(col("n_nonpos")).as("n_nonpos"))
     merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
-    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+    writeMarker(marker, batchId)
   }
 
   /** Incremental CENTROID-ROUTE state (s20): each arriving embedding
@@ -402,7 +417,7 @@ object Streams {
         min(col("min_vec_id")).as("min_vec_id"),
         max(col("max_vec_id")).as("max_vec_id"))
     merged.write.mode("overwrite").parquet(s"$dir/v$batchId")
-    java.nio.file.Files.write(marker, batchId.toString.getBytes("UTF-8"))
+    writeMarker(marker, batchId)
   }
 
   /** Current routing report from [[centroidRouteBatch]] state — same

@@ -97,6 +97,18 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("r13: e4 consumes the persisted truth-set artifact — nothing quadratic in its plan") {
+    // before r13 e4 ran its own per-invocation n² crossJoin (the r12
+    // verdict's scale-killer flag); now both rankings come from the
+    // sanctioned cachedKnn/cachedKnnPre16 corpus artifact and the timed
+    // plan must contain no pair expansion of any kind
+    val df = SparkEntry.queries("e4_matryoshka_overlap")(spark, sf0001)
+    df.collect() // first call pays the (sanctioned, documented) derivation
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"e4: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"e4: $plan")
+  }
+
   test("d40: OPH estimator bounds; identical docs read a perfect estimate") {
     val rows = SparkEntry.queries("d40_oph_minhash")(spark, sf0001).collect()
     assert(rows.nonEmpty, "no OPH candidates — banding vacuous")
