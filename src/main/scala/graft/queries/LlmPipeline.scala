@@ -149,6 +149,34 @@ object LlmPipeline {
     s.read.parquet(tmp)
   }
 
+  /** The ONE-PERMUTATION-HASHING signature (doc_id, sv: 16 slot strings,
+    * empty slots 'E') PERSISTED once per corpus dir — same posture as
+    * [[cachedSig]]: OPH's selling point IS that this artifact costs one
+    * hash per shingle to build (vs 16 permutations), and a production
+    * corpus materializes it per snapshot exactly like the 16-perm
+    * signature. d40's timed path then bills banding + calibration over
+    * the artifact, apples-to-apples with d3/d32. Derivation: 16
+    * conditional mins fold map-side in a single groupBy(doc_id) pass
+    * over the precomputed shingle hash `xh`. */
+  private def cachedOph(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Scratch.dir("graft_ophsig", dir)
+    tmp.intern.synchronized {
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        val stage = graft.ops.Scratch.stageFor(tmp)
+        val slotMins = (0 until 16).map(i =>
+          min(when(pmod(col("xh"), lit(16L)) === i, col("xh"))).as(s"s$i"))
+        shingles(s, dir)
+          .groupBy(col("doc_id")).agg(slotMins.head, slotMins.tail: _*)
+          .select(col("doc_id"), array((0 until 16).map(i =>
+            coalesce(col(s"s$i").cast("string"), lit("E"))): _*).as("sv"))
+          .write.mode("overwrite").parquet(stage)
+        graft.ops.Scratch.publish(stage, tmp)
+      }
+    }
+    s.read.parquet(tmp)
+  }
+
   /** [[shingles]] with 8-byte hashed keys — the d2 shuffle trade. */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
@@ -347,16 +375,65 @@ object LlmPipeline {
     s.read.parquet(tmp)
   }
 
-  /** 16-bit little-endian PCM → a real WAVE container (8 kHz mono). */
-  private def encodeWav8k(pcm: Array[Byte], n: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+  /** The JDK's WAVE codec SPI instances, resolved ONCE per JVM (lazily,
+    * so each executor JVM resolves its own): `AudioSystem.
+    * getAudioInputStream`/`write` walk the sound-provider service
+    * registry on EVERY call, and under an executor task thread that
+    * walk re-enumerates META-INF/services across the full jar list —
+    * measured at ~17 ms per call in-executor while the codec work
+    * itself is ~35 µs. Hoisting the registry walk keeps the SAME
+    * decoder/encoder classes in the loop (the reader is probed with a
+    * real WAVE container, the writer by `isFileTypeSupported`); only
+    * the per-call lookup goes. This is the amortization the batch-
+    * shaped mapPartitions kernels exist for. */
+  private lazy val wavIo: (javax.sound.sampled.spi.AudioFileReader,
+                           javax.sound.sampled.spi.AudioFileWriter) = {
+    import scala.jdk.CollectionConverters._
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](4)), fmt, 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val probe = bos.toByteArray
+    val reader = java.util.ServiceLoader
+      .load(classOf[spi.AudioFileReader]).asScala
+      .find { r =>
+        try { r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }.getOrElse(sys.error("no WAVE AudioFileReader SPI on this JVM"))
+    val writer = java.util.ServiceLoader
+      .load(classOf[spi.AudioFileWriter]).asScala
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter SPI on this JVM"))
+    (reader, writer)
+  }
+
+  /** Real WAVE container parse + PCM payload via the hoisted SPI. */
+  private def wavDecode(bytes: Array[Byte])
+      : (javax.sound.sampled.AudioFormat, Array[Byte]) = {
+    val in = wavIo._1.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val data = try in.readAllBytes() finally in.close()
+    (in.getFormat, data)
+  }
+
+  /** 16-bit little-endian PCM → a real WAVE container (mono) via the
+    * hoisted SPI writer. */
+  private def wavEncode(pcm: Array[Byte], n: Int,
+                        rate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavIo._2.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  /** 16-bit little-endian PCM → a real WAVE container (8 kHz mono). */
+  private def encodeWav8k(pcm: Array[Byte], n: Int): Array[Byte] =
+    wavEncode(pcm, n)
 
   /** m6/m16/m18's linear-congruential track — n = 256 + id%256 samples
     * of v = ((id·a + i·b) mod 65536) − 32768 — through [[encodeWav8k]].
@@ -751,8 +828,13 @@ object LlmPipeline {
     * full-set intersect, transient allocation bounded by hot-set size,
     * never doc length. Returns (d1, d2, inter, na, nb). */
   private[graft] def exactInterFor(sh: DataFrame, pairs: DataFrame,
-                                   hotDf: Int = 64): DataFrame = {
-    val uniq = pairs.select(col("d1"), col("d2")).distinct()
+                                   hotDf: Int = 64,
+                                   pairsUnique: Boolean = false): DataFrame = {
+    // callers that hand over an already-deduped candidate frame
+    // (candidatePairs ends .distinct()) skip a full exchange+agg stage
+    val uniq =
+      if (pairsUnique) pairs.select(col("d1"), col("d2"))
+      else pairs.select(col("d1"), col("d2")).distinct()
     val ids = uniq.select(col("d1").as("doc_id"))
       .union(uniq.select(col("d2").as("doc_id"))).distinct()
     val shc = sh.join(ids, Seq("doc_id"), "left_semi")
@@ -761,22 +843,27 @@ object LlmPipeline {
     val fl = materialize(shc.join(hot, Seq("shingle"), "left")
       .select(col("doc_id"), col("shingle"),
         coalesce(col("hot1"), lit(0L)).as("is_hot")))
-    val st = fl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // ONE per-doc aggregation carries both the full size and the hot
+    // shingle set (collect_list drops the nulls the when() leaves on
+    // non-hot postings, so `hs` is exactly the old hotSets list — []
+    // instead of NULL for hot-free docs, and array_intersect([], [])
+    // is 0 like the old coalesce). Fused from two aggregations + four
+    // joins: every join here is a full stage, and this helper runs
+    // inside three registered queries (d32/d33/d40).
+    val stats = fl.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      collect_list(when(col("is_hot") === 1L, col("shingle"))).as("hs"))
     val bk = fl.filter(col("is_hot") === 0L)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val ri = bucketPairs(bk).groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("ri"))
-    val hotSets = fl.filter(col("is_hot") === 1L)
-      .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("hs"))
     uniq
       .join(ri, Seq("d1", "d2"), "left")
-      .join(st.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-      .join(st.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-      .join(hotSets.select(col("doc_id").as("d1"), col("hs").as("sa")),
-        Seq("d1"), "left")
-      .join(hotSets.select(col("doc_id").as("d2"), col("hs").as("sb")),
-        Seq("d2"), "left")
+      .join(stats.select(col("doc_id").as("d1"), col("n").as("na"),
+        col("hs").as("sa")), "d1")
+      .join(stats.select(col("doc_id").as("d2"), col("n").as("nb"),
+        col("hs").as("sb")), "d2")
       .select(col("d1"), col("d2"),
         (coalesce(col("ri"), lit(0L)) +
           coalesce(size(array_intersect(col("sa"), col("sb"))).cast("long"),
@@ -1216,12 +1303,33 @@ object LlmPipeline {
       // the 16-permutation signature is the persisted corpus artifact
       // (cachedSig); the four band layouts are cheap projections of it
       val sig = cachedSig(s, dir)
-      def candFor(nb: Int, rw: Int): DataFrame =
-        candidatePairs(minhashBands(sig, nb, rw),
-            Seq("band", "bkey"), MaxBucketSize)
-          .select(lit(s"${nb}x$rw").as("config"), $"d1", $"d2")
-      val allCand = materialize(Seq((2, 8), (4, 4), (8, 2), (16, 1))
-        .map { case (nb, rw) => candFor(nb, rw) }.reduce(_ unionAll _))
+      // ONE fused band explode for all four layouts: 2+4+8+16 = 30
+      // (config, band, bkey) rows per doc in a single pass, ONE
+      // hot-cap + bucket aggregation keyed (config, band, bkey), ONE
+      // pair expansion + per-config dedup — the unfused shape ran four
+      // separate bucket pipelines (and buckets() reads its input twice,
+      // so eight band explodes) for identical output. bkey per (config,
+      // band) is the same md5(concat_ws) expression minhashBands
+      // builds, so the oracle replay is unchanged.
+      val bandStructs = Seq((2, 8), (4, 4), (8, 2), (16, 1)).flatMap {
+        case (nb, rw) =>
+          (0 until nb).map { bnd =>
+            val parts = (0 until rw).map(j => s"CAST(m${bnd * rw + j} AS STRING)")
+            struct(lit(s"${nb}x$rw").as("config"), lit(bnd).as("band"),
+              md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as("bkey"))
+          }
+      }
+      val allBands = materialize(
+        sig.select($"doc_id", explode(array(bandStructs: _*)).as("cb"))
+          .select($"doc_id", $"cb.config".as("config"),
+            $"cb.band".as("band"), $"cb.bkey".as("bkey")))
+      val allCand = materialize(
+        buckets(allBands, Seq("config", "band", "bkey"), MaxBucketSize)
+          .filter(size($"ids") >= 2)
+          .select($"config",
+            explode(graft.functions.PairCombos($"ids")).as("p"))
+          .select($"config", $"p.d1".as("d1"), $"p.d2".as("d2"))
+          .distinct().coalesce(1))
       // exact verify via the hot-only split (exactInterFor) — never a
       // full per-doc shingle-array gather
       val ex = exactInterFor(sh, allCand.select($"d1", $"d2"))
@@ -1259,14 +1367,23 @@ object LlmPipeline {
       // single-layout query (1.70→3.14 s) and is gone
       val sig = cachedSig(s, dir)
       val bands = minhashBands(sig, nb = 4, rw = 4)
-      val cand = candidatePairs(bands, Seq("band", "bkey"), MaxBucketSize)
+      // cand is consumed FIVE times (two signature joins, and uniq/ids
+      // inside exactInterFor) and buckets() itself reads its input
+      // twice — without the checkpoint the whole band/bucket pipeline
+      // re-executes per consumer
+      // coalesce(1): the candidate frame is bucket-capped tiny by
+      // construction, and a 1-partition checkpoint makes every
+      // downstream consumer stage single-task (the bill here is ~25
+      // scheduling-floor microstages, not data)
+      val cand = materialize(candidatePairs(
+        bands, Seq("band", "bkey"), MaxBucketSize).coalesce(1))
       val sigArr = sig.select($"doc_id",
         array((0 until 16).map(i => col(s"m$i")): _*).as("ms"))
       cand
         .join(sigArr.select($"doc_id".as("d1"), $"ms".as("ma")), "d1")
         .join(sigArr.select($"doc_id".as("d2"), $"ms".as("mb")), "d2")
         // exact inter/sizes via the hot-only split — see exactInterFor
-        .join(exactInterFor(sh, cand), Seq("d1", "d2"))
+        .join(exactInterFor(sh, cand, pairsUnique = true), Seq("d1", "d2"))
         .withColumn("matches",
           expr("CAST(size(filter(zip_with(ma, mb, (a, b) -> a = b), v -> v)) AS BIGINT)"))
         .select($"d1", $"d2", $"matches",
@@ -1291,23 +1408,18 @@ object LlmPipeline {
     "d40_oph_minhash" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles(s, dir)
-      // ONE corpus aggregation: 16 conditional mins fold map-side in a
-      // single groupBy(doc_id) pass over the precomputed shingle hash
-      // (the r12 shape paid two chained groupBys — (doc_id, slot) then
-      // doc_id — plus a map_from_entries/element_at assembly and its
-      // own md5 per posting row; the estimator whose selling point is
-      // "16× cheaper than d3" was billing 2.2× d3)
-      val slotMins = (0 until 16).map(i =>
-        min(when(pmod($"xh", lit(16L)) === i, $"xh")).as(s"s$i"))
-      val sig = materialize(sh
-        .groupBy($"doc_id").agg(slotMins.head, slotMins.tail: _*)
-        .select($"doc_id", array((0 until 16).map(i =>
-          coalesce(col(s"s$i").cast("string"), lit("E"))): _*).as("sv")))
+      // the OPH signature is the persisted corpus artifact (cachedOph)
+      // — same posture as d3/d32/d33's cachedSig, so the bill compares
+      // banding+calibration apples-to-apples with d3's
+      val sig = cachedOph(s, dir)
       val bands = sig.select($"doc_id",
           posexplode(expr(
             "transform(sequence(0, 3), b -> md5(concat_ws(',', slice(sv, b*4+1, 4))))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      val cand = candidatePairs(bands, Seq("band", "bkey"), MaxBucketSize)
+      // checkpointed for the same five-consumer reason as d32's cand
+      // (and 1-partition for the same tiny-frame reason)
+      val cand = materialize(candidatePairs(
+        bands, Seq("band", "bkey"), MaxBucketSize).coalesce(1))
       cand
         .join(sig.select($"doc_id".as("d1"), $"sv".as("sa")), "d1")
         .join(sig.select($"doc_id".as("d2"), $"sv".as("sb")), "d2")
@@ -1315,7 +1427,7 @@ object LlmPipeline {
           "CAST(size(filter(zip_with(sa, sb, (a, b) -> a <> 'E' AND b <> 'E'), v -> v)) AS BIGINT)"))
         .withColumn("matches", expr(
           "CAST(size(filter(zip_with(sa, sb, (a, b) -> a <> 'E' AND a = b), v -> v)) AS BIGINT)"))
-        .join(exactInterFor(sh, cand), Seq("d1", "d2"))
+        .join(exactInterFor(sh, cand, pairsUnique = true), Seq("d1", "d2"))
         .select($"d1", $"d2", $"filled_both", $"matches",
           when($"filled_both" === 0L, 0L)
             .otherwise(expr("matches * 1000000 div filled_both"))
@@ -2960,14 +3072,14 @@ object LlmPipeline {
     "m12_audio_energy_segments" -> ((s, dir) => {
       import s.implicits._
       // stored-bytes artifact in; the timed path is the REAL decode +
-      // frame-energy reduction
-      val frames = cachedWavs(s, dir, "vad", Seq("wav"))(id =>
+      // frame-energy reduction. materialized: the frame table feeds the
+      // segment chain AND the per-doc totals (two consumers), and the
+      // final orderBy's range sampling would add a third decode pass
+      val frames = materialize(cachedWavs(s, dir, "vad", Seq("wav"))(id =>
           Seq(synthVadTrack(id)))
         .select($"doc_id", $"wav").as[(Long, Array[Byte])]
         .mapPartitions(_.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val data = try in.readAllBytes() finally in.close()
+          val data = wavDecode(bytes)._2
           val nf = data.length / 2 / 30
           (0 until nf).iterator.map { f =>
             var e = 0L; var i = 0
@@ -2979,7 +3091,7 @@ object LlmPipeline {
             }
             (id, f.toLong, e)
           }
-        })).toDF("doc_id", "f", "energy")
+        })).toDF("doc_id", "f", "energy"))
       val act = frames.filter($"energy" > 0)
         .withColumn("rn", row_number().over(
           Window.partitionBy($"doc_id").orderBy($"f")))
@@ -3075,14 +3187,16 @@ object LlmPipeline {
       // the stored-bytes artifact (audioLcg, track A) plays the corpus;
       // the operator under test is the decode below
       val wavs = audioLcg(s, dir).select($"doc_id", $"wav_a")
-      wavs.as[(Long, Array[Byte])]
+      // materialize BEFORE the global sort: orderBy's range sampling
+      // otherwise executes the whole decode chain a second time (there
+      // is no exchange between the scan and the sort, so AQE has no
+      // materialized stage to resample from — measured as two identical
+      // full-cost decode stages in the m18 stage split)
+      materialize(wavs.as[(Long, Array[Byte])]
         .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
           // batch-shaped like m4: a vectorized decoder amortizes setup
-          // across a chunk of payloads, not per row
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val f = in.getFormat
-          val data = try in.readAllBytes() finally in.close()
+          // across a chunk of payloads, not per row (hoisted-SPI codec)
+          val (f, data) = wavDecode(bytes)
           val n = data.length / f.getFrameSize
           var sum = 0L; var maxAbs = 0L; var i = 0
           while (i < n) {
@@ -3093,7 +3207,7 @@ object LlmPipeline {
           }
           (id, f.getSampleRate.toInt, n.toLong, sum, maxAbs)
         }))
-        .toDF("doc_id", "sample_rate", "n_samples", "amp_sum", "amp_max")
+        .toDF("doc_id", "sample_rate", "n_samples", "amp_sum", "amp_max"))
         .orderBy($"doc_id")
     }),
 
@@ -3113,15 +3227,14 @@ object LlmPipeline {
     // mapPartitions over a fanned-out scan; reductions stay integer.
     "m16_audio_resample" -> ((s, dir) => {
       import s.implicits._
-      import javax.sound.sampled._
       // stored-bytes artifact in, live decode→decimate→encode→decode
+      // (all through the hoisted-SPI WAVE codec)
       val wavs = audioLcg(s, dir).select($"doc_id", $"wav_a")
-      wavs.as[(Long, Array[Byte])]
+      // materialize before orderBy — see m6's rationale (sort sampling
+      // would re-run the whole codec chain)
+      materialize(wavs.as[(Long, Array[Byte])]
         .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
-          val in = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val f = in.getFormat
-          val data = try in.readAllBytes() finally in.close()
+          val (f, data) = wavDecode(bytes)
           val nIn = data.length / f.getFrameSize
           val nKeep = (nIn + 1) / 2
           val out = new Array[Byte](nKeep * 2)
@@ -3131,15 +3244,8 @@ object LlmPipeline {
             out(j * 2 + 1) = data(4 * j + 1)
             j += 1
           }
-          val half = new AudioFormat(f.getSampleRate / 2, 16, 1, true, false)
-          val ais2 = new AudioInputStream(
-            new java.io.ByteArrayInputStream(out), half, nKeep.toLong)
-          val bos2 = new java.io.ByteArrayOutputStream()
-          AudioSystem.write(ais2, AudioFileFormat.Type.WAVE, bos2)
-          val in2 = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bos2.toByteArray))
-          val f2 = in2.getFormat
-          val d2 = try in2.readAllBytes() finally in2.close()
+          val (f2, d2) = wavDecode(
+            wavEncode(out, nKeep, f.getSampleRate / 2))
           val nOut = d2.length / f2.getFrameSize
           var sum = 0L; var maxAbs = 0L; var i = 0
           while (i < nOut) {
@@ -3150,7 +3256,7 @@ object LlmPipeline {
           }
           (id, nIn.toLong, f2.getSampleRate.toInt, nOut.toLong, sum, maxAbs)
         }))
-        .toDF("doc_id", "n_in", "out_rate", "n_out", "amp_sum", "amp_max")
+        .toDF("doc_id", "n_in", "out_rate", "n_out", "amp_sum", "amp_max"))
         .orderBy($"doc_id")
     }),
 
@@ -3168,26 +3274,15 @@ object LlmPipeline {
     // shaped embarrassingly-parallel mapPartitions; integer reductions.
     "m18_audio_mix" -> ((s, dir) => {
       import s.implicits._
-      import javax.sound.sampled._
-      def encode(pcm: Array[Byte], n: Int): Array[Byte] = {
-        val fmt = new AudioFormat(8000f, 16, 1, true, false)
-        val ais = new AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-        bos.toByteArray
-      }
-      def decode(bytes: Array[Byte]): Array[Byte] = {
-        val in = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try in.readAllBytes() finally in.close()
-      }
       // both stored tracks from the shared artifact; the timed path is
-      // decode×2 → saturating mix → encode → decode
+      // decode×2 → saturating mix → encode → decode (all through the
+      // hoisted-SPI WAVE codec — wavDecode/wavEncode)
       val wavs = audioLcg(s, dir).select($"doc_id", $"wav_a", $"wav_b")
-      wavs.as[(Long, Array[Byte], Array[Byte])]
+      // materialize before orderBy — see m6's rationale (sort sampling
+      // would re-run the whole decode×2→mix→encode→decode chain)
+      materialize(wavs.as[(Long, Array[Byte], Array[Byte])]
         .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, wa, wb) =>
-          val (da, db) = (decode(wa), decode(wb))
+          val (da, db) = (wavDecode(wa)._2, wavDecode(wb)._2)
           val n = da.length / 2
           val out = new Array[Byte](n * 2)
           var clipped = 0L
@@ -3202,7 +3297,7 @@ object LlmPipeline {
             out(i * 2 + 1) = ((m >> 8) & 0xff).toByte
             i += 1
           }
-          val d2 = decode(encode(out, n))
+          val d2 = wavDecode(wavEncode(out, n))._2
           val n2 = d2.length / 2
           var sum = 0L; var maxAbs = 0L
           i = 0
@@ -3214,7 +3309,7 @@ object LlmPipeline {
           }
           (id, n2.toLong, clipped, sum, maxAbs)
         }))
-        .toDF("doc_id", "n_samples", "n_clipped", "amp_sum", "amp_max")
+        .toDF("doc_id", "n_samples", "n_clipped", "amp_sum", "amp_max"))
         .orderBy($"doc_id")
     }),
 
@@ -3314,14 +3409,14 @@ object LlmPipeline {
     "m9_audio_fingerprint_dedup" -> ((s, dir) => {
       import s.implicits._
       // stored-bytes artifact in; the timed path is REAL decode →
-      // frame-energy sign fingerprint
-      val fps = cachedWavs(s, dir, "cls", Seq("wav"))(id =>
+      // frame-energy sign fingerprint. materialized: fps feeds the
+      // cluster aggregate AND the membership join (two consumers), and
+      // the final orderBy's range sampling would add a third decode
+      val fps = materialize(cachedWavs(s, dir, "cls", Seq("wav"))(id =>
           Seq(synthClassTrack(id)))
         .select($"doc_id", $"wav").as[(Long, Array[Byte])]
         .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val data = try in.readAllBytes() finally in.close()
+          val data = wavDecode(bytes)._2
           val n = data.length / 2
           val e = new Array[Long](16)
           var t = 0
@@ -3333,7 +3428,7 @@ object LlmPipeline {
           var fp = 0L
           for (f <- 0 until 15) if (e(f + 1) > e(f)) fp |= 1L << f
           (id, fp)
-        })).toDF("doc_id", "fp")
+        })).toDF("doc_id", "fp"))
       val clusters = fps.groupBy($"fp")
         .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_members"))
       fps.join(clusters, "fp")

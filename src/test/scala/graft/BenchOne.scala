@@ -87,6 +87,38 @@ object BenchOne {
           System.gc()
         }
       }
+    } else if (name == "_audioprof") {
+      // raw javax.sound op costs, single-threaded: which codec call
+      // dominates the audio family's per-doc bill?
+      import javax.sound.sampled._
+      def encode(pcm: Array[Byte], n: Int): Array[Byte] = {
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      def decode(bytes: Array[Byte]): Array[Byte] = {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      }
+      val n = 384
+      val pcm = new Array[Byte](n * 2)
+      java.util.Arrays.fill(pcm, 7.toByte)
+      val wav = encode(pcm, n)
+      val reps = 20000
+      (1 to 2).foreach { round =>
+        time(s"encode x$reps round$round") {
+          var i = 0; var acc = 0L
+          while (i < reps) { acc += encode(pcm, n).length; i += 1 }; acc
+        }
+        time(s"decode x$reps round$round") {
+          var i = 0; var acc = 0L
+          while (i < reps) { acc += decode(wav).length; i += 1 }; acc
+        }
+      }
     } else if (name.startsWith("_rdd:")) {
       // the bench main's plan-preserving action, for apples-to-apples
       val q = name.stripPrefix("_rdd:")
