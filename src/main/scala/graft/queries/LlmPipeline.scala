@@ -107,7 +107,11 @@ object LlmPipeline {
     * MinHash family re-derived per query before r13 — precomputing it
     * here removes an md5 over every posting row from d32/d33/d40's
     * timed runs (the oracle computes the identical expression from the
-    * shingle string, so values cannot drift).
+    * shingle string, so values cannot drift). `df` is the shingle's
+    * CORPUS document frequency — the quantity every hot/cold split in
+    * the family needs, and the one a production inverted index carries
+    * as first-class metadata: with it in the artifact, a verify pass
+    * never re-aggregates document frequency at query time.
     * Cross-process contract as cachedKnn: _SUCCESS is trusted because
     * the write is staged + atomically renamed; the per-path lock
     * serializes racing first users within a JVM. */
@@ -120,6 +124,14 @@ object LlmPipeline {
         shingleIndex(Tables.documents(s, dir))
           .withColumn("xh",
             expr("CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"))
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          // explicit partition count: AQE coalesces the window's small
+          // exchange to 1-2 partitions, which would write a 1-2 file
+          // artifact and cap every consumer's SCAN parallelism at the
+          // file count (measured: d33's artifact scan 63 ms/32 tasks →
+          // 1.9 s/2 tasks). repartition(n) is exempt from coalescing.
+          .repartition(32)
           .write.mode("overwrite").parquet(stage)
         graft.ops.Scratch.publish(stage, tmp)
       }
@@ -826,10 +838,32 @@ object LlmPipeline {
     * intersect only the per-doc HOT arrays (a handful of shingles
     * each). inter = ri + |hotA ∩ hotB| exactly — same verdicts as the
     * full-set intersect, transient allocation bounded by hot-set size,
-    * never doc length. Returns (d1, d2, inter, na, nb). */
+    * never doc length. Returns (d1, d2, inter, na, nb).
+    *
+    * Exactness holds for ANY partition of the shingles into hot/cold
+    * (rare shared count + hot intersect always sums to the full
+    * intersect), which leaves the SPLIT BASIS a pure cost knob with two
+    * regimes, selected by `localDf`:
+    *   - localDf=false: read the CORPUS df the [[shingles]] artifact
+    *     carries. Zero aggregation at query time (two stages and a
+    *     heavier checkpoint gone — the production posture, where the
+    *     inverted index carries df as first-class metadata), but hot
+    *     arrays hold every corpus-common shingle a doc contains, so
+    *     per-pair intersect cost degrades toward full-set gather as the
+    *     corpus grows. Right for BUCKET-CAP-BOUNDED candidate sets
+    *     (d32/d40's calibration neighborhoods), where pairs stay few by
+    *     construction. Corpus df ≤ hotDf implies restricted df ≤ hotDf,
+    *     so rare buckets stay bounded either way.
+    *   - localDf=true: aggregate df RESTRICTED to the candidate docs
+    *     (the r12 shape). Costs a df aggregation + flag join per call,
+    *     but hot means "hot among the candidates", so hot arrays stay a
+    *     handful per doc no matter the corpus. Right for sweep-scale
+    *     candidate sets (d33's 16×1 config: ~10⁵ pairs — measured 16 s
+    *     with corpus-df arrays vs 4.8 s with the restricted split). */
   private[graft] def exactInterFor(sh: DataFrame, pairs: DataFrame,
                                    hotDf: Int = 64,
-                                   pairsUnique: Boolean = false): DataFrame = {
+                                   pairsUnique: Boolean = false,
+                                   localDf: Boolean = true): DataFrame = {
     // callers that hand over an already-deduped candidate frame
     // (candidatePairs ends .distinct()) skip a full exchange+agg stage
     val uniq =
@@ -838,11 +872,17 @@ object LlmPipeline {
     val ids = uniq.select(col("d1").as("doc_id"))
       .union(uniq.select(col("d2").as("doc_id"))).distinct()
     val shc = sh.join(ids, Seq("doc_id"), "left_semi")
-    val hot = shc.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > hotDf).select(col("shingle"), lit(1L).as("hot1"))
-    val fl = materialize(shc.join(hot, Seq("shingle"), "left")
-      .select(col("doc_id"), col("shingle"),
-        coalesce(col("hot1"), lit(0L)).as("is_hot")))
+    val fl = materialize(
+      if (!localDf)
+        shc.select(col("doc_id"), col("shingle"),
+          (col("df") > hotDf).cast("long").as("is_hot"))
+      else {
+        val hot = shc.groupBy(col("shingle")).agg(count(lit(1)).as("ldf"))
+          .filter(col("ldf") > hotDf).select(col("shingle"), lit(1L).as("hot1"))
+        shc.join(hot, Seq("shingle"), "left")
+          .select(col("doc_id"), col("shingle"),
+            coalesce(col("hot1"), lit(0L)).as("is_hot"))
+      })
     // ONE per-doc aggregation carries both the full size and the hot
     // shingle set (collect_list drops the nulls the when() leaves on
     // non-hot postings, so `hs` is exactly the old hotSets list — []
@@ -1382,8 +1422,11 @@ object LlmPipeline {
       cand
         .join(sigArr.select($"doc_id".as("d1"), $"ms".as("ma")), "d1")
         .join(sigArr.select($"doc_id".as("d2"), $"ms".as("mb")), "d2")
-        // exact inter/sizes via the hot-only split — see exactInterFor
-        .join(exactInterFor(sh, cand, pairsUnique = true), Seq("d1", "d2"))
+        // exact inter/sizes via the hot-only split; the candidate
+        // neighborhood is bucket-cap-bounded, so the zero-aggregation
+        // corpus-df split basis applies — see exactInterFor
+        .join(exactInterFor(sh, cand, pairsUnique = true, localDf = false),
+          Seq("d1", "d2"))
         .withColumn("matches",
           expr("CAST(size(filter(zip_with(ma, mb, (a, b) -> a = b), v -> v)) AS BIGINT)"))
         .select($"d1", $"d2", $"matches",
@@ -1427,7 +1470,8 @@ object LlmPipeline {
           "CAST(size(filter(zip_with(sa, sb, (a, b) -> a <> 'E' AND b <> 'E'), v -> v)) AS BIGINT)"))
         .withColumn("matches", expr(
           "CAST(size(filter(zip_with(sa, sb, (a, b) -> a <> 'E' AND a = b), v -> v)) AS BIGINT)"))
-        .join(exactInterFor(sh, cand, pairsUnique = true), Seq("d1", "d2"))
+        .join(exactInterFor(sh, cand, pairsUnique = true, localDf = false),
+          Seq("d1", "d2"))
         .select($"d1", $"d2", $"filled_both", $"matches",
           when($"filled_both" === 0L, 0L)
             .otherwise(expr("matches * 1000000 div filled_both"))
