@@ -549,6 +549,42 @@ object Clustering {
       }.reduce(_ unionByName _).orderBy(col("m"))
     }),
 
+    // MARGIN-BASED PAIR MINING (Artetxe & Schwenk's bitext-mining
+    // margin, difference form — the CCMatrix/LASER selection rule):
+    // a candidate pair is kept not on raw cosine but on its MARGIN
+    // over the two endpoints' neighborhood similarity — cos(a,b) −
+    // (avgK(a) + avgK(b))/2 — which cancels hubness (a vector whose
+    // neighborhood is uniformly hot must clear a higher bar). Mined
+    // here between the corpus's two id-parity shards (the two-pool
+    // shape of bitext mining, shard standing in for language), top
+    // 100 by margin. All arithmetic in integer µ-units: cos6 =
+    // floor(cos·10⁶) off the kNN artifact, calibration = SUM of five
+    // cos6 (integer — deterministic under any aggregation order,
+    // where a double avg would hash-flake), margin×10⁷ = 10·cos6 −
+    // (calA + calB). Scale shape: candidates are the kNN artifact's
+    // edges (never all-pairs — at corpus scale the edge stream comes
+    // from d7/d26's ANN index; the margin rule is index-agnostic),
+    // calibration is one 5-row-per-vector fold, the two joins ride
+    // broadcast-size calibration frames, and the global top-100 is
+    // TakeOrderedAndProject (map-side partial top-k, no full sort).
+    "e10_margin_mining" -> ((s, dir) => {
+      import s.implicits._
+      val knn = graft.queries.LlmPipeline.cachedKnn(s, dir)
+        .select(col("vec_id"), col("nbr"),
+          floor(col("cos") * 1e6).cast("long").as("cos6"))
+      val cal = knn.groupBy(col("vec_id")).agg(sum(col("cos6")).as("cal6"))
+      knn.filter(col("vec_id") % 2 === 0 && col("nbr") % 2 === 1)
+        .join(cal.select(col("vec_id"), col("cal6").as("ca")), "vec_id")
+        .join(cal.select(col("vec_id").as("nbr"), col("cal6").as("cb")), "nbr")
+        // margin in 10⁻⁷ units: 10·cos6 − (calA + calB)  [avgK = cal/5,
+        // the pair bar is the mean of the two averages = (calA+calB)/10]
+        .select(col("vec_id").as("src"), col("nbr").as("dst"), col("cos6"),
+          (col("cos6") * lit(10L) - (col("ca") + col("cb"))).as("margin_u7"))
+        .filter(col("margin_u7") > 0L)
+        .orderBy(col("margin_u7").desc, col("src"), col("dst"))
+        .limit(100)
+    }),
+
     // SIMPLIFIED SILHOUETTE (internal clustering validation — the
     // quality number c1's WSS can't give: WSS always improves with k,
     // silhouette peaks where the clustering is RIGHT): per vector,
@@ -1227,6 +1263,44 @@ object Clustering {
         |  CAST(SUM(${graft.ops.Num.fquantSql("dist")}) AS BIGINT)
         |    AS distortion_grid
         |FROM a2 GROUP BY m ORDER BY m""".stripMargin,
+
+    // the exact-kNN CTE (d5's proven fold contract), cos decimated to
+    // integer µ-units BEFORE any aggregation — the calibration sums and
+    // margins are then pure integer arithmetic in both engines
+    "e10_margin_mining" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |knn AS (
+        |  SELECT vec_id, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos6 FROM (
+        |    SELECT vec_id, nbr, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |    FROM pairs) WHERE rn <= 5
+        |),
+        |cal AS (SELECT vec_id, SUM(cos6) AS cal6 FROM knn GROUP BY vec_id),
+        |mined AS (
+        |  SELECT k.vec_id AS src, k.nbr AS dst, k.cos6,
+        |    k.cos6 * 10 - (ca.cal6 + cb.cal6) AS margin_u7
+        |  FROM knn k
+        |  JOIN cal ca ON ca.vec_id = k.vec_id
+        |  JOIN cal cb ON cb.vec_id = k.nbr
+        |  WHERE k.vec_id % 2 = 0 AND k.nbr % 2 = 1
+        |    AND k.cos6 * 10 - (ca.cal6 + cb.cal6) > 0
+        |)
+        |SELECT src, dst, cos6, CAST(margin_u7 AS BIGINT) AS margin_u7 FROM mined
+        |ORDER BY margin_u7 DESC, src, dst LIMIT 100""".stripMargin,
 
     // the same fold+sqrt norm, the same floor(·10) decimation
     "e6_norm_histogram" ->

@@ -1481,6 +1481,92 @@ object LlmPipeline {
         .orderBy($"d1", $"d2")
     }),
 
+    // DF-CAP SWEEP — pricing THE scale knob of the whole near-dup
+    // family. Every sf1 ratio flag on d2/d24/d6 carries the same
+    // attribution: candidate volume grows superlinearly with corpus
+    // size at a FIXED document-frequency cap, and the knob a 100 TB
+    // run turns is the cap, not the algorithm. This query turns that
+    // attribution into a measured datum (d33's posture, applied to the
+    // df axis): for caps 16/32/64/128, the candidate-pair volume an
+    // inverted-index run would expand, the verified duplicates (exact
+    // Jaccard >= 0.5) still reachable, and duplicate recall vs the
+    // largest cap — i.e. how much candidate volume each increment of
+    // cap buys, and how many real dups the cheap caps already find.
+    //
+    // Scale shape: ONE bucket pass at the LARGEST cap carries min-df
+    // per pair, so the sweep prices all four caps from a single pair
+    // stream (a pair is a candidate at cap c iff its cheapest shared
+    // shingle has df <= c); df comes off the index artifact (zero df
+    // aggregation at query time); the exact verify pays only the
+    // bound-pruned sliver (d2's ub = ri + min(hot) prune); the per-cap
+    // counts fold map-side from mdf alone, and the output is
+    // resolution-bounded (|caps| rows). All-BIGINT output.
+    //
+    // The sweep runs on a DETERMINISTIC 1-in-4 DOC SAMPLE with df kept
+    // at corpus grain: unlike d32/d33, whose bucket caps bound their
+    // candidate sets by construction, a df-cap sweep has NO cap at its
+    // own top tier — its cost IS the candidate volume it exists to
+    // measure, which grows superlinearly with corpus size (the full-
+    // corpus form measured 121 s at sf1 vs 3 s at sf0.1). Calibration
+    // sweeps at 100 TB run on samples; candidate-volume-per-doc-pair
+    // estimates transfer because the df axis stays corpus-level.
+    "d42_dfcap_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val CapMax = 128
+      val caps = Seq(16L, 32L, 64L, 128L)
+      val sh = shingles(s, dir).filter(col("doc_id") % 4 === 0)
+      // per-doc set size + hot count straight off the artifact df
+      val st = sh.groupBy($"doc_id").agg(
+        count(lit(1)).as("n"), sum(($"df" > CapMax).cast("long")).as("h"))
+      // one bucket pass at cap 128; ri = shared under-cap shingles,
+      // mdf = df of the pair's cheapest shared shingle (the cap tier
+      // at which the pair first becomes reachable)
+      val pairs = materialize(sh.filter($"df" <= CapMax)
+        .groupBy($"xh").agg(sort_array(collect_list($"doc_id")).as("ids"),
+          min($"df").as("bdf"))
+        .filter(size($"ids") >= 2)
+        .select($"bdf", explode(graft.functions.PairCombos($"ids")).as("p"))
+        .select($"p.d1".as("d1"), $"p.d2".as("d2"), $"bdf")
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("ri"), min($"bdf").as("mdf")))
+      // d2's sound prune: inter <= ri + min(hot counts) — only the
+      // sliver whose upper bound clears 0.5 pays the exact verify
+      val pruned = pairs
+        .join(st.select($"doc_id".as("d1"), $"n".as("na"), $"h".as("ha")), "d1")
+        .join(st.select($"doc_id".as("d2"), $"n".as("nb"), $"h".as("hb")), "d2")
+        .withColumn("ubi", $"ri" + least($"ha", $"hb"))
+        .filter($"ubi".cast("double") / ($"na" + $"nb" - $"ubi") >= 0.5)
+      val ids = pruned.select($"d1".as("doc_id"))
+        .union(pruned.select($"d2".as("doc_id"))).distinct()
+      val hotSets = sh.filter($"df" > CapMax)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id").agg(collect_list($"shingle").as("hs"))
+      val dups = pruned
+        .join(hotSets.select($"doc_id".as("d1"), $"hs".as("sa")), Seq("d1"), "left")
+        .join(hotSets.select($"doc_id".as("d2"), $"hs".as("sb")), Seq("d2"), "left")
+        .withColumn("inter", $"ri" +
+          coalesce(size(array_intersect($"sa", $"sb")).cast("long"), lit(0L)))
+        .filter($"inter".cast("double") / ($"na" + $"nb" - $"inter") >= 0.5)
+        .select($"mdf")
+      // per-cap cumulative counts fold map-side from mdf alone
+      def tiers(df: DataFrame, pre: String) = df.agg(
+        coalesce(sum((col("mdf") <= caps.head).cast("long")), lit(0L))
+          .as(s"${pre}_${caps.head}"),
+        caps.tail.map(c =>
+          coalesce(sum((col("mdf") <= c).cast("long")), lit(0L)).as(s"${pre}_$c")): _*)
+      tiers(pairs, "cand").crossJoin(tiers(dups, "dup"))
+        .select(explode(array(caps.map(c => struct(
+          lit(c).as("cap"),
+          col(s"cand_$c").as("n_candidates"),
+          col(s"dup_$c").as("n_dups"),
+          col(s"dup_${caps.last}").as("td"))): _*)).as("r"))
+        .select($"r.cap".as("cap"),
+          $"r.n_candidates".as("n_candidates"),
+          $"r.n_dups".as("n_dups"),
+          when($"r.td" === 0L, 0L)
+            .otherwise(expr("r.n_dups * 1000000 div r.td")).as("recall_ppm"))
+        .orderBy($"cap")
+    }),
+
     // SimHash: 60-bit fingerprint from per-token md5 bit votes, folded
     // in a SINGLE typed Aggregator pass — the 60× bit expansion lives
     // inside the aggregation buffer (map-side), so the exchange carries
@@ -1576,6 +1662,43 @@ object LlmPipeline {
           coalesce($"top_wrong", lit(-1L)).as("top_wrong"),
           coalesce($"nc", lit(0L)).as("n_top_wrong"))
         .orderBy($"label")
+    }),
+
+    // k-NN CONFIDENCE CALIBRATION — the reliability curve for ml2's
+    // weak labeler: bucket every vector by its winning vote count
+    // (1..5 of the 5 exact neighbors — an EXACT rational confidence,
+    // votes/5, so the bins are integers, not float scores), and report
+    // measured accuracy per bin against the confidence the bin claims.
+    // A calibrated labeler's acc_ppm tracks conf_ppm; the gap column
+    // is what a selection pipeline thresholds on before trusting weak
+    // labels at some confidence tier (the Snorkel/data-programming
+    // posture). Neighbors come from the shared exact-kNN artifact
+    // (d5's sanctioned-baseline caveat applies; the calibration
+    // semantics are index-agnostic). Everything downstream of the
+    // artifact is label-keyed counting; output is resolution-bounded
+    // (≤5 rows). All-BIGINT; gap_ppm may be negative (overconfident
+    // bins) — still BIGINT.
+    "ml3_knn_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val labels = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val votes = cachedKnn(s, dir)
+        .join(labels.select($"vec_id".as("nbr"), $"label".as("nl")), "nbr")
+        .groupBy($"vec_id", $"nl").agg(count(lit(1)).as("c"))
+      val pred = graft.plans.TopK.perKey(votes,
+          keys = Seq($"vec_id"), order = Seq($"c".desc, $"nl".asc), k = 1)
+        .select($"vec_id", $"nl".as("predicted"), $"c".as("conf_votes"))
+      pred.join(labels, "vec_id")
+        .groupBy($"conf_votes")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when($"predicted" === $"label", 1L).otherwise(0L))
+            .as("n_correct"))
+        .select($"conf_votes", $"n_vecs", $"n_correct",
+          expr("n_correct * 1000000 div n_vecs").as("acc_ppm"),
+          ($"conf_votes" * lit(200000L)).as("conf_ppm"),
+          (expr("n_correct * 1000000 div n_vecs")
+            - $"conf_votes" * lit(200000L)).as("gap_ppm"))
+        .orderBy($"conf_votes")
     }),
 
     // similarity search at scale: MULTI-TABLE random-hyperplane LSH
@@ -2392,6 +2515,34 @@ object LlmPipeline {
         .orderBy($"slice")
     }),
 
+    // SENTENCE-LENGTH PROFILE — the pre-tokenization segmentation a
+    // sequence-length planner runs before packing (t9/t12 budget on
+    // token counts; THIS is where the counts' distribution comes
+    // from): split every document on sentence-final punctuation
+    // ([.!?]+ — the same regex class both engines interpret
+    // identically), drop empty fragments, and report per (lang,
+    // length-tier) the sentence count, token mass, and longest
+    // sentence. Tier = min(tokens div 8, 3) — a fixed 4-tier grid, so
+    // the output is |langs|×4 regardless of corpus size. Scale shape:
+    // one fanned-out scan, one explode, one map-side-combining
+    // aggregate; nothing but the ≤20-row result ever re-shuffles.
+    // All-BIGINT output.
+    "t39_sentence_profile" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"lang", explode(split($"text", "[.!?]+")).as("s0"))
+        .select($"lang", trim($"s0").as("sent"))
+        .filter(length($"sent") > 0)
+        .select($"lang",
+          size(split($"sent", "\\s+")).cast("long").as("n_tok"))
+        .select($"lang", expr("least(n_tok div 8, 3)").as("tier"), $"n_tok")
+        .groupBy($"lang", $"tier")
+        .agg(count(lit(1)).as("n_sentences"),
+          sum($"n_tok").as("sum_tokens"),
+          max($"n_tok").as("max_tokens"))
+        .orderBy($"lang", $"tier")
+    }),
+
     // data-mixing weights: per-source sampling weight under temperature
     // α=0.5 — w_s = n_s^α / Σ n_t^α, the standard down-weighting of
     // dominant sources when composing a training mixture. α=0.5 is
@@ -2840,6 +2991,62 @@ object LlmPipeline {
           })
         }
         .toDF("doc_id", "width", "height", "sum_r", "xw_r_flipped")
+        .orderBy($"doc_id")
+    }),
+
+    // PALETTE QUANTIZATION audit through the REAL codec — the 4-bit-
+    // per-channel color quantization every image-dedup/compression
+    // pass starts from (a 24-bit pixel maps to a 12-bit palette id):
+    // paint m5's gradient, PNG encode, DECODE, quantize the DECODED
+    // pixels, and report per image the distinct-palette-color count
+    // plus the dominant color and its pixel mass. The oracle recomputes
+    // the palette from the painted-pixel formula, so a decoder that
+    // mangles any channel shifts the palette and goes red. Scale
+    // shape: the codec pass is the batch-shaped embarrassingly-
+    // parallel kernel (m4's contract); the palette reduction is
+    // RELATIONAL — one explode into (doc, qcolor) rows, one
+    // map-side-combining count, and the dominant color via the
+    // map-side-heap TopKPerKey — never a per-image driver loop, so
+    // the same plan runs when "image" means a 4K frame and the
+    // palette frame has 10⁶ rows per doc. All-integer output.
+    "m19_palette_quantization" -> ((s, dir) => {
+      import s.implicits._
+      val qcs = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { id =>
+            val w = 8 + (id % 16).toInt
+            val h = 8 + (id % 11).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (x <- 0 until w; y <- 0 until h)
+              img.setRGB(x, y,
+                ((id * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val im = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val px = im.getRGB(0, 0, w, h, null, 0, w)
+            (id, w.toLong, h.toLong, px.map { p =>
+              (((p >> 16) & 255) >> 4 << 8) |
+              (((p >> 8) & 255) >> 4 << 4) | ((p & 255) >> 4)
+            })
+          })
+        }.toDF("doc_id", "width", "height", "qcs")
+      val counts = materialize(qcs
+        .select($"doc_id", $"width", $"height", explode($"qcs").as("qc"))
+        .groupBy($"doc_id", $"width", $"height", $"qc")
+        .agg(count(lit(1)).as("cnt")))
+      val tops = graft.plans.TopK.perKey(counts, keys = Seq($"doc_id"),
+          order = Seq($"cnt".desc, $"qc".asc), k = 1)
+        .select($"doc_id", $"qc".cast("long").as("top_color"),
+          $"cnt".as("top_count"))
+      counts.groupBy($"doc_id", $"width", $"height")
+        .agg(count(lit(1)).as("n_colors"))
+        .join(tops, "doc_id")
+        .select($"doc_id", $"width", $"height", $"n_colors",
+          $"top_color", $"top_count")
         .orderBy($"doc_id")
     }),
 
@@ -3301,6 +3508,65 @@ object LlmPipeline {
           (id, nIn.toLong, f2.getSampleRate.toInt, nOut.toLong, sum, maxAbs)
         }))
         .toDF("doc_id", "n_in", "out_rate", "n_out", "amp_sum", "amp_max"))
+        .orderBy($"doc_id")
+    }),
+
+    // AUDIO GAIN NORMALIZATION through the REAL codec — the loudness
+    // leveling every audio ingest applies before mixing or feature
+    // extraction (a corpus recorded at wildly different levels makes
+    // m9's fingerprints and m12's energy segments incomparable).
+    // Per doc: decode the stored WAV, take the TRUE peak from the
+    // DECODED samples, derive an integer ×256 fixed-point gain to a
+    // 24576 target peak (75% of int16 — headroom the way production
+    // normalizers leave it), scale every sample SIGN-SPLIT — magnitude
+    // scales on non-negative integers so the floor division is
+    // engine-invariant (a direct negative division would truncate in
+    // the JVM and floor in the oracle) — with int16 saturation,
+    // RE-ENCODE, decode again, and report the output peak/mass. The
+    // oracle replays peak, gain, and every scaled sample from the
+    // synth formula; a codec or scaler off by one level anywhere goes
+    // red. Scale: batch-shaped embarrassingly-parallel mapPartitions
+    // over the stored-bytes artifact; all reductions integer.
+    "m20_audio_gain" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = audioLcg(s, dir).select($"doc_id", $"wav_a")
+      // materialize before orderBy — see m6's rationale (sort sampling
+      // would re-run the whole decode→scale→encode→decode chain)
+      materialize(wavs.as[(Long, Array[Byte])]
+        .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
+          val (f, data) = wavDecode(bytes)
+          val n = data.length / f.getFrameSize
+          var peak = 0L; var i = 0
+          while (i < n) {
+            val v = ((data(i * 2) & 0xff) | (data(i * 2 + 1) << 8)).toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          val g256 = if (peak == 0L) 256L else (24576L * 256L) / peak
+          val out = new Array[Byte](n * 2)
+          i = 0
+          while (i < n) {
+            val v = ((data(i * 2) & 0xff) | (data(i * 2 + 1) << 8)).toLong
+            val mag = math.min(32767L, (math.abs(v) * g256) / 256L)
+            val v2 = (if (v < 0L) -mag else mag).toInt
+            out(i * 2) = (v2 & 0xff).toByte
+            out(i * 2 + 1) = ((v2 >> 8) & 0xff).toByte
+            i += 1
+          }
+          val (f2, d2) = wavDecode(wavEncode(out, n, f.getSampleRate))
+          val n2 = d2.length / f2.getFrameSize
+          var peakOut = 0L; var absSum = 0L
+          i = 0
+          while (i < n2) {
+            val v = ((d2(i * 2) & 0xff) | (d2(i * 2 + 1) << 8)).toLong
+            if (math.abs(v) > peakOut) peakOut = math.abs(v)
+            absSum += math.abs(v)
+            i += 1
+          }
+          (id, n2.toLong, peak, g256, peakOut, absSum)
+        }))
+        .toDF("doc_id", "n_samples", "peak_in", "gain_x256",
+          "peak_out", "abs_sum_out"))
         .orderBy($"doc_id")
     }),
 
@@ -4699,6 +4965,37 @@ object LlmPipeline {
         |FROM scored ORDER BY d1, d2""".stripMargin)
     },
 
+    // the same posting/jaccard CTEs as d2; mdf = df of the pair's
+    // cheapest shared shingle, exactly the Spark bucket min. df stays
+    // CORPUS-level; only the pair universe is the 1-in-4 doc sample.
+    "d42_dfcap_sweep" ->
+      (docsCte.dropRight(1) + """,
+        |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |u AS (
+        |  SELECT sh.doc_id, sh.shingle, dfs.df
+        |  FROM sh JOIN dfs USING (shingle)
+        |  WHERE dfs.df <= 128 AND sh.doc_id % 4 = 0
+        |),
+        |prs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, min(a.df) AS mdf
+        |  FROM u a JOIN u b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |dups AS (
+        |  SELECT p.mdf FROM prs p
+        |  JOIN jacc j ON p.d1 = j.d1 AND p.d2 = j.d2
+        |  WHERE j.jaccard >= 0.5
+        |),
+        |caps AS (SELECT unnest([16, 32, 64, 128]) AS cap),
+        |tot AS (SELECT count(*) AS td FROM dups)
+        |SELECT CAST(cap AS BIGINT) AS cap,
+        |  (SELECT count(*) FROM prs WHERE mdf <= cap) AS n_candidates,
+        |  (SELECT count(*) FROM dups WHERE mdf <= cap) AS n_dups,
+        |  CAST(CASE WHEN td = 0 THEN 0
+        |    ELSE (SELECT count(*) FROM dups WHERE mdf <= cap) * 1000000 // td
+        |    END AS BIGINT) AS recall_ppm
+        |FROM caps, tot ORDER BY cap""".stripMargin),
+
     "d4_simhash" ->
       """WITH tokens AS (
         |  SELECT doc_id, md5(unnest(string_split_regex(lower(text), '\s+'))) AS h
@@ -4837,6 +5134,55 @@ object LlmPipeline {
         |  CAST(COALESCE(t.nc, 0) AS BIGINT) AS n_top_wrong
         |FROM base b LEFT JOIN topw t ON t.label = b.label
         |ORDER BY label""".stripMargin,
+
+    // ml2's exact-kNN CTEs at k=5, binned by the winner's vote count
+    "ml3_knn_calibration" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |knn AS (
+        |  SELECT vec_id, nbr FROM (
+        |    SELECT vec_id, nbr,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |    FROM pairs) WHERE rn <= 5
+        |),
+        |votes AS (
+        |  SELECT k.vec_id, CAST(emb.label AS BIGINT) AS nl, COUNT(*) AS c
+        |  FROM knn k JOIN embeddings emb ON emb.vec_id = k.nbr
+        |  GROUP BY 1, 2
+        |),
+        |pred AS (
+        |  SELECT vec_id, nl AS predicted, c AS conf_votes FROM (
+        |    SELECT vec_id, nl, c, ROW_NUMBER() OVER
+        |      (PARTITION BY vec_id ORDER BY c DESC, nl ASC) AS vr
+        |    FROM votes) WHERE vr = 1
+        |),
+        |own AS (
+        |  SELECT p.conf_votes, CAST(emb.label AS BIGINT) AS label, p.predicted
+        |  FROM pred p JOIN embeddings emb ON emb.vec_id = p.vec_id
+        |)
+        |SELECT CAST(conf_votes AS BIGINT) AS conf_votes,
+        |  COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS acc_ppm,
+        |  CAST(conf_votes * 200000 AS BIGINT) AS conf_ppm,
+        |  CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) - conf_votes * 200000 AS BIGINT) AS gap_ppm
+        |FROM own GROUP BY conf_votes
+        |ORDER BY conf_votes""".stripMargin,
 
     // d6_ann_lsh: END-TO-END hash-gated (round 11 — the d26/d7 posture):
     // the hyperplane weights are deterministic (digit(md5("t|p|j"))-7.5,
@@ -5447,6 +5793,26 @@ object LlmPipeline {
         |LEFT JOIN dps d ON d.slice = s.slice
         |ORDER BY s.slice""".stripMargin,
 
+    // the same [.!?]+ split, trim/empty guard, and 4-tier grid
+    "t39_sentence_profile" ->
+      """WITH sents AS (
+        |  SELECT lang, trim(s) AS sent
+        |  FROM (SELECT lang, unnest(string_split_regex(text, '[.!?]+')) AS s
+        |        FROM documents)
+        |  WHERE trim(s) <> ''
+        |),
+        |tok AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS n_tok
+        |  FROM sents
+        |)
+        |SELECT lang, CAST(least(n_tok // 8, 3) AS BIGINT) AS tier,
+        |  COUNT(*) AS n_sentences,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+        |FROM tok GROUP BY lang, least(n_tok // 8, 3)
+        |ORDER BY lang, tier""".stripMargin,
+
     // full-vocab rank at oracle scale stands in for the TakeOrdered
     // heavy-hitter cut; same (cnt DESC, term ASC) total order
     "t34_vocab_coverage" ->
@@ -5768,6 +6134,35 @@ object LlmPipeline {
         |  CAST(MAX(ABS(v)) AS BIGINT) AS amp_max
         |FROM samp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // peak, ×256 gain, and every scaled sample replayed from the synth
+    // formula; magnitudes divide on non-negative integers only, so
+    // JVM truncation and DuckDB floor agree on every sample
+    "m20_audio_gain" ->
+      """WITH samp AS (
+        |  SELECT d.doc_id,
+        |    ((d.doc_id * 31 + t.i * 17) % 65536) - 32768 AS v
+        |  FROM documents d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(256 + CAST(d.doc_id % 256 AS INT))) AS i) t
+        |),
+        |pk AS (SELECT doc_id, MAX(ABS(v)) AS peak FROM samp GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, peak,
+        |    CASE WHEN peak = 0 THEN 256 ELSE (24576 * 256) // peak END AS g256
+        |  FROM pk
+        |),
+        |sc AS (
+        |  SELECT s.doc_id, g.peak, g.g256,
+        |    CASE WHEN s.v < 0 THEN -least(32767, (ABS(s.v) * g.g256) // 256)
+        |         ELSE least(32767, (s.v * g.g256) // 256) END AS v2
+        |  FROM samp s JOIN g ON g.doc_id = s.doc_id
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(ANY_VALUE(peak) AS BIGINT) AS peak_in,
+        |  CAST(ANY_VALUE(g256) AS BIGINT) AS gain_x256,
+        |  CAST(MAX(ABS(v2)) AS BIGINT) AS peak_out,
+        |  CAST(SUM(ABS(v2)) AS BIGINT) AS abs_sum_out
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // the painter's gradient recomputed over the full per-row pixel grid
     "m5_image_channel_stats" ->
       """WITH dims AS (
@@ -5805,6 +6200,48 @@ object LlmPipeline {
         |  CAST(SUM(r) AS BIGINT) AS sum_r,
         |  CAST(SUM(x * r) AS BIGINT) AS xw_r_flipped
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // palette replayed from the painted-pixel formula: 4-bit/channel
+    // quantization packed to a 12-bit id; dominant color tie-breaks
+    // on the smaller id (the Spark TopKPerKey total order)
+    "m19_palette_quantization" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        |    CAST(8 + doc_id % 11 AS INT) AS height
+        |  FROM documents
+        |),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    (doc_id * 2654435761 + x * 31 + y * 17) & 16777215 AS v
+        |  FROM (SELECT doc_id, width, height, unnest(range(width)) AS x FROM dims)
+        |  CROSS JOIN LATERAL (SELECT unnest(range(height)) AS y)
+        |),
+        |q AS (
+        |  SELECT doc_id, width, height,
+        |    ((((v >> 16) & 255) >> 4) * 256) + ((((v >> 8) & 255) >> 4) * 16)
+        |      + ((v & 255) >> 4) AS qc
+        |  FROM px
+        |),
+        |counts AS (
+        |  SELECT doc_id, ANY_VALUE(width) AS width, ANY_VALUE(height) AS height,
+        |    qc, COUNT(*) AS cnt
+        |  FROM q GROUP BY doc_id, qc
+        |),
+        |tops AS (
+        |  SELECT doc_id, qc AS top_color, cnt AS top_count FROM (
+        |    SELECT doc_id, qc, cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                         ORDER BY cnt DESC, qc ASC) AS rn
+        |    FROM counts) WHERE rn = 1
+        |)
+        |SELECT c.doc_id,
+        |  CAST(ANY_VALUE(c.width) AS BIGINT) AS width,
+        |  CAST(ANY_VALUE(c.height) AS BIGINT) AS height,
+        |  COUNT(*) AS n_colors,
+        |  CAST(ANY_VALUE(t.top_color) AS BIGINT) AS top_color,
+        |  CAST(ANY_VALUE(t.top_count) AS BIGINT) AS top_count
+        |FROM counts c JOIN tops t ON t.doc_id = c.doc_id
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     // patch grid replayed arithmetically from the painted-pixel
     // formula; edge patches keep their true pixel counts

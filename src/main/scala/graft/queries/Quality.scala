@@ -449,6 +449,58 @@ object Quality {
         .orderBy($"event_type")
     }),
 
+    // FIELD-QUALITY DRIFT — dq12's gate differentiated in TIME: the
+    // "did the upstream producer change their payload" alarm. The
+    // stream splits at the midpoint of its timestamp span (a
+    // deterministic integer cut — no median estimation), and every
+    // event family reports its empty-props and non-positive-value
+    // rates on each side plus the signed ppm drift between them: a
+    // family whose empty-props rate jumps across the cut had a
+    // producer deploy, and catching it per-family beats dq12's
+    // whole-corpus rate, which a small family's regression cannot
+    // move. Scale shape: ONE bounds aggregate (broadcast back as a
+    // 1-row frame), then ONE map-side-combining pass with era-
+    // conditioned partial sums — the stream is scanned twice total,
+    // never per family; output is |event_type| rows, all BIGINT, with
+    // zero-denominator guards mirrored in the oracle.
+    "dq16_field_quality_drift" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type", expr("unix_micros(ts)").as("us"),
+          $"props", $"value")
+      val bounds = ev.agg(min($"us").as("mn"), max($"us").as("mx"))
+        .select(expr("(mn + mx) div 2").as("cut"))
+      ev.crossJoin(broadcast(bounds))
+        .select($"event_type",
+          ($"us" >= $"cut").cast("long").as("late"),
+          ($"props".isNull || $"props" === "").cast("long").as("emp"),
+          ($"value".isNull || $"value" <= 0.0).cast("long").as("np"))
+        .groupBy($"event_type")
+        .agg(
+          sum(lit(1L) - $"late").as("n_early"),
+          sum($"late").as("n_late"),
+          sum((lit(1L) - $"late") * $"emp").as("e_empty"),
+          sum($"late" * $"emp").as("l_empty"),
+          sum((lit(1L) - $"late") * $"np").as("e_nonpos"),
+          sum($"late" * $"np").as("l_nonpos"))
+        .select($"event_type", $"n_early", $"n_late",
+          expr("CASE WHEN n_early = 0 THEN 0 ELSE e_empty * 1000000 div n_early END")
+            .as("empty_early_ppm"),
+          expr("CASE WHEN n_late = 0 THEN 0 ELSE l_empty * 1000000 div n_late END")
+            .as("empty_late_ppm"),
+          expr("""CASE WHEN n_late = 0 THEN 0 ELSE l_empty * 1000000 div n_late END
+                  - CASE WHEN n_early = 0 THEN 0 ELSE e_empty * 1000000 div n_early END""")
+            .as("empty_drift_ppm"),
+          expr("CASE WHEN n_early = 0 THEN 0 ELSE e_nonpos * 1000000 div n_early END")
+            .as("nonpos_early_ppm"),
+          expr("CASE WHEN n_late = 0 THEN 0 ELSE l_nonpos * 1000000 div n_late END")
+            .as("nonpos_late_ppm"),
+          expr("""CASE WHEN n_late = 0 THEN 0 ELSE l_nonpos * 1000000 div n_late END
+                  - CASE WHEN n_early = 0 THEN 0 ELSE e_nonpos * 1000000 div n_early END""")
+            .as("nonpos_drift_ppm"))
+        .orderBy($"event_type")
+    }),
+
     // K-ANONYMITY AUDIT over the quasi-identifier tuple (nation,
     // segment, account-balance band) — the privacy gate a dataset
     // release runs before rows with "non-identifying" attributes ship:
@@ -845,6 +897,45 @@ object Quality {
         |  CAST(COUNT(*) * 1000 // COUNT(DISTINCT user_id) AS BIGINT)
         |    AS events_per_user_x1000
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the same midpoint cut and era-conditioned sums; epoch_us matches
+    // Spark's unix_micros on the µs-truncated read; every cell BIGINT
+    "dq16_field_quality_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, props, value FROM events
+        |),
+        |b AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+        |f AS (
+        |  SELECT event_type,
+        |    CASE WHEN us >= (SELECT cut FROM b) THEN 1 ELSE 0 END AS late,
+        |    CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END AS emp,
+        |    CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END AS np
+        |  FROM ev
+        |),
+        |g AS (
+        |  SELECT event_type,
+        |    SUM(1 - late) AS n_early, SUM(late) AS n_late,
+        |    SUM((1 - late) * emp) AS e_empty, SUM(late * emp) AS l_empty,
+        |    SUM((1 - late) * np) AS e_nonpos, SUM(late * np) AS l_nonpos
+        |  FROM f GROUP BY event_type
+        |)
+        |SELECT event_type,
+        |  CAST(n_early AS BIGINT) AS n_early, CAST(n_late AS BIGINT) AS n_late,
+        |  CAST(CASE WHEN n_early = 0 THEN 0
+        |    ELSE e_empty * 1000000 // n_early END AS BIGINT) AS empty_early_ppm,
+        |  CAST(CASE WHEN n_late = 0 THEN 0
+        |    ELSE l_empty * 1000000 // n_late END AS BIGINT) AS empty_late_ppm,
+        |  CAST(CASE WHEN n_late = 0 THEN 0 ELSE l_empty * 1000000 // n_late END
+        |    - CASE WHEN n_early = 0 THEN 0 ELSE e_empty * 1000000 // n_early END
+        |    AS BIGINT) AS empty_drift_ppm,
+        |  CAST(CASE WHEN n_early = 0 THEN 0
+        |    ELSE e_nonpos * 1000000 // n_early END AS BIGINT) AS nonpos_early_ppm,
+        |  CAST(CASE WHEN n_late = 0 THEN 0
+        |    ELSE l_nonpos * 1000000 // n_late END AS BIGINT) AS nonpos_late_ppm,
+        |  CAST(CASE WHEN n_late = 0 THEN 0 ELSE l_nonpos * 1000000 // n_late END
+        |    - CASE WHEN n_early = 0 THEN 0 ELSE e_nonpos * 1000000 // n_early END
+        |    AS BIGINT) AS nonpos_drift_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // the same histogram nearest-rank median/MAD, the same integer
     // fence; every cell BIGINT

@@ -1760,4 +1760,229 @@ class ScaleSpec extends SparkTestBase {
         s"$t: an earlier instant already attains the max")
     }
   }
+
+  test("r13 session-2 additions: no cartesian products in any plan") {
+    for (q <- Seq("d42_dfcap_sweep", "ml3_knn_calibration",
+        "e10_margin_mining", "m19_palette_quantization",
+        "dq16_field_quality_drift", "t39_sentence_profile",
+        "m20_audio_gain")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
+  test("m19: palette replays from the painted-pixel formula") {
+    val rows = SparkEntry.queries("m19_palette_quantization")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.take(200).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = 8 + (id % 16).toInt; val h = 8 + (id % 11).toInt
+      val qcs = for (x <- 0 until w; y <- 0 until h) yield {
+        val p = ((id * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt
+        (((p >> 16) & 255) >> 4 << 8) |
+          (((p >> 8) & 255) >> 4 << 4) | ((p & 255) >> 4)
+      }
+      val counts = qcs.groupBy(identity).map { case (c, g) => (c, g.size) }
+      val (tc, tn) = counts.toSeq.minBy { case (c, n) => (-n, c) }
+      assert(r.getAs[Long]("width") == w.toLong, s"doc $id width")
+      assert(r.getAs[Long]("height") == h.toLong, s"doc $id height")
+      assert(r.getAs[Long]("n_colors") == counts.size.toLong, s"doc $id")
+      assert(r.getAs[Long]("top_color") == tc.toLong, s"doc $id top")
+      assert(r.getAs[Long]("top_count") == tn.toLong, s"doc $id count")
+    }
+  }
+
+  // local exact-kNN (d5's fold order: left-to-right dot, norms
+  // multiplied then divided) shared by the ml3/e10 replays
+  private def localKnn(sf: String): (Map[Long, Long], Map[Long, Seq[(Long, Double)]]) = {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "CAST(label AS LONG) AS label")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val labels = e.map(x => x._1 -> x._3).toMap
+    val knn = e.map { case (id, v, _) =>
+      id -> e.filter(_._1 != id).map(o => (o._1, cos(v, o._2)))
+        .sortBy { case (n, c) => (-c, n) }.take(5).toSeq
+    }.toMap
+    (labels, knn)
+  }
+
+  test("ml3: calibration bins replay from a local exact-kNN vote") {
+    val rows = SparkEntry.queries("ml3_knn_calibration")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val (labels, knn) = localKnn(sf0001)
+    val binned = knn.toSeq.map { case (id, ns) =>
+      val votes = ns.groupBy(p => labels(p._1)).map { case (l, g) => (l, g.size) }
+      val (pl, pc) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+      (pc.toLong, pl == labels(id))
+    }
+    val byBin = binned.groupBy(_._1)
+    assert(rows.map(_.getAs[Long]("conf_votes")).toSet == byBin.keySet)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("conf_votes")
+      val g = byBin(b)
+      val acc = g.count(_._2).toLong * 1000000L / g.size
+      assert(r.getAs[Long]("n_vecs") == g.size.toLong, s"bin $b")
+      assert(r.getAs[Long]("n_correct") == g.count(_._2).toLong, s"bin $b")
+      assert(r.getAs[Long]("acc_ppm") == acc, s"bin $b")
+      assert(r.getAs[Long]("conf_ppm") == b * 200000L, s"bin $b")
+      assert(r.getAs[Long]("gap_ppm") == acc - b * 200000L, s"bin $b")
+    }
+    // every vector lands in exactly one bin
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == knn.size.toLong)
+  }
+
+  test("e10: margin mining replays from a local exact-kNN calibration") {
+    val rows = SparkEntry.queries("e10_margin_mining")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val (_, knn) = localKnn(sf0001)
+    val c6 = knn.map { case (id, ns) =>
+      id -> ns.map { case (n, c) => (n, math.floor(c * 1e6).toLong) }
+    }
+    val cal = c6.map { case (id, ns) => id -> ns.map(_._2).sum }
+    val mined = c6.toSeq.flatMap { case (src, ns) =>
+      if (src % 2 == 0)
+        ns.filter(_._1 % 2 == 1).map { case (dst, cc) =>
+          (src, dst, cc, cc * 10 - (cal(src) + cal(dst)))
+        }
+      else Seq.empty
+    }.filter(_._4 > 0)
+      .sortBy { case (s, d, _, m) => (-m, s, d) }.take(100)
+    assert(rows.length == mined.length)
+    rows.zip(mined).foreach { case (r, (s, d, cc, m)) =>
+      assert(r.getAs[Long]("src") == s && r.getAs[Long]("dst") == d,
+        s"pair ($s,$d)")
+      assert(r.getAs[Long]("cos6") == cc, s"pair ($s,$d) cos")
+      assert(r.getAs[Long]("margin_u7") == m, s"pair ($s,$d) margin")
+    }
+  }
+
+  test("dq16: drift report replays from a local era-conditioned fold") {
+    val rows = SparkEntry.queries("dq16_field_quality_drift")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("event_type", "unix_micros(ts) AS us", "props", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    rows.foreach { r =>
+      val g = byType(r.getAs[String]("event_type"))
+      val (late, early) = g.partition(_._2 >= cut)
+      def emp(x: (String, Long, Option[String], Option[Double])) =
+        x._3.forall(_ == "")
+      def np(x: (String, Long, Option[String], Option[Double])) =
+        x._4.forall(_ <= 0.0)
+      def ppm(n: Int, d: Int) = if (d == 0) 0L else n.toLong * 1000000L / d
+      val (ee, le) = (ppm(early.count(emp), early.size), ppm(late.count(emp), late.size))
+      val (en, ln) = (ppm(early.count(np), early.size), ppm(late.count(np), late.size))
+      assert(r.getAs[Long]("n_early") == early.size.toLong)
+      assert(r.getAs[Long]("n_late") == late.size.toLong)
+      assert(r.getAs[Long]("empty_early_ppm") == ee)
+      assert(r.getAs[Long]("empty_late_ppm") == le)
+      assert(r.getAs[Long]("empty_drift_ppm") == le - ee)
+      assert(r.getAs[Long]("nonpos_early_ppm") == en)
+      assert(r.getAs[Long]("nonpos_late_ppm") == ln)
+      assert(r.getAs[Long]("nonpos_drift_ppm") == ln - en)
+    }
+  }
+
+  test("t39: sentence profile replays from a local regex fold") {
+    val rows = SparkEntry.queries("t39_sentence_profile")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // Spark's trim() strips 0x20 only and split keeps trailing empties
+    // (java limit -1) — replicate exactly, not with Scala's defaults
+    def sparkTrim(s: String) = s.replaceAll("^ +| +$", "")
+    val sents = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("lang", "text").collect()
+      .filter(!_.isNullAt(1))
+      .flatMap { r =>
+        r.getString(1).split("[.!?]+", -1).map(sparkTrim).filter(_.nonEmpty)
+          .map(s => (r.getString(0), s.split("\\s+", -1).length.toLong))
+      }
+    val agg = sents.groupBy { case (l, n) => (l, math.min(n / 8, 3L)) }
+    assert(rows.length == agg.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[Long]("tier"))
+      val g = agg(k)
+      assert(r.getAs[Long]("n_sentences") == g.length.toLong, s"$k")
+      assert(r.getAs[Long]("sum_tokens") == g.map(_._2).sum, s"$k")
+      assert(r.getAs[Long]("max_tokens") == g.map(_._2).max, s"$k")
+    }
+  }
+
+  test("m20: gain normalization replays from the synth formula") {
+    val rows = SparkEntry.queries("m20_audio_gain")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.take(100).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = 256 + (id % 256).toInt
+      val vs = (0 until n).map(i => ((id * 31 + i * 17) % 65536) - 32768)
+      val peak = vs.map(math.abs).max
+      val g256 = if (peak == 0) 256L else 24576L * 256L / peak
+      val v2 = vs.map { v =>
+        val mag = math.min(32767L, math.abs(v) * g256 / 256L)
+        if (v < 0) -mag else mag
+      }
+      assert(r.getAs[Long]("n_samples") == n.toLong, s"doc $id n")
+      assert(r.getAs[Long]("peak_in") == peak, s"doc $id peak")
+      assert(r.getAs[Long]("gain_x256") == g256, s"doc $id gain")
+      assert(r.getAs[Long]("peak_out") == v2.map(math.abs).max, s"doc $id out")
+      assert(r.getAs[Long]("abs_sum_out") == v2.map(math.abs).sum, s"doc $id mass")
+      // the normalization contract itself: output peak lands at the
+      // 24576 target give-or-take one fixed-point step
+      assert(math.abs(r.getAs[Long]("peak_out") - 24576L) <= peak / 256 + 1,
+        s"doc $id target")
+    }
+  }
+
+  test("d42: df-cap sweep replays from a local posting fold") {
+    val rows = SparkEntry.queries("d42_dfcap_sweep")(spark, sf0001).collect()
+    assert(rows.length == 4)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3)
+    val sh: Seq[(Long, String)] = docs.flatMap { case (id, toks) =>
+      toks.sliding(3).map(w => id -> w.mkString(" ")).toSeq.distinct
+    }
+    val df = sh.groupBy(_._2).map { case (g, s) => g -> s.size }
+    val sets = sh.groupBy(_._1).map { case (id, s) => id -> s.map(_._2).toSet }
+    // pairs reachable at cap 128, keyed by cheapest shared shingle df;
+    // corpus-level df, pair universe = the deterministic 1-in-4 sample
+    val under = sh.filter(p => df(p._2) <= 128 && p._1 % 4 == 0)
+    val mdf = under.groupBy(_._2).toSeq.flatMap { case (g, ps) =>
+      val ids = ps.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield ((ids(i), ids(j)), df(g).toLong)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (sets(a), sets(b))
+      val i = (sa intersect sb).size
+      i.toDouble / (sa.size + sb.size - i)
+    }
+    val dups = mdf.filter { case ((a, b), _) => jac(a, b) >= 0.5 }
+    val caps = Seq(16L, 32L, 64L, 128L)
+    val td = dups.size.toLong
+    rows.sortBy(_.getAs[Long]("cap")).zip(caps).foreach { case (r, c) =>
+      val nc = mdf.values.count(_ <= c).toLong
+      val nd = dups.values.count(_ <= c).toLong
+      assert(r.getAs[Long]("cap") == c)
+      assert(r.getAs[Long]("n_candidates") == nc, s"cap $c candidates")
+      assert(r.getAs[Long]("n_dups") == nd, s"cap $c dups")
+      assert(r.getAs[Long]("recall_ppm") ==
+        (if (td == 0) 0L else nd * 1000000L / td), s"cap $c recall")
+    }
+  }
 }
