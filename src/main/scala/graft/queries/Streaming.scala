@@ -240,6 +240,48 @@ object Streaming {
         .orderBy($"event_type")
     }),
 
+    // SESSION OUTCOME MONITOR — sessionization labeled by what the
+    // session ACHIEVED: per 30-min-gap user session (s3's definition,
+    // the lag/cumsum island form q66 shares), did it convert
+    // (purchase) or error out, rolled up by hour-of-day of the session
+    // start — the abandonment/error dashboard an on-call watches, and
+    // the outcome join a funnel analysis starts from. Scale shape: ONE
+    // user-keyed window exchange (the same exchange every
+    // sessionization pays — event volume, once), a session-grain
+    // aggregate, and a 24-row rollup; the ppm columns are integer
+    // division. The INCREMENTAL execution is s9's
+    // sessionize-with-state posture (flatMapGroupsWithState keyed by
+    // user); this registers the batch-equivalent semantics, like
+    // s2/s3/s4. All-BIGINT output.
+    "s21_session_outcomes" -> ((s, dir) => {
+      import s.implicits._
+      val wo = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val e = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("us"))
+      val sess = e
+        .withColumn("prev", lag($"us", 1).over(wo))
+        .withColumn("new_s",
+          when($"prev".isNull || $"us" - $"prev" >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum($"new_s").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val per = sess.groupBy($"user_id", $"sid")
+        .agg(min($"us").as("start_us"), count(lit(1)).as("n_ev"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("has_p"),
+          max(when($"event_type" === "error", 1L).otherwise(0L)).as("has_e"))
+      per.groupBy(expr("(start_us div 3600000000) % 24").as("hour_of_day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n_ev").as("n_events"),
+          sum(lit(1L) - $"has_p").as("n_abandoned"),
+          sum($"has_e").as("n_error"))
+        .select($"hour_of_day", $"n_sessions", $"n_events", $"n_abandoned",
+          expr("n_abandoned * 1000000 div n_sessions").as("abandoned_ppm"),
+          $"n_error",
+          expr("n_error * 1000000 div n_sessions").as("error_ppm"))
+        .orderBy($"hour_of_day")
+    }),
+
     // incremental CRAWL NOVELTY accounting: sources are crawl
     // increments processed in rank order; a 10-token segment is NOVEL
     // iff no earlier crawl (nor an earlier position in this one)
@@ -417,6 +459,41 @@ object Streaming {
         |  CAST(SUM(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END)
         |    * 1000000 // COUNT(*) AS BIGINT) AS nonpos_value_ppm
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // s3's gap-sessionization CTEs + outcome flags; hour-of-day is
+    // pure epoch integer arithmetic; every cell BIGINT
+    "s21_session_outcomes" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1 AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |),
+        |sessions AS (
+        |  SELECT user_id, event_type, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |),
+        |per AS (
+        |  SELECT user_id, sid, MIN(us) AS start_us, COUNT(*) AS n_ev,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_e
+        |  FROM sessions GROUP BY user_id, sid
+        |)
+        |SELECT CAST((start_us // 3600000000) % 24 AS BIGINT) AS hour_of_day,
+        |  COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(SUM(1 - has_p) AS BIGINT) AS n_abandoned,
+        |  CAST(SUM(1 - has_p) * 1000000 // COUNT(*) AS BIGINT) AS abandoned_ppm,
+        |  CAST(SUM(has_e) AS BIGINT) AS n_error,
+        |  CAST(SUM(has_e) * 1000000 // COUNT(*) AS BIGINT) AS error_ppm
+        |FROM per GROUP BY (start_us // 3600000000) % 24
+        |ORDER BY hour_of_day""".stripMargin,
 
     "s1_tumbling" ->
       """SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS w_start,

@@ -1765,7 +1765,7 @@ class ScaleSpec extends SparkTestBase {
     for (q <- Seq("d42_dfcap_sweep", "ml3_knn_calibration",
         "e10_margin_mining", "m19_palette_quantization",
         "dq16_field_quality_drift", "t39_sentence_profile",
-        "m20_audio_gain")) {
+        "m20_audio_gain", "s21_session_outcomes")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -1920,6 +1920,42 @@ class ScaleSpec extends SparkTestBase {
       assert(r.getAs[Long]("sum_tokens") == g.map(_._2).sum, s"$k")
       assert(r.getAs[Long]("max_tokens") == g.map(_._2).max, s"$k")
     }
+  }
+
+  test("s21: session outcomes replay from a local gap fold") {
+    val rows = SparkEntry.queries("s21_session_outcomes")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val per = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(x => (x._4, x._2))
+      // islands: a gap >= 30 min starts a new session
+      var sid = 0L; var prev = Long.MinValue
+      sorted.map { x =>
+        if (prev == Long.MinValue || x._4 - prev >= 1800000000L) sid += 1
+        prev = x._4
+        (sid, x._3, x._4)
+      }.groupBy(_._1).values.map { ss =>
+        (ss.map(_._3).min, ss.size.toLong,
+          ss.exists(_._2 == "purchase"), ss.exists(_._2 == "error"))
+      }
+    }
+    val byHour = per.groupBy { case (start, _, _, _) => (start / 3600000000L) % 24 }
+    assert(rows.map(_.getAs[Long]("hour_of_day")).toSet == byHour.keySet)
+    rows.foreach { r =>
+      val g = byHour(r.getAs[Long]("hour_of_day"))
+      val ab = g.count(!_._3).toLong
+      val er = g.count(_._4).toLong
+      assert(r.getAs[Long]("n_sessions") == g.size.toLong)
+      assert(r.getAs[Long]("n_events") == g.map(_._2).sum)
+      assert(r.getAs[Long]("n_abandoned") == ab)
+      assert(r.getAs[Long]("abandoned_ppm") == ab * 1000000L / g.size)
+      assert(r.getAs[Long]("n_error") == er)
+      assert(r.getAs[Long]("error_ppm") == er * 1000000L / g.size)
+    }
+    // conservation: every event is in exactly one session
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.length.toLong)
   }
 
   test("m20: gain normalization replays from the synth formula") {
