@@ -475,6 +475,41 @@ object Clustering {
         .orderBy(col("dim"))
     }),
 
+    // SCALAR-QUANTIZATION BIT-WIDTH SWEEP — e3's per-dim int8 audit
+    // turned into the rate-distortion curve on the SCALAR axis (e9 is
+    // the same curve on the PQ axis): quantize every (vec, dim) cell
+    // to 2/4/8 bits with e3's exact min-max affine formula and report
+    // total reconstruction distortion per width — the table that
+    // decides how many bits an embedding cache actually ships. Halving
+    // bits halves index bytes; THIS is the distortion each halving
+    // costs. Scale shape: the cell frame materializes once and serves
+    // all three widths; per width the work is one broadcast join of
+    // 64 per-dim ranges + a map-side-combining total; distortion sums
+    // err² on the dyadic fquant grid (exact int64 in both engines), so
+    // the output is all-BIGINT and order-free.
+    "e11_sq_bitwidth_sweep" -> ((s, dir) => {
+      val m = Materialize(Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .as(Seq("dim", "v"))))
+      val stats = m.groupBy(col("dim"))
+        .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+      Seq(2, 4, 8).map { b =>
+        val L = (1 << b) - 1
+        m.join(broadcast(stats), "dim")
+          .withColumn("q", expr(
+            s"CASE WHEN dmax > dmin THEN CAST(round(((v - dmin) * ${L}.0) / (dmax - dmin)) AS BIGINT) ELSE 0L END"))
+          .withColumn("err", expr(
+            s"CASE WHEN dmax > dmin THEN v - (dmin + (q * (dmax - dmin)) / ${L}.0) ELSE CAST(0 AS DOUBLE) END"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(graft.ops.Num.fquant(expr("err * err"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("long").as("distortion_grid"))
+          .select(lit(b.toLong).as("bits"), lit(L.toLong).as("levels"),
+            col("n_cells"), col("distortion_grid"))
+      }.reduce(_ unionByName _).orderBy(col("bits"))
+    }),
+
     // JOHNSON–LINDENSTRAUSS SIGNED RANDOM PROJECTION 64→8: the cheap
     // dimensionality reduction a pipeline runs before ANN indexing or
     // dedup when the full embedding width is too expensive to shuffle —
@@ -1113,6 +1148,40 @@ object Clustering {
         |  CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
         |  CAST(SUM(CASE WHEN q = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
         |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // e3's affine formula swept over three widths; distortion on the
+    // dyadic fquant grid (exact int64 in both engines)
+    "e11_sq_bitwidth_sweep" ->
+      s"""WITH m AS (
+        |  SELECT vec_id, i.i AS dim, ev[i.i+1] AS v FROM (
+        |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |    FROM embeddings
+        |  ) t CROSS JOIN LATERAL (SELECT unnest(range(64)) AS i) i
+        |),
+        |st AS (SELECT dim, MIN(v) AS dmin, MAX(v) AS dmax FROM m GROUP BY dim),
+        |bs AS (SELECT unnest([2, 4, 8]) AS bits),
+        |q AS (
+        |  SELECT bs.bits, ((1 << bs.bits) - 1) AS lv, m.v, st.dmin, st.dmax
+        |  FROM m JOIN st ON m.dim = st.dim CROSS JOIN bs
+        |),
+        |z AS (
+        |  SELECT bits, lv, dmin, dmax, v,
+        |    CASE WHEN dmax > dmin
+        |      THEN CAST(round(((v - dmin) * CAST(lv AS DOUBLE)) / (dmax - dmin)) AS BIGINT)
+        |      ELSE 0 END AS qq
+        |  FROM q
+        |),
+        |e AS (
+        |  SELECT bits, lv,
+        |    CASE WHEN dmax > dmin
+        |      THEN v - (dmin + (qq * (dmax - dmin)) / CAST(lv AS DOUBLE))
+        |      ELSE CAST(0 AS DOUBLE) END AS err
+        |  FROM z
+        |)
+        |SELECT CAST(bits AS BIGINT) AS bits, CAST(MIN(lv) AS BIGINT) AS levels,
+        |  COUNT(*) AS n_cells,
+        |  CAST(SUM(${graft.ops.Num.fquantSql("err * err")}) AS BIGINT) AS distortion_grid
+        |FROM e GROUP BY bits ORDER BY bits""".stripMargin,
 
     // the same baked sign literals, the same index-ordered fold
     // (list_reduce's first-element init == the Spark fold's 0.0 init,

@@ -723,6 +723,32 @@ object Graph {
         .orderBy(col("u"), col("w"))
     }),
 
+    // kNN-GRAPH RECIPROCITY BY RANK — the HUBNESS diagnostic for an
+    // embedding space (Radovanović et al., JMLR'10): in a healthy
+    // space most nearest-neighbor edges are mutual; a hubby space has
+    // a few vectors that appear in everyone's top-k without
+    // reciprocating, which silently poisons kNN labels (ml2/ml3) and
+    // margin mining (e10). Per rank position 1..5: how many of the
+    // corpus's rank-r edges are reciprocated at ANY rank ≤ 5. Reading
+    // the curve: reciprocity decaying steeply with rank = normal;
+    // uniformly low = hubs. Scale shape: the edge list is the
+    // persisted kNN artifact (5n rows); reciprocity is ONE self-join
+    // on the (nbr, vec_id) key pair — never the vector table — and
+    // the output is a 5-row rollup. All-BIGINT.
+    "gr17_knn_reciprocity" -> ((s, dir) => {
+      val knn = Materialize(LlmPipeline.cachedKnn(s, dir)
+        .select(col("vec_id"), col("nbr"), col("rn")))
+      val rev = knn.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"),
+        lit(1L).as("mutual")).distinct()
+      knn.join(rev, Seq("vec_id", "nbr"), "left")
+        .groupBy(col("rn").cast("long").as("rn"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("mutual"), lit(0L))).as("n_mutual"))
+        .select(col("rn"), col("n_edges"), col("n_mutual"),
+          expr("n_mutual * 1000000 div n_edges").as("mutual_ppm"))
+        .orderBy(col("rn"))
+    }),
+
     // PER-COMPONENT ECCENTRICITY — the shape diagnostic for cc1's
     // clusters: a component with ecc 1 from its representative is a
     // star/clique (one template family — safe to collapse); ecc ≥ 3
@@ -1694,6 +1720,39 @@ object Graph {
         |  CAST(m.cn AS DOUBLE) / CAST(du.degree + dw.degree - m.cn AS DOUBLE) AS jaccard
         |FROM miss m JOIN deg du ON du.a = m.u JOIN deg dw ON dw.a = m.w
         |ORDER BY m.u, m.w""".stripMargin,
+
+    // the exact-kNN CTE (d5's fold contract) at k=5 with rank kept;
+    // reciprocity = the reverse edge exists at any rank <= 5
+    "gr17_knn_reciprocity" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |knn AS (
+        |  SELECT vec_id, nbr, rn FROM (
+        |    SELECT vec_id, nbr,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |    FROM pairs) WHERE rn <= 5
+        |)
+        |SELECT CAST(a.rn AS BIGINT) AS rn, COUNT(*) AS n_edges,
+        |  CAST(SUM(CASE WHEN EXISTS (
+        |    SELECT 1 FROM knn b WHERE b.vec_id = a.nbr AND b.nbr = a.vec_id)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+        |  CAST(SUM(CASE WHEN EXISTS (
+        |    SELECT 1 FROM knn b WHERE b.vec_id = a.nbr AND b.nbr = a.vec_id)
+        |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS mutual_ppm
+        |FROM knn a GROUP BY a.rn ORDER BY rn""".stripMargin,
 
     // transitive-closure labels name the representatives; one recursive
     // BFS seeded with ALL of them, min hop per (src, node)

@@ -29,6 +29,12 @@ object Retrieval {
 
   private def dsum(c: Column) = graft.ops.Num.dsum(c)
 
+  /** t21's five Gopher-style gate names in their canonical order —
+    * t40's co-failure matrix and its oracle generate the 10 unordered
+    * pairs from this ONE list so the two sides can never disagree on
+    * pair identity. */
+  private val QualityRules = Seq("len", "wordlen", "toptoken", "ttr", "stop")
+
   /** Winnowing selection core (t23): 3-token-gram hashes, w=4 sliding
     * windows, RIGHTMOST MINIMAL hash per window — both selections folded
     * into one doc-keyed window min over key = h*2^31 + (2^31-1-pos)
@@ -229,6 +235,63 @@ object Retrieval {
           sum(when(!$"f_len" && !$"f_wordlen" && !$"f_toptoken" &&
             !$"f_ttr" && !$"f_stop", 1L).otherwise(0L)).as("n_kept"))
         .orderBy($"lang")
+    }),
+
+    // QUALITY-RULE CO-FAILURE MATRIX — the redundancy audit behind a
+    // filter config review: t21 reports how many docs each rule
+    // rejects; THIS reports how much the rules overlap (pairwise
+    // co-failure counts + Jaccard ppm over the 10 unordered rule
+    // pairs). Two rules that always co-fire are one rule paid twice —
+    // the matrix is what justifies dropping the expensive one; a pair
+    // with near-zero overlap is two genuinely different failure modes.
+    // Flag expressions are t21's verbatim (same thresholds, same
+    // double arithmetic) so the two reports describe the same gate.
+    // Scale shape: the flag frame is one projection + t21's
+    // (doc, token) top-share agg; ALL 15 matrix cells fold in a
+    // single map-side-combining aggregate over it (one pass, one
+    // 1-row result), and the 10-row output explodes from that row —
+    // no pair-keyed shuffle of documents ever happens.
+    "t40_rule_cofailure" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", toks($"text").as("toks"))
+      val flat = base.select($"doc_id",
+        size($"toks").cast("double").as("n"),
+        size(array_distinct($"toks")).cast("double").as("n_distinct"),
+        expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
+          .cast("double").as("sum_len"),
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double")
+          .as("n_stop"))
+      val topShare = base
+        .select($"doc_id", explode($"toks").as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").cast("double").as("top_c"))
+      val flags = flat.join(topShare, "doc_id").select(
+        ($"n" < 15.0 || $"n" > 500.0).cast("long").as("len"),
+        ($"sum_len" / $"n" < 3.0 || $"sum_len" / $"n" > 10.0).cast("long")
+          .as("wordlen"),
+        ($"top_c" / $"n" > 0.15).cast("long").as("toptoken"),
+        ($"n_distinct" / $"n" < 0.4).cast("long").as("ttr"),
+        ($"n_stop" / $"n" < 0.02).cast("long").as("stop"))
+      val pairs = for {
+        i <- QualityRules.indices
+        j <- (i + 1) until QualityRules.length
+      } yield (QualityRules(i), QualityRules(j))
+      val aggCols = QualityRules.map(r => sum(col(r)).as(s"f_$r")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"b_${a}_$b") }
+      flags.agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(array(pairs.map { case (a, b) => struct(
+          lit(a).as("rule_i"), lit(b).as("rule_j"),
+          col(s"f_$a").as("n_fail_i"), col(s"f_$b").as("n_fail_j"),
+          col(s"b_${a}_$b").as("n_both")) }: _*)).as("r"))
+        .select($"r.rule_i".as("rule_i"), $"r.rule_j".as("rule_j"),
+          $"r.n_fail_i".as("n_fail_i"), $"r.n_fail_j".as("n_fail_j"),
+          $"r.n_both".as("n_both"),
+          when($"r.n_fail_i" + $"r.n_fail_j" - $"r.n_both" === 0L, 0L)
+            .otherwise(expr(
+              "r.n_both * 1000000 div (r.n_fail_i + r.n_fail_j - r.n_both)"))
+            .as("cofail_jaccard_ppm"))
+        .orderBy($"rule_i", $"rule_j")
     }),
 
     // Gopher N-GRAM REPETITION gate (Rae et al. §A1.1, the n-gram
@@ -875,6 +938,70 @@ object Retrieval {
         |  CAST(SUM(CASE WHEN NOT f_len AND NOT f_wordlen AND NOT f_toptoken
         |           AND NOT f_ttr AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM rules GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t21's flag CTEs verbatim; the 10 UNION ALL arms are generated
+    // from the same QualityRules list as the Spark pair spine
+    "t40_rule_cofailure" -> {
+      val pairs = for {
+        i <- QualityRules.indices
+        j <- (i + 1) until QualityRules.length
+      } yield (QualityRules(i), QualityRules(j))
+      val sums = (QualityRules.map(r =>
+        s"SUM(CASE WHEN f_$r THEN 1 ELSE 0 END) AS f_$r") ++
+        pairs.map { case (a, b) =>
+          s"SUM(CASE WHEN f_$a AND f_$b THEN 1 ELSE 0 END) AS b_${a}_$b"
+        }).mkString(",\n|    ")
+      val arms = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS rule_i, '$b' AS rule_j,
+           |  CAST(f_$a AS BIGINT) AS n_fail_i, CAST(f_$b AS BIGINT) AS n_fail_j,
+           |  CAST(b_${a}_$b AS BIGINT) AS n_both,
+           |  CAST(CASE WHEN f_$a + f_$b - b_${a}_$b = 0 THEN 0
+           |    ELSE b_${a}_$b * 1000000 // (f_$a + f_$b - b_${a}_$b) END AS BIGINT)
+           |    AS cofail_jaccard_ppm
+           |  FROM s""".stripMargin.linesIterator.mkString("\n|  ")
+      }.mkString("\n|  UNION ALL\n|  ")
+      // regex lives in the NON-interpolated part: the s-interpolator
+      // processes escapes even in triple quotes, so '\s+' inside s"""
+      // would throw InvalidEscape at object init
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |),
+        |flat AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct,
+        |    CAST(list_reduce(list_prepend(0, list_transform(toks, t -> len(t))),
+        |      (acc, x) -> acc + x) AS DOUBLE) AS sum_len,
+        |    CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop
+        |  FROM base
+        |),
+        |tops AS (
+        |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) AS top_c FROM (
+        |    SELECT doc_id, t, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        |    GROUP BY doc_id, t
+        |  ) GROUP BY doc_id
+        |),
+        |rules AS (
+        |  SELECT
+        |    (n < 15.0 OR n > 500.0) AS f_len,
+        |    (sum_len / n < 3.0 OR sum_len / n > 10.0) AS f_wordlen,
+        |    (top_c / n > 0.15) AS f_toptoken,
+        |    (n_distinct / n < 0.4) AS f_ttr,
+        |    (n_stop / n < 0.02) AS f_stop
+        |  FROM flat JOIN tops USING (doc_id)
+        |),
+        |""".stripMargin +
+      s"""s AS (
+        |  SELECT
+        |    $sums
+        |  FROM rules
+        |)
+        |SELECT * FROM (
+        |  $arms
+        |) ORDER BY rule_i, rule_j""".stripMargin
+    },
 
     // 'g' flag: DuckDB regexp_replace is first-match by default where
     // Spark replaces every occurrence

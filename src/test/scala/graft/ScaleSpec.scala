@@ -1765,7 +1765,9 @@ class ScaleSpec extends SparkTestBase {
     for (q <- Seq("d42_dfcap_sweep", "ml3_knn_calibration",
         "e10_margin_mining", "m19_palette_quantization",
         "dq16_field_quality_drift", "t39_sentence_profile",
-        "m20_audio_gain", "s21_session_outcomes")) {
+        "m20_audio_gain", "s21_session_outcomes",
+        "t40_rule_cofailure", "gr17_knn_reciprocity",
+        "e11_sq_bitwidth_sweep")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -1920,6 +1922,92 @@ class ScaleSpec extends SparkTestBase {
       assert(r.getAs[Long]("sum_tokens") == g.map(_._2).sum, s"$k")
       assert(r.getAs[Long]("max_tokens") == g.map(_._2).max, s"$k")
     }
+  }
+
+  test("gr17: reciprocity curve replays from the local exact kNN") {
+    val rows = SparkEntry.queries("gr17_knn_reciprocity")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    val (_, knn) = localKnn(sf0001)
+    val edgeSet = knn.toSeq.flatMap { case (id, ns) => ns.map(n => (id, n._1)) }.toSet
+    val byRank = knn.toSeq.flatMap { case (id, ns) =>
+      ns.zipWithIndex.map { case ((nbr, _), i) => (i + 1L, (id, nbr)) }
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val rn = r.getAs[Long]("rn")
+      val g = byRank(rn).map(_._2)
+      val mut = g.count { case (a, b) => edgeSet.contains((b, a)) }.toLong
+      assert(r.getAs[Long]("n_edges") == g.size.toLong, s"rn $rn edges")
+      assert(r.getAs[Long]("n_mutual") == mut, s"rn $rn mutual")
+      assert(r.getAs[Long]("mutual_ppm") == mut * 1000000L / g.size, s"rn $rn ppm")
+    }
+  }
+
+  test("t40: co-failure matrix replays from local rule flags") {
+    val rows = SparkEntry.queries("t40_rule_cofailure")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val flags = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("split(lower(text), '\\\\s+') AS toks").collect()
+      .map { r =>
+        val toks = r.getSeq[String](0)
+        val n = toks.length.toDouble
+        val sumLen = toks.map(_.length).sum.toDouble
+        val topC = toks.groupBy(identity).values.map(_.size).max.toDouble
+        val nDist = toks.distinct.length.toDouble
+        val nStop = toks.count(t => t == "the" || t == "a").toDouble
+        Map(
+          "len" -> (n < 15.0 || n > 500.0),
+          "wordlen" -> (sumLen / n < 3.0 || sumLen / n > 10.0),
+          "toptoken" -> (topC / n > 0.15),
+          "ttr" -> (nDist / n < 0.4),
+          "stop" -> (nStop / n < 0.02))
+      }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("rule_i"), r.getAs[String]("rule_j"))
+      val fi = flags.count(_(a)).toLong
+      val fj = flags.count(_(b)).toLong
+      val both = flags.count(f => f(a) && f(b)).toLong
+      assert(r.getAs[Long]("n_fail_i") == fi, s"($a,$b) i")
+      assert(r.getAs[Long]("n_fail_j") == fj, s"($a,$b) j")
+      assert(r.getAs[Long]("n_both") == both, s"($a,$b) both")
+      val denom = fi + fj - both
+      assert(r.getAs[Long]("cofail_jaccard_ppm") ==
+        (if (denom == 0) 0L else both * 1000000L / denom), s"($a,$b) ppm")
+    }
+  }
+
+  test("e11: bit-width distortion replays from a local affine quantize") {
+    val rows = SparkEntry.queries("e11_sq_bitwidth_sweep")(spark, sf0001).collect()
+    assert(rows.length == 3)
+    val cells = graft.sources.Tables.embeddings(spark, sf0001)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(_.getSeq[Double](0))
+    val dims = cells.head.length
+    val ranges = (0 until dims).map { d =>
+      val col = cells.map(_(d)); (col.min, col.max)
+    }
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bits").toInt
+      val lv = (1 << b) - 1
+      var grid = 0L; var n = 0L
+      cells.foreach { v =>
+        (0 until dims).foreach { d =>
+          val (mn, mx) = ranges(d)
+          val err =
+            if (mx > mn) {
+              val q = math.round((v(d) - mn) * lv / (mx - mn)).toDouble
+              v(d) - (mn + q * (mx - mn) / lv)
+            } else 0.0
+          grid += math.round(err * err * 1073741824.0)
+          n += 1
+        }
+      }
+      assert(r.getAs[Long]("levels") == lv.toLong, s"bits $b")
+      assert(r.getAs[Long]("n_cells") == n, s"bits $b cells")
+      assert(r.getAs[Long]("distortion_grid") == grid, s"bits $b grid")
+    }
+    // rate-distortion monotonicity: more bits never hurts
+    val byBits = rows.map(r => r.getAs[Long]("bits") -> r.getAs[Long]("distortion_grid")).toMap
+    assert(byBits(2L) >= byBits(4L) && byBits(4L) >= byBits(8L))
   }
 
   test("s21: session outcomes replay from a local gap fold") {
