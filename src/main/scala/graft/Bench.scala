@@ -136,10 +136,20 @@ object Bench {
   // ---------------------------------------------------------------------
 
   /** One TSV line per query: `name \t run1,run2[,run3] \t err` (err
-    * empty when clean; tabs/newlines in messages squashed to spaces). */
+    * empty when clean; tabs/newlines in messages squashed to spaces).
+    * `spec` is either the classic `i:k` mod-shard or `@<file>` naming
+    * an explicit newline-separated query list (the coordinator's
+    * resume path sends only the queries a killed run didn't finish). */
   private def workerMain(spec: String, out: String): Unit = {
-    val Array(i, k) = spec.split(":").map(_.toInt)
-    val names = allNames.zipWithIndex.collect { case (n, j) if j % k == i => n }
+    val names =
+      if (spec.startsWith("@")) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(spec.drop(1))).asScala.toSeq.filter(_.nonEmpty)
+      } else {
+        val Array(i, k) = spec.split(":").map(_.toInt)
+        allNames.zipWithIndex.collect { case (n, j) if j % k == i => n }
+      }
     val w = new java.io.PrintWriter(new java.io.FileWriter(out, true))
     try runBattery(names) { case (name, runs, err) =>
       val e = err.getOrElse("").replaceAll("[\\t\\n\\r]", " ")
@@ -162,15 +172,71 @@ object Bench {
         buf.toSeq
       } else {
         val got = scala.collection.mutable.Map.empty[String, Result]
+        // STABLE, build-fingerprinted shard TSVs: a coordinator killed
+        // mid-run (wall-clock ceiling, OOM-kill) used to lose every
+        // completed shard's numbers because they lived only in this
+        // process's memory behind delete-on-read temp files — a 60-min
+        // sf1 battery died at 3/4 shards and restarted from zero. Now
+        // each shard appends to tmpdir/graft_bench_<fp>_<i>of<k>.tsv,
+        // the next run RESUMES by reading it and re-timing only the
+        // missing queries, and the files are deleted only after the
+        // artifact is fully emitted. The fingerprint folds in the
+        // sorted query list, the sf dir, and the classes' lastModified
+        // so a recompile or surface change can never serve stale
+        // numbers as a resume.
+        val classesStamp: String = try {
+          import java.nio.file._
+          val p = Paths.get(
+            getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+          if (Files.isDirectory(p)) {
+            // newest .class mtime: zinc rewrites class files IN PLACE,
+            // so the directory's own mtime would miss a recompile and
+            // let a perf change resume from pre-change numbers
+            val s = Files.walk(p)
+            try {
+              var mx = 0L
+              s.forEach { q =>
+                if (q.toString.endsWith(".class")) {
+                  val t = Files.getLastModifiedTime(q).toMillis
+                  if (t > mx) mx = t
+                }
+              }
+              mx.toString
+            } finally s.close()
+          } else Files.getLastModifiedTime(p).toMillis.toString
+        } catch { case _: Throwable => "0" }
+        val fp = graft.ops.Scratch.key8(
+          s"${names.mkString(",")}|$sfDir|$classesStamp")
+        def shardTsv(i: Int) = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_bench_${fp}_${i}of$k.tsv")
         (0 until k).foreach { i =>
-          val out = java.io.File.createTempFile(s"graft_bench_shard_${i}_", ".tsv")
-          out.delete() // worker appends; start clean
-          val rc = spawnWorker(s"$i:$k", out.getAbsolutePath, i)
-          readTsv(out.getAbsolutePath).foreach(r => got(r._1) = r)
-          if (rc != 0)
-            System.err.println(s"[bench] shard $i/$k exited rc=$rc " +
-              s"(${got.size} results so far; missing queries rerun in-process)")
-          out.delete()
+          val out = shardTsv(i)
+          val prior = readTsv(out.getAbsolutePath)
+          prior.foreach(r => got(r._1) = r)
+          val shardNames = names.zipWithIndex
+            .collect { case (n, j) if j % k == i => n }
+          val todo = shardNames.filterNot(n => prior.exists(_._1 == n))
+          if (todo.isEmpty) {
+            System.err.println(s"[bench] shard $i/$k fully resumed from ${out.getName}")
+          } else {
+            if (prior.nonEmpty)
+              System.err.println(s"[bench] shard $i/$k resuming: " +
+                s"${prior.size} done, ${todo.size} to run")
+            val spec =
+              if (prior.isEmpty) s"$i:$k"
+              else {
+                val f = java.io.File.createTempFile(s"graft_bench_names_$i", ".txt")
+                java.nio.file.Files.write(f.toPath,
+                  todo.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                f.deleteOnExit()
+                "@" + f.getAbsolutePath
+              }
+            val rc = spawnWorker(spec, out.getAbsolutePath, i)
+            readTsv(out.getAbsolutePath).foreach(r => got(r._1) = r)
+            if (rc != 0)
+              System.err.println(s"[bench] shard $i/$k exited rc=$rc " +
+                s"(${got.size} results so far; missing queries rerun in-process)")
+          }
         }
         // completeness guarantee: anything a crashed/unspawnable worker
         // didn't report is re-timed in-process so the artifact always
@@ -180,6 +246,9 @@ object Bench {
           System.err.println(s"[bench] in-process fallback for ${missing.size} queries")
           runBattery(missing)(r => got(r._1) = r)
         }
+        // the run is complete — drop the resume files so the NEXT run
+        // measures fresh (they only ever outlive a killed coordinator)
+        (0 until k).foreach(i => shardTsv(i).delete())
         names.map(got)
       }
     emitArtifacts(results)
