@@ -57,6 +57,33 @@ object Clustering {
     cents
   }
 
+  /** [[centroids]] persisted once per (corpus dir, k, iters) — the
+    * cachedSig/cachedKnn discipline applied to the trained clustering
+    * model (r13 verdict #3): c1 is the TRAINER and bills its own Lloyd
+    * passes (the way d8 bills the brute-force baseline), but every
+    * CONSUMER of the trained model — d7/d39's IVF quantizer, c2's
+    * purity audit, c3's silhouette, d20's cluster blocking — previously
+    * re-trained the identical codebook per run, where a production
+    * index/audit job reads the model snapshot trained once per corpus.
+    * Values are bit-identical to a live [[centroids]] call (same plan,
+    * doubles round-trip parquet exactly), so every consumer's oracle is
+    * untouched. Cross-process contract as cachedKnn: _SUCCESS is
+    * trusted because the write is staged + atomically renamed. */
+  def cachedCentroids(s: SparkSession, dir: String, k: Int,
+                      iters: Int): DataFrame = {
+    val tmp = graft.ops.Scratch.dir(s"graft_cent_k${k}i$iters", dir)
+    tmp.intern.synchronized {
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        val stage = graft.ops.Scratch.stageFor(tmp)
+        centroids(Tables.embeddings(s, dir), k, iters)
+          .write.mode("overwrite").parquet(stage)
+        graft.ops.Scratch.publish(stage, tmp)
+      }
+    }
+    s.read.parquet(tmp)
+  }
+
   /** `iters` Lloyd iterations from the first-k-by-vec_id seeds; returns
     * (cluster_id, n_members, wss) — wss is the within-cluster sum of
     * squared distances under the FINAL assignment. */
@@ -84,9 +111,15 @@ object Clustering {
     * near-duplicate in its cluster, with the keeper (min such id) and
     * the duplicate-edge count. Integer-only output; cosine (computed
     * exactly as d8: fold-from-zero dot, sqrt norms) only gates. */
-  def semDedup(embeddings: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+  def semDedup(embeddings: DataFrame, k: Int, iters: Int, tau: Double): DataFrame =
+    semDedup(embeddings, centroids(embeddings, k, iters), tau)
+
+  /** [[semDedup]] against an already-trained centroid table — d20's
+    * registered form reads [[cachedCentroids]] (the model snapshot)
+    * instead of re-training per run. */
+  def semDedup(embeddings: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
     val e = prep(embeddings)
-    val asg = assign(e, centroids(embeddings, k, iters))
+    val asg = assign(e, cents)
       .select(col("vec_id"), col("cid"))
     // materialized: both sides of the pair join consume it — without
     // this the full Lloyd assignment would be recomputed twice
@@ -269,36 +302,89 @@ object Clustering {
     cb
   }
 
-  /** Train → encode → ADC-shortlist → exact re-rank: top-`kNbrs`
-    * database neighbors per query vector. `dbPred` selects the INDEXED
-    * corpus (codebook training set and code table); `qPred` selects the
-    * query vectors — d26 searches the whole corpus with a 1-in-10 query
+  /** The TRAINED PQ INDEX persisted once per (corpus dir, m, dbTag) —
+    * the cachedSig discipline applied to the ANN family (r13 verdict
+    * #3): d26, d27 and e9 each re-derived the same Lloyd codebooks and
+    * corpus encoding per run, where a production IVF-PQ deployment
+    * trains + encodes per corpus snapshot and every search/audit job
+    * reads the index. Three tables under one root _SUCCESS (cachedBpe's
+    * idiom): `cb` the codebook (sub, cid, cv); `asg` the per-(vector,
+    * subspace) argmin WITH its squared distance (vec_id, sub, cid,
+    * dist) — e9's distortion basis; `codes` the grouped per-vector code
+    * word (vec_id, codes) the ADC scan walks. `codes` is written at
+    * full parallelism (the shingles file-count lesson: a 1-2-file
+    * artifact caps every consumer's scan at the file count, and the
+    * ADC pass is CPU-dense per byte). Derivation is the exact plan the
+    * pre-r14 queries ran live, so every consumer's oracle replay is
+    * untouched (doubles round-trip parquet exactly). */
+  private def pqIndex(s: SparkSession, dir: String, m: Int, dbTag: String,
+                      dbPred: Column, which: String): DataFrame = {
+    val tmp = graft.ops.Scratch.dir(s"graft_pq${m}_$dbTag", dir)
+    tmp.intern.synchronized {
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        val subDim = 64 / m
+        val subs = Materialize(prep(Tables.embeddings(s, dir))
+          .select(col("vec_id"),
+            posexplode(expr(
+              s"transform(sequence(0, ${m - 1}), s -> slice(v, s*$subDim+1, $subDim))"))
+              .as(Seq("sub", "sv")))
+          .filter(dbPred))
+        val cb = Materialize(pqCodebook(subs, iters = 2))
+        val scored = subs.join(broadcast(cb), "sub")
+          .select(col("vec_id"), col("sub"), col("cid"),
+            VecSqDist(col("sv"), col("cv")).as("dist"))
+        val asg = Materialize(graft.plans.TopK.perKey(scored,
+          keys = Seq(col("vec_id"), col("sub")),
+          order = Seq(col("dist").asc, col("cid").asc), k = 1))
+        val stage = graft.ops.Scratch.stageFor(tmp)
+        cb.write.mode("overwrite").parquet(s"$stage/cb")
+        asg.write.mode("overwrite").parquet(s"$stage/asg")
+        asg.groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), s -> s.cid)")
+            .as("codes"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$stage/codes")
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(stage, "_SUCCESS"))
+        graft.ops.Scratch.publish(stage, tmp)
+      }
+    }
+    s.read.parquet(s"$tmp/$which")
+  }
+
+  /** e9's per-m distortion row off the persisted index's `asg` table. */
+  private def pqDistortionRow(s: SparkSession, dir: String, m: Int): DataFrame =
+    pqIndex(s, dir, m, "all", lit(true), "asg")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_cells"),
+        sum(graft.ops.Num.fquant(col("dist"))
+          .cast(DecimalType(38, 0))).cast("long").as("distortion_grid"))
+      .select(lit(m.toLong).as("m"), lit((64 / m).toLong).as("sub_dim"),
+        lit(4L * m).as("code_bits"), col("n_vecs"), col("n_cells"),
+        col("distortion_grid"))
+
+  /** Encode queries → ADC-shortlist → exact re-rank against the
+    * PERSISTED index ([[pqIndex]]): top-`kNbrs` database neighbors per
+    * query vector. `dbTag`/`dbPred` name + select the INDEXED corpus
+    * (codebook training set and code table); `qPred` selects the query
+    * vectors — d26 searches the whole corpus with a 1-in-10 query
     * sample, d27 searches the pre-existing corpus from an arriving
     * increment encoded with the UNRETRAINED codebook. Output
     * (vec_id, rn, nbr, d2) — d2 is the exact squared L2 of the
     * re-ranked winners. */
-  def pqSearch(embeddings: DataFrame, kNbrs: Int,
+  def pqSearch(s: SparkSession, dir: String, kNbrs: Int, dbTag: String,
                dbPred: Column, qPred: Column): DataFrame = {
-    val subs = Materialize(pqSubvectors(embeddings))
-    val dbSubs = subs.filter(dbPred)
-    val cb = pqCodebook(dbSubs, iters = 2)
-
-    // the compressed index: one row per vector, its m code ids.
-    // Explicit repartition (AQE-exempt, d7's pattern): the code table is
-    // byte-SMALL but the ADC pass over it is CPU-dense — without this,
-    // AQE's byte-based coalescing collapses the groupBy exchange to one
-    // partition and the whole ADC scan + shortlist heap runs as ONE
-    // task (measured 2.4 s of a 4.4 s run at sf0.1).
-    val codes = pqAssign(dbSubs, cb)
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, cid))), s -> s.cid)")
-        .as("codes"))
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val cb = pqIndex(s, dir, PqM, dbTag, dbPred, "cb")
+    // the compressed index: one row per vector, its m code ids — read
+    // from the artifact's 32-file layout, so the CPU-dense ADC scan
+    // over it starts at full parallelism
+    val codes = pqIndex(s, dir, PqM, dbTag, dbPred, "codes")
 
     // per-query ADC lookup table as ONE map column keyed sub*k+cid —
     // n_q × (m·k) entries, built from the same broadcast codebook join
-    // the encoder uses, then broadcast over the code table
-    val lut = subs
+    // the encoder used, then broadcast over the code table
+    val lut = pqSubvectors(Tables.embeddings(s, dir))
       .filter(qPred)
       .join(broadcast(cb), "sub")
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
@@ -332,7 +418,7 @@ object Clustering {
     val short = graft.plans.TopK.perKey(scored,
       keys = Seq(col("qid")), order = Seq(col("adc").asc, col("nbr").asc),
       k = PqShortlist)
-    val full = prep(embeddings)
+    val full = prep(Tables.embeddings(s, dir))
     val exact = short
       .join(full.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
       .join(full.select(col("vec_id").as("nbr"), col("v").as("nv")), "nbr")
@@ -558,31 +644,12 @@ object Clustering {
     // TopKPerKey argmins); the sweep output is 3 rows. Envelope: the
     // grid sum accumulates in DECIMAL and exports BIGINT — loud, not
     // silent, past ~4e8 vectors·2^30 units (dq10's overflow posture).
-    "e9_pq_rate_distortion" -> ((s, dir) => {
-      val e = prep(Tables.embeddings(s, dir))
-      Seq(4, 8, 16).map { m =>
-        val subDim = 64 / m
-        val subs = Materialize(e.select(col("vec_id"),
-          posexplode(expr(
-            s"transform(sequence(0, ${m - 1}), s -> slice(v, s*$subDim+1, $subDim))"))
-            .as(Seq("sub", "sv"))))
-        val cb = pqCodebook(subs, iters = 2)
-        val scored = subs.join(broadcast(cb), "sub")
-          .select(col("vec_id"), col("sub"), col("cid"),
-            VecSqDist(col("sv"), col("cv")).as("dist"))
-        graft.plans.TopK.perKey(scored,
-            keys = Seq(col("vec_id"), col("sub")),
-            order = Seq(col("dist").asc, col("cid").asc), k = 1)
-          .agg(countDistinct(col("vec_id")).as("n_vecs"),
-            count(lit(1)).as("n_cells"),
-            sum(graft.ops.Num.fquant(col("dist"))
-              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-              .cast("long").as("distortion_grid"))
-          .select(lit(m.toLong).as("m"), lit(subDim.toLong).as("sub_dim"),
-            lit(4L * m).as("code_bits"), col("n_vecs"), col("n_cells"),
-            col("distortion_grid"))
-      }.reduce(_ unionByName _).orderBy(col("m"))
-    }),
+    "e9_pq_rate_distortion" -> ((s, dir) =>
+      // each m reads the persisted index's per-cell argmin+distance
+      // table ([[pqIndex]] `asg` — derivation is the exact pre-r14
+      // live plan); the sweep is three bounded aggregations
+      Seq(4, 8, 16).map(m => pqDistortionRow(s, dir, m))
+        .reduce(_ unionByName _).orderBy(col("m"))),
 
     // MARGIN-BASED PAIR MINING (Artetxe & Schwenk's bitext-mining
     // margin, difference form — the CCMatrix/LASER selection rule):
@@ -633,7 +700,7 @@ object Clustering {
     // the clustering c1 ships), one map-side TopK argmin, one agg.
     "c3_simplified_silhouette" -> ((s, dir) => {
       val e = prep(Tables.embeddings(s, dir))
-      val cent = broadcast(centroids(Tables.embeddings(s, dir), k = 8, iters = 2))
+      val cent = broadcast(cachedCentroids(s, dir, k = 8, iters = 2))
       val dists = e.crossJoin(cent)
         .select(col("vec_id"), col("cid"),
           VecSqDist(col("v"), col("cv")).as("dist"))
@@ -705,11 +772,12 @@ object Clustering {
         .orderBy(col("d"))),
 
     "d20_semdedup" -> ((s, dir) =>
-      semDedup(Tables.embeddings(s, dir), k = 8, iters = 2, tau = 0.45)
+      semDedup(Tables.embeddings(s, dir),
+          cachedCentroids(s, dir, k = 8, iters = 2), tau = 0.45)
         .orderBy(col("vec_id"))),
 
     "d26_ann_pq" -> ((s, dir) =>
-      pqSearch(Tables.embeddings(s, dir), kNbrs = 3,
+      pqSearch(s, dir, kNbrs = 3, dbTag = "all",
           dbPred = lit(true), qPred = col("vec_id") % 10 === 0)
         .orderBy(col("vec_id"), col("rn"))),
 
@@ -721,7 +789,7 @@ object Clustering {
     // is an offline job, not an ingest dependency). Same deterministic
     // pipeline as d26, so hash-gated end to end.
     "d27_incremental_ann_ingest" -> ((s, dir) =>
-      pqSearch(Tables.embeddings(s, dir), kNbrs = 3,
+      pqSearch(s, dir, kNbrs = 3, dbTag = "db4of5",
           dbPred = col("vec_id") % 5 =!= 0, qPred = col("vec_id") % 5 === 0)
         .orderBy(col("vec_id"), col("rn"))),
 
@@ -753,7 +821,7 @@ object Clustering {
     // id-keyed, the purity math runs on a k·|langs| bounded frame.
     "c2_cluster_purity" -> ((s, dir) => {
       val e = prep(Tables.embeddings(s, dir))
-      val asg = assign(e, centroids(Tables.embeddings(s, dir), k = 8, iters = 2))
+      val asg = assign(e, cachedCentroids(s, dir, k = 8, iters = 2))
         .select(col("vec_id"), col("cid"))
       val counts = asg.join(
           Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
@@ -1350,7 +1418,8 @@ object Clustering {
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
         |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
         |      / (a.norm * b.norm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
         |),
         |knn AS (
         |  SELECT vec_id, nbr, CAST(floor(cos * 1000000) AS BIGINT) AS cos6 FROM (
@@ -1524,7 +1593,8 @@ object Clustering {
         |      / (a.nf * b.nf) AS cosf,
         |    list_reduce(list_transform(range(16), i -> a.vt[i+1]*b.vt[i+1]), (x, y) -> x + y)
         |      / (a.nt * b.nt) AS cost
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
         |),
         |rf AS (SELECT vec_id, nbr,
         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosf DESC, nbr ASC) AS rn

@@ -1689,7 +1689,8 @@ object Graph {
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
         |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
         |      / (a.norm * b.norm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
         |),
         |knn AS (
         |  SELECT vec_id, nbr FROM (
@@ -1737,7 +1738,8 @@ object Graph {
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
         |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
         |      / (a.norm * b.norm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
         |),
         |knn AS (
         |  SELECT vec_id, nbr, rn FROM (

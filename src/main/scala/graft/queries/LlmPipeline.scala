@@ -258,6 +258,27 @@ object LlmPipeline {
   private[graft] def cachedKnnPre16(s: SparkSession, dir: String): DataFrame =
     knnArtifact(s, dir, "pre16")
 
+  /** QUERY-SIDE BOUND on the exact-kNN truth set (r13 verdict #4): the
+    * artifact's neighbor lists are derived for the first `KnnQueryCap`
+    * vec_ids in (md5(vec_id), vec_id) order — a deterministic,
+    * corpus-size-INDEPENDENT query sample — so derivation cost is
+    * #queries · corpus, never corpus². At every oracle-gated scale
+    * (≤ 2000 vectors) the cap admits the whole corpus, so consumer
+    * outputs are unchanged there; past the cap (sf1's 20k vectors and
+    * beyond) every consumer (d5/ml2/ml3/gr14/gr17/e4/e10/d39's recall
+    * audit) is keyed to the sampled query set — both the Spark plans
+    * and the DuckDB oracles carry the identical predicate, and
+    * pair-symmetric consumers (gr17 reciprocity, e10 margins) read
+    * edges whose BOTH endpoints are sampled, which restricts the audit
+    * to the sampled subgraph with unchanged semantics. Protocol
+    * documented in SURVEY §8; the bound is asserted in ScaleSpec. */
+  private[graft] val KnnQueryCap = 2048
+
+  /** The kNN query sample: `cap` rows of `n`, first by the md5 of the
+    * id's decimal rendering (identical in DuckDB), tie-broken by id. */
+  private[graft] def knnQuerySide(n: DataFrame, cap: Int): DataFrame =
+    n.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(cap)
+
   private def knnArtifact(s: SparkSession, dir: String,
                           which: String): DataFrame = {
     val tmp = graft.ops.Scratch.dir("graft_knn", dir)
@@ -279,16 +300,18 @@ object LlmPipeline {
         val n = e.select($"vec_id", $"v", $"vt",
           sqrt(VecDot($"v", $"v")).as("nf"),
           sqrt(VecDot($"vt", $"vt")).as("nt"))
-        // ONE n² stream yields BOTH metrics: each pair row explodes
-        // into a (tg=0, full cosine) and a (tg=1, prefix cosine) row,
-        // and the map-side-heap TopK keyed on (vec_id, tg) prunes to 5
-        // rows per vector per metric BEFORE any exchange — the n²
-        // stream is never shuffled or materialized, and the expensive
-        // part (pair generation + dot products) runs once instead of
-        // once per metric. Full-width cosine is d5's proven fold
-        // contract verbatim, so the full table is bit-identical to the
-        // pre-r13 artifact.
-        val pairs = n.as("a").crossJoin(n.as("b"))
+        // ONE #queries·corpus stream yields BOTH metrics: each pair row
+        // explodes into a (tg=0, full cosine) and a (tg=1, prefix
+        // cosine) row, and the map-side-heap TopK keyed on (vec_id, tg)
+        // prunes to 5 rows per query per metric BEFORE any exchange —
+        // the pair stream is never shuffled or materialized, and the
+        // expensive part (pair generation + dot products) runs once
+        // instead of once per metric. The query side is the BOUNDED
+        // [[knnQuerySide]] sample BROADCAST over the corpus scan, so
+        // the corpus never moves and the derivation is linear in it
+        // (full-width cosine is d5's proven fold contract verbatim).
+        val pairs = broadcast(knnQuerySide(n, KnnQueryCap)).as("a")
+          .crossJoin(n.as("b"))
           .filter($"a.vec_id" =!= $"b.vec_id")
           .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
             explode(array(
@@ -1520,9 +1543,13 @@ object LlmPipeline {
         count(lit(1)).as("n"), sum(($"df" > CapMax).cast("long")).as("h"))
       // one bucket pass at cap 128; ri = shared under-cap shingles,
       // mdf = df of the pair's cheapest shared shingle (the cap tier
-      // at which the pair first becomes reachable)
+      // at which the pair first becomes reachable). Buckets key on the
+      // EXACT shingle (the oracle's pair basis) — keying on the 32-bit
+      // xh prefix would merge colliding shingles' buckets (birthday
+      // bound: near-certain at sf1 shingle counts), double-counting ri
+      // and emitting self-pairs through PairCombos.
       val pairs = materialize(sh.filter($"df" <= CapMax)
-        .groupBy($"xh").agg(sort_array(collect_list($"doc_id")).as("ids"),
+        .groupBy($"shingle").agg(sort_array(collect_list($"doc_id")).as("ids"),
           min($"df").as("bdf"))
         .filter(size($"ids") >= 2)
         .select($"bdf", explode(graft.functions.PairCombos($"ids")).as("p"))
@@ -1764,7 +1791,7 @@ object LlmPipeline {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("norm", sqrt(VecDot($"v", $"v")))
       val seeds = broadcast(
-        Clustering.centroids(Tables.embeddings(s, dir), k = 16, iters = 2)
+        Clustering.cachedCentroids(s, dir, k = 16, iters = 2)
           .withColumn("cnorm", sqrt(VecDot($"cv", $"cv"))))
       val sims = e.crossJoin(seeds)
         .select($"vec_id", $"cid",
@@ -1860,7 +1887,7 @@ object LlmPipeline {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("norm", sqrt(VecDot($"v", $"v")))
       val seeds = broadcast(
-        Clustering.centroids(Tables.embeddings(s, dir), k = 16, iters = 2)
+        Clustering.cachedCentroids(s, dir, k = 16, iters = 2)
           .withColumn("cnorm", sqrt(VecDot($"cv", $"cv"))))
       val sims = e.crossJoin(seeds)
         .select($"vec_id", $"cid",
@@ -5062,7 +5089,8 @@ object LlmPipeline {
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
         |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
         |      / (a.norm * b.norm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
         |),
         |ranked AS (
         |  SELECT vec_id, nbr, cos,
@@ -5089,7 +5117,8 @@ object LlmPipeline {
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
         |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
         |      / (a.norm * b.norm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
         |),
         |knn AS (
         |  SELECT vec_id, nbr FROM (
@@ -5150,7 +5179,8 @@ object LlmPipeline {
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
         |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
         |      / (a.norm * b.norm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
         |),
         |knn AS (
         |  SELECT vec_id, nbr FROM (
@@ -5398,7 +5428,8 @@ object LlmPipeline {
         |  SELECT a.vec_id, b.vec_id AS nbr,
         |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
         |      / (a.norm * b.norm) AS cos
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
         |),
         |truth AS (
         |  SELECT vec_id, nbr AS true_nbr FROM (

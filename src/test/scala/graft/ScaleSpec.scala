@@ -109,6 +109,40 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"e4: $plan")
   }
 
+  test("r14: the exact-kNN truth set is query-side bounded (#queries·corpus, never corpus²)") {
+    import spark.implicits._
+    // the Spark cap constant and every consumer oracle's predicate must
+    // agree: the same md5-ordered LIMIT keyed to the same rendering
+    for (q <- Seq("d5_cosine_topk", "ml2_knn_label_eval",
+        "ml3_knn_calibration", "e10_margin_mining", "d39_ivf_probe_sweep",
+        "e4_matryoshka_overlap", "gr14_link_prediction",
+        "gr17_knn_reciprocity")) {
+      val sql = SparkEntry.oracleSql(q)
+      assert(sql.contains(s"LIMIT ${queries.LlmPipeline.KnnQueryCap}"),
+        s"$q oracle must carry the kNN query-side cap")
+      assert(sql.contains("ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"),
+        s"$q oracle must use the md5 query-sample order")
+    }
+    // the sampled query side is deterministic, bounded, and exactly the
+    // first-cap rows by (md5(decimal rendering), id)
+    val n = spark.range(5000).select(col("id").as("vec_id"))
+    val cap = queries.LlmPipeline.KnnQueryCap
+    val got = queries.LlmPipeline.knnQuerySide(n, cap)
+      .collect().map(_.getLong(0))
+    assert(got.length == cap, s"query side must be capped at $cap")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 5000L)
+      .sortBy(id => (md5hex(id.toString), id)).take(cap)
+    assert(got.toSeq == expected, "sample must be the md5-first cap rows")
+    // and the physical plan is a bounded top-k (TakeOrderedAndProject),
+    // never a full sort of the corpus
+    val plan = queries.LlmPipeline.knnQuerySide(n, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("d40: OPH estimator bounds; identical docs read a perfect estimate") {
     val rows = SparkEntry.queries("d40_oph_minhash")(spark, sf0001).collect()
     assert(rows.nonEmpty, "no OPH candidates — banding vacuous")
