@@ -30,7 +30,17 @@ object Bench {
   private def sfDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-  private def allNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+  /** All registered queries; SPARK_GRAFT_ONLY (dev only, comma list)
+    * restricts the battery — the driver never sets it, and the subset
+    * is folded into the resume fingerprint via the names list. */
+  private def allNames: Seq[String] = {
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(s) if s.nonEmpty => val want = s.split(",").toSet
+        all.filter(want)
+      case _ => all
+    }
+  }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--worker" :: spec :: out :: Nil => workerMain(spec, out)
@@ -139,7 +149,13 @@ object Bench {
     * empty when clean; tabs/newlines in messages squashed to spaces).
     * `spec` is either the classic `i:k` mod-shard or `@<file>` naming
     * an explicit newline-separated query list (the coordinator's
-    * resume path sends only the queries a killed run didn't finish). */
+    * resume path sends only the queries a killed run didn't finish).
+    * A final `#telemetry` line records the shard's wall/CPU/GC totals
+    * and the BOX-WIDE /proc/stat busy delta over the shard's lifetime
+    * (r13 verdict #2: five dedup queries billed 1.25–1.5× their
+    * builder same-code numbers ONLY in the driver's battery — this
+    * line makes the artifact itself prove whether such a skew is box
+    * contention or code). readTsv skips it (runs field unparseable). */
   private def workerMain(spec: String, out: String): Unit = {
     val names =
       if (spec.startsWith("@")) {
@@ -150,12 +166,57 @@ object Bench {
         val Array(i, k) = spec.split(":").map(_.toInt)
         allNames.zipWithIndex.collect { case (n, j) if j % k == i => n }
       }
+    val t0 = System.nanoTime()
+    val stat0 = readProcStat()
     val w = new java.io.PrintWriter(new java.io.FileWriter(out, true))
-    try runBattery(names) { case (name, runs, err) =>
-      val e = err.getOrElse("").replaceAll("[\\t\\n\\r]", " ")
-      w.println(s"$name\t${runs.map(_.toString).mkString(",")}\t$e")
+    try {
+      runBattery(names) { case (name, runs, err) =>
+        val e = err.getOrElse("").replaceAll("[\\t\\n\\r]", " ")
+        w.println(s"$name\t${runs.map(_.toString).mkString(",")}\t$e")
+        w.flush()
+      }
+      w.println(s"#telemetry\t-\t${telemetryJson(t0, stat0)}")
       w.flush()
     } finally w.close()
+  }
+
+  /** (busy jiffies, total jiffies, steal jiffies) from /proc/stat's
+    * aggregate cpu line; zeros when unreadable (non-Linux). */
+  private def readProcStat(): (Long, Long, Long) = try {
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/stat")).get(0)
+    // cpu user nice system idle iowait irq softirq steal guest guest_nice
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    val total = f.take(8).sum
+    val idle = f(3) + f(4)
+    val steal = if (f.length > 7) f(7) else 0L
+    (total - idle, total, steal)
+  } catch { case _: Throwable => (0L, 0L, 0L) }
+
+  /** Shard-lifetime telemetry as a compact JSON object: wall seconds,
+    * this process's CPU seconds, GC time/count, and the box-wide busy
+    * fraction + steal over the same window (from /proc/stat deltas). */
+  private def telemetryJson(t0: Long, stat0: (Long, Long, Long)): String = {
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpuSec = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    } catch { case _: Throwable => -1.0 }
+    import scala.jdk.CollectionConverters._
+    val gcs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val gcMs = gcs.map(_.getCollectionTime).filter(_ >= 0).sum
+    val gcN = gcs.map(_.getCollectionCount).filter(_ >= 0).sum
+    val (b0, t0j, s0) = stat0
+    val (b1, t1j, s1) = readProcStat()
+    val busyFrac = if (t1j > t0j) (b1 - b0).toDouble / (t1j - t0j) else -1.0
+    val stealFrac = if (t1j > t0j) (s1 - s0).toDouble / (t1j - t0j) else -1.0
+    def r(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    s"""{"wall_s":${r(wall)},"proc_cpu_s":${r(cpuSec)},"gc_ms":$gcMs,""" +
+      s""""gc_count":$gcN,"box_busy_frac":${r(busyFrac)},"box_steal_frac":${r(stealFrac)}}"""
   }
 
   // ---------------------------------------------------------------------
@@ -165,10 +226,14 @@ object Bench {
   private def coordinatorMain(): Unit = {
     val k = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "4").toInt
     val names = allNames
+    val telemetry = scala.collection.mutable.ArrayBuffer.empty[String]
     val results: Seq[Result] =
       if (k <= 1) { // legacy single-JVM path
+        val t0 = System.nanoTime()
+        val stat0 = readProcStat()
         val buf = scala.collection.mutable.ArrayBuffer.empty[Result]
         runBattery(names)(buf += _)
+        telemetry += telemetryJson(t0, stat0)
         buf.toSeq
       } else {
         val got = scala.collection.mutable.Map.empty[String, Result]
@@ -189,33 +254,122 @@ object Bench {
           val p = Paths.get(
             getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
           if (Files.isDirectory(p)) {
-            // newest .class mtime: zinc rewrites class files IN PLACE,
-            // so the directory's own mtime would miss a recompile and
-            // let a perf change resume from pre-change numbers
+            // CONTENT hash of every .class file, in sorted-path order.
+            // Mtimes (the r13 stamp) looked sufficient but broke the
+            // feature's own use case: killing the coordinator kills sbt
+            // mid-run, zinc's incremental state is torn, and the NEXT
+            // invocation recompiles identical sources — every mtime
+            // moves and the resume never matched. scalac output is
+            // deterministic for unchanged sources, so hashing bytes is
+            // recompile-robust while still catching any real change.
+            val md = java.security.MessageDigest.getInstance("MD5")
             val s = Files.walk(p)
             try {
-              var mx = 0L
-              s.forEach { q =>
-                if (q.toString.endsWith(".class")) {
-                  val t = Files.getLastModifiedTime(q).toMillis
-                  if (t > mx) mx = t
-                }
+              val classes = new java.util.ArrayList[Path]()
+              s.forEach(q => if (q.toString.endsWith(".class")) classes.add(q))
+              classes.sort(java.util.Comparator.comparing[Path, String](_.toString))
+              classes.forEach { q =>
+                md.update(p.relativize(q).toString.getBytes("UTF-8"))
+                md.update(Files.readAllBytes(q))
               }
-              mx.toString
+              md.digest().map("%02x".format(_)).mkString.take(16)
             } finally s.close()
-          } else Files.getLastModifiedTime(p).toMillis.toString
+          } else {
+            // `sbt runMain` packages the project into a THROWAWAY jar
+            // under target/bg-jobs with a fresh random path per
+            // invocation — the jar's own mtime/path change every run
+            // (which silently defeated the r13 mtime stamp: resume
+            // could never match across sbt invocations). Hash the
+            // entry names + CRCs + sizes instead: the CRC covers the
+            // class bytes but not the zip timestamps, so the stamp is
+            // stable across repackaging of identical classes and
+            // different on any real change.
+            val md2 = java.security.MessageDigest.getInstance("MD5")
+            val zf = new java.util.zip.ZipFile(p.toFile)
+            try {
+              import scala.jdk.CollectionConverters._
+              zf.entries.asScala.toSeq.sortBy(_.getName).foreach { e =>
+                md2.update(e.getName.getBytes("UTF-8"))
+                md2.update(java.nio.ByteBuffer.allocate(16)
+                  .putLong(e.getCrc).putLong(e.getSize).array())
+              }
+              md2.digest().map("%02x".format(_)).mkString.take(16)
+            } finally zf.close()
+          }
+        } catch { case e: Throwable =>
+          // a "0" stamp silently disables recompile detection — say so
+          // loudly instead of quietly weakening the no-stale guarantee
+          System.err.println("[bench] WARNING: classes stamp unavailable " +
+            s"($e) — resume cannot detect a recompile; delete " +
+            "tmpdir/graft_bench_*.tsv before trusting a resumed artifact")
+          "0"
+        }
+        // data + env fingerprint: regenerating the dataset in place
+        // under the same path, or changing thread-count/heap between
+        // runs, must invalidate a killed run's shard TSVs — stale
+        // timings would otherwise be served as a "resume"
+        val dataStamp: String = try {
+          import java.nio.file._
+          val s = Files.walk(Paths.get(sfDir))
+          try {
+            var mx = 0L
+            s.forEach { q =>
+              val qs = q.toString
+              if (qs.endsWith(".parquet") || qs.endsWith("_SUCCESS")) {
+                val t = Files.getLastModifiedTime(q).toMillis
+                if (t > mx) mx = t
+              }
+            }
+            mx.toString
+          } finally s.close()
         } catch { case _: Throwable => "0" }
+        val envStamp = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + ":" +
+          Runtime.getRuntime.maxMemory()
         val fp = graft.ops.Scratch.key8(
-          s"${names.mkString(",")}|$sfDir|$classesStamp")
+          s"${names.mkString(",")}|$sfDir|$classesStamp|$dataStamp|$envStamp")
         def shardTsv(i: Int) = new java.io.File(
           System.getProperty("java.io.tmpdir"), s"graft_bench_${fp}_${i}of$k.tsv")
+        System.err.println(s"[bench] shard TSVs: ${shardTsv(0).getAbsolutePath}" +
+          s" (classes=$classesStamp data=$dataStamp env=$envStamp src=" +
+          getClass.getProtectionDomain.getCodeSource.getLocation + ")")
+        // COORDINATOR LOCK, held for the whole sharded run: killing the
+        // sbt client does NOT kill its bg-job JVM, so a "killed" run's
+        // coordinator can survive as a zombie, finish its battery
+        // minutes later, and delete the shared-fp shard TSVs out from
+        // under the live resume (observed: a resumed worker's appends
+        // went to an unlinked inode — rc=0, 19 s of work, no file).
+        // The OS releases the FileLock on process death, so there are
+        // no stale locks; a live holder means a same-fp battery really
+        // is still running and our numbers would be contention garbage
+        // anyway — wait for it.
+        val lockCh = java.nio.channels.FileChannel.open(
+          new java.io.File(System.getProperty("java.io.tmpdir"),
+            s"graft_bench_$fp.lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val coordLock = {
+          val tl = lockCh.tryLock()
+          if (tl != null) tl
+          else {
+            System.err.println("[bench] WARNING: another coordinator holds " +
+              s"the $fp lock (zombie from a killed run, or a concurrent " +
+              "battery) — waiting for it to exit")
+            lockCh.lock()
+          }
+        }
+        try {
         (0 until k).foreach { i =>
           val out = shardTsv(i)
           val prior = readTsv(out.getAbsolutePath)
           prior.foreach(r => got(r._1) = r)
           val shardNames = names.zipWithIndex
             .collect { case (n, j) if j % k == i => n }
-          val todo = shardNames.filterNot(n => prior.exists(_._1 == n))
+          // an errored prior row does NOT count as done: a transient
+          // failure (OOM just before the coordinator was killed) would
+          // otherwise be baked into the resumed artifact's failure
+          // count where a fresh run would likely succeed
+          val todo = shardNames.filterNot(n =>
+            prior.exists(r => r._1 == n && r._3.isEmpty))
           if (todo.isEmpty) {
             System.err.println(s"[bench] shard $i/$k fully resumed from ${out.getName}")
           } else {
@@ -237,6 +391,7 @@ object Bench {
               System.err.println(s"[bench] shard $i/$k exited rc=$rc " +
                 s"(${got.size} results so far; missing queries rerun in-process)")
           }
+          telemetry ++= readTelemetry(out.getAbsolutePath)
         }
         // completeness guarantee: anything a crashed/unspawnable worker
         // didn't report is re-timed in-process so the artifact always
@@ -250,8 +405,9 @@ object Bench {
         // measures fresh (they only ever outlive a killed coordinator)
         (0 until k).foreach(i => shardTsv(i).delete())
         names.map(got)
+        } finally { coordLock.release(); lockCh.close() }
       }
-    emitArtifacts(results)
+    emitArtifacts(results, telemetry.toSeq)
   }
 
   /** Launch one shard JVM with this JVM's own options (add-opens, heap,
@@ -281,6 +437,18 @@ object Bench {
     }
   }
 
+  /** The raw JSON payloads of a shard TSV's `#telemetry` lines (one per
+    * completed worker run of that shard, in order). */
+  private def readTelemetry(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(p).asScala.toSeq.collect {
+      case line if line.startsWith("#telemetry\t") =>
+        line.split("\t", -1).last
+    }
+  }
+
   private def readTsv(path: String): Seq[Result] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) return Seq.empty
@@ -302,7 +470,8 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
 
-  private def emitArtifacts(results: Seq[Result]): Unit = {
+  private def emitArtifacts(results: Seq[Result],
+                            telemetry: Seq[String] = Seq.empty): Unit = {
     // ms precision keeps the line short, and the headline total goes LAST:
     // the round artifact stores only the TAIL of this process's output, so
     // a long queries map must not push the total out of the window. The
@@ -327,11 +496,22 @@ object Bench {
     // in the artifact even though both bill their min.
     val runsJson = results.sortBy(_._2.min).map { case (k, runs, _) =>
       s""""${esc(k)}":[${runs.map(r).mkString(",")}]""" }.mkString("{", ",", "}")
-    val full = s"""{"queries":$qs,"runs":$runsJson,"errors":$errs,"failures":$failures,"sf":"${esc(sfDir)}","metric":"total","unit":"sec","value":${r(total)}}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full.json"),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // read-only CWD must not fail the bench
+    // per-shard wall/CPU/GC + box-busy telemetry (raw worker JSON, in
+    // shard order): lets the artifact itself distinguish box contention
+    // from a code regression (r13's driver-only dedup drift)
+    val tele = telemetry.mkString("[", ",", "]")
+    val full = s"""{"queries":$qs,"runs":$runsJson,"errors":$errs,"failures":$failures,"shard_telemetry":$tele,"sf":"${esc(sfDir)}","metric":"total","unit":"sec","value":${r(total)}}"""
+    def save(name: String, text: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(name),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () } // read-only CWD must not fail the bench
+    save("BENCH_full.json", full)
+    // the EXACT stdout line, verbatim on disk: r13's round artifact
+    // recorded "parsed": null because the 281-query stdout line got
+    // wrapped/truncated in transit — the driver (or anyone) can ingest
+    // this file instead of scraping stdout
+    save("BENCH_line.json", line)
     println(line)
   }
 }
