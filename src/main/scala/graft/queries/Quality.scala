@@ -30,27 +30,31 @@ object Quality {
     * dispatched from the schema, so the operator is generic, not
     * lineitem-shaped; an unknown column name fails by name.
     *
-    * Scale shape: ONE melt pass (a single generator, q56's single-Expand
-    * idiom carries (column, value) pairs), then a column-keyed aggregate
-    * whose non-distinct metrics combine map-side; the distinct count is
-    * a two-stage partial-distinct aggregate — the (column, value) shuffle
-    * every engine pays for exact per-column cardinality. Nothing is
-    * collected; adding a column adds one struct to the generator, not a
-    * table pass (a naive per-column loop would scan the table N times).
+    * Scale shape, TWO passes with different irreducible costs (the r13
+    * single-melt version pushed all metrics through one 11× explode —
+    * 2.4 s flat, 6.6M generated structs through a string-keyed hash agg
+    * at sf0.1 — when only the distinct counts NEED row multiplication):
+    *  - scalars (count/nulls/min/max/mean): ONE 1-row aggregate, 4
+    *    expressions per column, fused with the scan in whole-stage
+    *    codegen, combines map-side, no explode, no extra exchange; the
+    *    1-row result is melted driver-cheap into the per-column rows.
+    *  - distinct counts: the (column, value) exchange every engine pays
+    *    for exact per-column cardinality — but the melt now carries
+    *    only (column ORDINAL, 64-bit value hash), 12 bytes a pair, and
+    *    groups by a tinyint instead of a string.
+    * The two 11-row results meet in a broadcast join on the ordinal.
+    * Nothing is collected; adding a column adds one struct to the
+    * generator, not a table pass.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val entries = cols.map { c =>
+    // v = numeric projection (min/max/mean); dv = distinct basis as a
+    // 64-bit VALUE hash (raw content for strings, the projection
+    // otherwise). A collision undercounting by one is d2's accepted
+    // ~2^-64 posture; the oracle counts the values themselves.
+    val pairs: Seq[(String, Column, Column)] = cols.map { c =>
       val dt = byName.getOrElse(c,
         sys.error(s"profile: no column '$c' in [${df.columns.mkString(", ")}]"))
-      // v = numeric projection (min/max/mean); dv = distinct basis as a
-      // 64-bit VALUE hash (raw content for strings, the projection
-      // otherwise) — distinct counting runs on 8-byte keys through the
-      // two-phase-distinct Expand/exchange instead of rendered strings
-      // (the cost was CPU parallelism, fixed by the fanout below; the
-      // hash keys keep the distinct exchange compact as value width
-      // grows). A collision undercounting by one is d2's accepted
-      // ~2^-64 posture; the oracle counts the values themselves.
       val (v, dv): (Column, Column) = dt match {
         case _: StringType => (length(col(c)).cast("double"), xxhash64(col(c)))
         case _: TimestampType | _: TimestampNTZType =>
@@ -65,25 +69,46 @@ object Quality {
           val d = col(c).cast("double")
           (d, xxhash64(d))
       }
-      struct(lit(c).as("c"), v.as("v"), dv.as("dv"))
+      (c, v, dv)
     }
-    // fanout BEFORE the melt: the 11× generator, value hashing and the
-    // partial-distinct hash maps are CPU-dense but run inside the scan
-    // stage, whose task count is the parquet FILE split count (3 at
-    // sf0.1) — profiled 13.8 of 14.2 s in that 3-task stage; the
-    // round-robin fanout puts the melt on every core (7.5 → 2.3-2.9 s
-    // warm under the same action)
-    graft.ops.Spread.fanout(df)
-      .select(explode(array(entries: _*)).as("e"))
-      .select(col("e.c").as("col_name"), col("e.v").as("v"), col("e.dv").as("dv"))
-      .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n"),
-        (count(lit(1)) - count(col("v"))).as("n_null"),
-        countDistinct(col("dv")).as("n_distinct"),
-        min(col("v")).as("min_d"),
-        max(col("v")).as("max_d"),
-        (dsum(col("v")) / count(col("v"))).as("mean_d"))
+    // ONE fanout of the PROJECTED raw columns, consumed by both passes:
+    // the subtrees are plan-identical, so the exchange is built once and
+    // the second consumer reads a ReusedExchange. Hashing/projection
+    // math runs POST-shuffle on every core (computing the hashes before
+    // the fanout looked cheaper — 12-byte pairs through the exchange —
+    // but pinned the CPU-dense xxhash64 pass to the scan stage's 3
+    // parquet-split tasks: 3.0 s of a 3.5 s plan; raw-first is 2×
+    // faster end-to-end). Fanout is a no-op at real scale, where the
+    // scan's own split count already exceeds the cluster's parallelism.
+    val fanned = graft.ops.Spread.fanout(df.select(cols.map(col): _*))
+    // PASS A — scalar metrics: one 1-row aggregate, 4 expressions per
+    // column, combines map-side, no row multiplication; the 1-row
+    // result is melted driver-cheap into the per-column rows.
+    val scalarAggs: Seq[Column] = count(lit(1)).as("n") +:
+      pairs.zipWithIndex.flatMap { case ((_, v, _), i) =>
+        Seq(count(v).as(s"nv_$i"), min(v).as(s"min_$i"),
+          max(v).as(s"max_$i"), dsum(v).as(s"sum_$i"))
+      }
+    val scal = fanned.agg(scalarAggs.head, scalarAggs.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((c, _, _), i) =>
+        struct(lit(i).as("i"), lit(c).as("c"), col("n"),
+          (col("n") - col(s"nv_$i")).as("n_null"),
+          col(s"min_$i").as("min_d"), col(s"max_$i").as("max_d"),
+          (col(s"sum_$i") / col(s"nv_$i")).as("mean_d"))
+      }: _*)).as("e")).select(col("e.*"))
+    // PASS B — distinct counts: the (column, value) exchange every
+    // engine pays for exact per-column cardinality, but the melt
+    // carries only (column ordinal, 64-bit value hash) and groups by
+    // an int instead of a rendered string.
+    val dist = fanned
+      .select(explode(array(pairs.zipWithIndex.map { case ((_, _, dv), i) =>
+        struct(lit(i).as("i"), dv.as("dv")) }: _*)).as("e"))
+      .select(col("e.i").as("i"), col("e.dv").as("dv"))
+      .groupBy(col("i"))
+      .agg(countDistinct(col("dv")).as("n_distinct"))
+    scal.join(broadcast(dist), "i")
+      .select(col("c").as("col_name"), col("n"), col("n_null"),
+        col("n_distinct"), col("min_d"), col("max_d"), col("mean_d"))
   }
 
   private val profileCols = Seq(
