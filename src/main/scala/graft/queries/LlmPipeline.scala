@@ -493,6 +493,25 @@ object LlmPipeline {
     cachedWavs(s, dir, "lcg", Seq("wav_a", "wav_b"))(id =>
       Seq(synthTrack(id, 31L, 17L), synthTrack(id, 53L, 29L)))
 
+  /** m22's trim fixture: id-derived leading/trailing all-zero runs
+    * around a strictly-positive active span (100..298 — a nonzero
+    * floor so the span boundary is unambiguous). */
+  private def synthTrimTrack(id: Long): Array[Byte] = {
+    val lead = (id % 37L).toInt
+    val trail = (id % 23L).toInt
+    val nAct = 64 + (id % 64L).toInt
+    val n = lead + nAct + trail
+    val pcm = new Array[Byte](n * 2) // zero-initialized: the silence
+    var t = 0
+    while (t < nAct) {
+      val v = (100L + ((id * 31L + t * 17L) % 199L)).toInt
+      pcm((lead + t) * 2) = (v & 0xff).toByte
+      pcm((lead + t) * 2 + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    encodeWav8k(pcm, n)
+  }
+
   /** m12's VAD fixture: alternating active/silent 30-sample frames. */
   private def synthVadTrack(id: Long): Array[Byte] = {
     val gid = (id % 16).toInt
@@ -3597,6 +3616,119 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // PERCEPTUAL IMAGE NEAR-DUP (dHash) — the image-side analogue of
+    // d3's text MinHash: byte/exact dedup (m7's posture) cannot see
+    // that two images differ only by a uniform brightness shift, while
+    // a difference hash — compare each pixel to its right neighbor on
+    // a fixed 9×8 grayscale grid, 64 bits — is invariant to it by
+    // construction (a constant offset cancels in every comparison).
+    // Each doc paints a 9×8 gray image whose CONTENT is a family
+    // formula of doc_id%97 plus a per-doc brightness delta, PNG-encodes
+    // and REALLY decodes it (raster samples, no colorspace rescale),
+    // and hashes the decoded pixels; grouping by the hash recovers the
+    // families even though every PNG's bytes differ. n_variants
+    // (distinct decoded pixel sums per family) proves the group really
+    // contains different images, not re-encodes. The oracle replays
+    // pixels AND comparison bits arithmetically from the paint formula
+    // — a decoder that shifts any sample flips a bit and goes red. The
+    // hash is exported as two BIGINT halves (bit 63 would make one
+    // long sign-ambiguous across engines). Scale: embarrassingly
+    // parallel batch-shaped mapPartitions, then a 64-bit-key groupBy —
+    // the same shuffle a 100 TB image-dedup pays, keyed by 16 bytes
+    // per image regardless of image size.
+    "m21_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { id =>
+            val fam = (id % 97L).toInt
+            val delta = ((id / 97L) % 41L).toInt - 20
+            val img = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val wr = img.getRaster
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                wr.setSample(x, y, 0, 60 + delta +
+                  ((fam * 31 + x * x * 7 + y * 11 + x * y * (fam % 5)) % 136))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val rr = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray)).getRaster
+            var lo = 0L; var hi = 0L; var sum = 0L
+            y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 9) {
+                val v = rr.getSample(x, y, 0)
+                sum += v
+                if (x < 8) {
+                  val bit = if (rr.getSample(x + 1, y, 0) > v) 1L else 0L
+                  val k = y * 8 + x
+                  if (k < 32) lo |= bit << k else hi |= bit << (k - 32)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, hi, lo, sum)
+          })
+        }.toDF("doc_id", "dhash_hi", "dhash_lo", "px_sum")
+      hashed.groupBy($"dhash_hi", $"dhash_lo")
+        .agg(count(lit(1)).as("n_images"),
+          countDistinct($"px_sum").as("n_variants"),
+          min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+        .orderBy($"dhash_hi", $"dhash_lo")
+    }),
+
+    // SILENCE TRIM — the lead/trail strip every audio ingest runs
+    // before paying storage or model sequence length for dead air.
+    // The stored track (its own cached artifact: painted silence is
+    // the fixture m6/m20's always-active LCG tracks cannot provide)
+    // has id-derived leading and trailing all-zero runs around a
+    // strictly-nonzero active span; the timed path REALLY decodes the
+    // WAVE container and scans the PCM for the first/last nonzero
+    // sample. The oracle replays run lengths and the active-span
+    // energy from the synth formula — an off-by-one at either edge, a
+    // sign-extension bug in the 16-bit read, or a decoder that drops
+    // frames goes red. Scale: batch-shaped mapPartitions over the
+    // artifact scan, per-doc output, no joins.
+    "m22_audio_silence_trim" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = cachedWavs(s, dir, "trim", Seq("wav_t"))(id =>
+        Seq(synthTrimTrack(id)))
+      materialize(wavs.select($"doc_id", $"wav_t").as[(Long, Array[Byte])]
+        .mapPartitions(_.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
+          val (f, data) = wavDecode(bytes)
+          val n = data.length / f.getFrameSize
+          var first = -1L; var last = -1L; var absSum = 0L
+          var i = 0
+          while (i < n) {
+            val v = (data(i * 2) & 0xff) | (data(i * 2 + 1) << 8)
+            if (v != 0) {
+              if (first < 0) first = i
+              last = i
+              absSum += math.abs(v)
+            }
+            i += 1
+          }
+          val lead = if (first < 0) n.toLong else first
+          val trail = if (first < 0) 0L else n - 1 - last
+          val span = if (first < 0) 0L else last - first + 1
+          (id, n.toLong, lead, trail, span, absSum)
+        }))
+        .toDF("doc_id", "n_samples", "lead_trim", "trail_trim",
+          "n_span", "abs_sum"))
+        .orderBy($"doc_id")
+    }),
+
     // AUDIO MIX AUGMENTATION — the multi-INPUT transform (m16 resamples
     // one track, m17 flips one image; mixing needs TWO decoded streams
     // and int16 SATURATION — the clipping arithmetic every audio
@@ -4316,6 +4448,52 @@ object LlmPipeline {
         .select($"epoch".cast("long").as("epoch"), $"n_shards", $"perm_fp",
           $"weighted_pos", $"n_runs", $"max_run")
         .orderBy($"epoch")
+    }),
+
+    // SEQUENCE-PACKING PLAN (GPT-style concat-and-chunk): pretraining
+    // concatenates documents with an EOD separator and slices the
+    // stream into fixed CONTEXT-WINDOW sequences (cap = 2048 here), so
+    // the budget questions a data job must answer are how many
+    // sequences the corpus yields, how many documents straddle a
+    // sequence boundary (their loss spans two windows), the total
+    // boundary-crossing count, and the padding wasted in each stream's
+    // tail. A single global concatenation order would be a corpus-wide
+    // total-order sort — off the table at 100 TB — so packing runs per
+    // (source, content-hash shard) stream exactly as a 1000-executor
+    // job would pack per output shard (p8's dh hash, 16 shards), and
+    // the audit aggregates the per-stream results back to one row per
+    // source. Shape: one scan, one window cumsum per bounded (source,
+    // shard) partition, two integer aggregations; every exported cell
+    // is BIGINT (the r12 portability contract).
+    "p11_token_budget_pack" -> ((s, dir) => {
+      import s.implicits._
+      val cap = 2048L
+      val base = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .withColumn("dh", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"))
+        .select($"source", pmod($"dh", lit(16L)).as("shard"), $"doc_id",
+          (size(toks($"text")) + 1).cast("long").as("ntp")) // +1 = EOD token
+      val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      val perDoc = base.withColumn("cum", sum($"ntp").over(w))
+        // sequences this doc touches beyond its first = boundary
+        // crossings; 0-based start offset = cum - ntp, end = cum - 1
+        .withColumn("spans", expr(s"(cum - 1) div $cap - (cum - ntp) div $cap"))
+      val perShard = perDoc.groupBy($"source", $"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"ntp").as("n_tok"),
+          max($"cum").as("total"),
+          sum(when($"spans" > 0, 1L).otherwise(0L)).as("n_boundary"),
+          sum($"spans").as("n_cross"))
+        .withColumn("n_seqs", expr(s"(total + ${cap - 1}) div $cap"))
+      perShard.groupBy($"source")
+        .agg(sum($"n_docs").as("n_docs"), sum($"n_tok").as("n_tokens"),
+          sum($"n_seqs").as("n_seqs"),
+          sum($"n_boundary").as("n_boundary_docs"),
+          sum($"n_cross").as("n_crossings"),
+          sum($"n_seqs" * cap - $"total").as("tail_waste"))
+        .select($"source", $"n_docs", $"n_tokens", $"n_seqs",
+          $"n_boundary_docs", $"n_crossings", $"tail_waste",
+          expr(s"n_tokens * 1000000 div (n_seqs * $cap)").as("fill_ppm"))
+        .orderBy($"source")
     }),
 
     "p6_dataset_card" -> ((s, dir) => {
@@ -6194,6 +6372,67 @@ object LlmPipeline {
         |  CAST(SUM(ABS(v2)) AS BIGINT) AS abs_sum_out
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // pixels AND the 64 neighbor-comparison bits replayed from the
+    // paint formula; the brightness delta must cancel out of every bit
+    "m21_image_dhash" ->
+      """WITH grid AS (
+        |  SELECT xx.x, yy.y
+        |  FROM (SELECT unnest(range(9)) AS x) xx,
+        |       (SELECT unnest(range(8)) AS y) yy
+        |),
+        |vals AS (
+        |  SELECT d.doc_id, g.x, g.y,
+        |    60 + ((d.doc_id // 97) % 41 - 20) +
+        |      (((d.doc_id % 97) * 31 + g.x * g.x * 7 + g.y * 11 +
+        |        g.x * g.y * ((d.doc_id % 97) % 5)) % 136) AS v
+        |  FROM documents d CROSS JOIN grid g
+        |),
+        |bits AS (
+        |  SELECT a.doc_id, a.y * 8 + a.x AS k,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM vals a JOIN vals b
+        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+        |             ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k)
+        |             ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY doc_id
+        |),
+        |sums AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS px_sum
+        |         FROM vals GROUP BY doc_id)
+        |SELECT h.dhash_hi, h.dhash_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_images,
+        |  CAST(COUNT(DISTINCT s.px_sum) AS BIGINT) AS n_variants,
+        |  MIN(h.doc_id) AS min_doc_id, MAX(h.doc_id) AS max_doc_id
+        |FROM hashes h JOIN sums s ON s.doc_id = h.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // run lengths and span energy replayed from the trim-synth formula
+    "m22_audio_silence_trim" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 37 AS lead, doc_id % 23 AS trail,
+        |    64 + doc_id % 64 AS n_act
+        |  FROM documents
+        |),
+        |act AS (
+        |  SELECT p.doc_id, 100 + ((p.doc_id * 31 + t.i * 17) % 199) AS v
+        |  FROM p
+        |  CROSS JOIN LATERAL (SELECT unnest(range(p.n_act)) AS i) t
+        |)
+        |SELECT p.doc_id,
+        |  CAST(p.lead + p.n_act + p.trail AS BIGINT) AS n_samples,
+        |  CAST(p.lead AS BIGINT) AS lead_trim,
+        |  CAST(p.trail AS BIGINT) AS trail_trim,
+        |  CAST(p.n_act AS BIGINT) AS n_span,
+        |  CAST(SUM(a.v) AS BIGINT) AS abs_sum
+        |FROM p JOIN act a ON a.doc_id = p.doc_id
+        |GROUP BY p.doc_id, p.lead, p.trail, p.n_act
+        |ORDER BY p.doc_id""".stripMargin,
+
     // the painter's gradient recomputed over the full per-row pixel grid
     "m5_image_channel_stats" ->
       """WITH dims AS (
@@ -6999,6 +7238,46 @@ object LlmPipeline {
         |  CAST(MAX(runs.max_run) AS BIGINT) AS max_run
         |FROM rid r JOIN runs ON runs.epoch = r.epoch
         |GROUP BY r.epoch ORDER BY epoch""".stripMargin,
+
+    "p11_token_budget_pack" ->
+      """WITH base AS (
+        |  SELECT source,
+        |    list_reduce(list_transform(range(13),
+        |      dd -> strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), dd+1, 1)) - 1),
+        |      (acc, v) -> acc*16 + v)::BIGINT % 16 AS shard,
+        |    doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) + 1 AS BIGINT) AS ntp
+        |  FROM documents
+        |),
+        |cums AS (
+        |  SELECT source, shard, ntp,
+        |    SUM(ntp) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM base
+        |),
+        |perdoc AS (
+        |  SELECT source, shard, ntp, cum,
+        |    (cum - 1) // 2048 - (cum - ntp) // 2048 AS spans
+        |  FROM cums
+        |),
+        |pershard AS (
+        |  SELECT source, shard, COUNT(*) AS n_docs, SUM(ntp) AS n_tok,
+        |    MAX(cum) AS total,
+        |    SUM(CASE WHEN spans > 0 THEN 1 ELSE 0 END) AS n_boundary,
+        |    SUM(spans) AS n_cross,
+        |    (MAX(cum) + 2047) // 2048 AS n_seqs
+        |  FROM perdoc GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(n_boundary) AS BIGINT) AS n_boundary_docs,
+        |  CAST(SUM(n_cross) AS BIGINT) AS n_crossings,
+        |  CAST(SUM(n_seqs * 2048 - total) AS BIGINT) AS tail_waste,
+        |  CAST(SUM(n_tok) AS BIGINT) * 1000000 //
+        |    (CAST(SUM(n_seqs) AS BIGINT) * 2048) AS fill_ppm
+        |FROM pershard GROUP BY source ORDER BY source""".stripMargin,
 
     "p6_dataset_card" ->
       """WITH RECURSIVE dtok AS (

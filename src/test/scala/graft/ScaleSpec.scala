@@ -1809,6 +1809,75 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("r14 additions: no cartesian products in any plan") {
+    for (q <- Seq("p11_token_budget_pack", "m21_image_dhash",
+        "m22_audio_silence_trim")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
+  test("m21: dHash groups recover brightness-shifted families") {
+    val rows = SparkEntry.queries("m21_image_dhash")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 97) // ≤ one group per family
+    // replay one family's hash from the paint formula (delta-free: the
+    // uniform shift must cancel in every neighbor comparison)
+    def hashOf(fam: Int): (Long, Long) = {
+      def v(x: Int, y: Int) =
+        60 + ((fam * 31 + x * x * 7 + y * 11 + x * y * (fam % 5)) % 136)
+      var lo = 0L; var hi = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val bit = if (v(x + 1, y) > v(x, y)) 1L else 0L
+        val k = y * 8 + x
+        if (k < 32) lo |= bit << k else hi |= bit << (k - 32)
+      }
+      (hi, lo)
+    }
+    val byHash = rows.map(r => (r.getAs[Long]("dhash_hi"),
+      r.getAs[Long]("dhash_lo")) -> r).toMap
+    // family of doc 0 is 0; its group must carry doc 0 and >1 variant
+    // (sf0.001 has 500 docs ⇒ ~5 members per family, distinct deltas)
+    val g0 = byHash(hashOf(0))
+    assert(g0.getAs[Long]("min_doc_id") == 0L)
+    assert(g0.getAs[Long]("n_images") > 1L)
+    assert(g0.getAs[Long]("n_variants") > 1L,
+      "group members must be different images, not byte re-encodes")
+  }
+
+  test("m22: trim bounds replay from the synth formula") {
+    val rows = SparkEntry.queries("m22_audio_silence_trim")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.take(100).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("lead_trim") == id % 37)
+      assert(r.getAs[Long]("trail_trim") == id % 23)
+      assert(r.getAs[Long]("n_span") == 64 + id % 64)
+      assert(r.getAs[Long]("n_samples") ==
+        id % 37 + id % 23 + 64 + id % 64)
+      val e = (0 until (64 + id % 64).toInt)
+        .map(t => 100L + ((id * 31L + t * 17L) % 199L)).sum
+      assert(r.getAs[Long]("abs_sum") == e)
+    }
+  }
+
+  test("p11: packing audit is internally consistent") {
+    val rows = SparkEntry.queries("p11_token_budget_pack")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tok = r.getAs[Long]("n_tokens"); val seqs = r.getAs[Long]("n_seqs")
+      assert(tok <= seqs * 2048L, "token mass exceeds sequence capacity")
+      assert(tok + r.getAs[Long]("tail_waste") == seqs * 2048L,
+        "waste must be exactly the unfilled capacity")
+      assert(r.getAs[Long]("n_boundary_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_crossings") >= r.getAs[Long]("n_boundary_docs"))
+      assert(r.getAs[Long]("fill_ppm") <= 1000000L)
+    }
+  }
+
   test("m19: palette replays from the painted-pixel formula") {
     val rows = SparkEntry.queries("m19_palette_quantization")(spark, sf0001)
       .collect()
