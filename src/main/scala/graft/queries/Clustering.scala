@@ -596,6 +596,70 @@ object Clustering {
       }.reduce(_ unionByName _).orderBy(col("bits"))
     }),
 
+    // RECALL@K CURVE — the sweep family's K axis: d39 prices nprobe at
+    // k=1, e9/e11 price quantization width, e4 prices embedding dims;
+    // this prices how DEEP into the ANN's ranked list a consumer can
+    // trust at a fixed budget (nprobe=2, the d39 curve's knee). Recall
+    // @k = |ANN top-k ∩ exact top-k| / (k·queries) for k ∈ {1,3,5},
+    // both rankings under the family's (cos DESC, id ASC) total order.
+    // The index side is the persisted k-means model (cachedCentroids —
+    // zero retraining); the exact side is the BOUNDED persisted kNN
+    // truth set (top-5 per sampled query, the SURVEY §8 protocol), so
+    // the timed plan is bucket probing + a rank-keyed join — nothing
+    // quadratic. The decision this table feeds: a RAG/hard-negative
+    // consumer that needs 5 trustworthy neighbors sees whether it must
+    // raise nprobe or can ride the cheap setting.
+    "e12_recall_at_k" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VecDot
+      val e = graft.ops.Spread.fanout(Tables.embeddings(s, dir))
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", sqrt(VecDot($"v", $"v")))
+      val seeds = broadcast(cachedCentroids(s, dir, k = 16, iters = 2)
+        .withColumn("cnorm", sqrt(VecDot($"cv", $"cv"))))
+      val sims = e.crossJoin(seeds)
+        .select($"vec_id", $"cid",
+          (VecDot($"v", $"cv") / ($"norm" * $"cnorm")).as("sim"))
+      val wp = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid".asc)
+      val probes = Materialize(graft.plans.TopK.perKey(sims,
+          keys = Seq($"vec_id"), order = Seq($"sim".desc, $"cid".asc), k = 2)
+        .withColumn("prn", row_number().over(wp).cast("long")))
+      val home = probes.filter($"prn" === 1).select($"vec_id", $"cid")
+      val capped = graft.plans.TopK.perKey(home, keys = Seq($"cid"),
+        order = Seq($"vec_id".asc),
+        k = graft.queries.LlmPipeline.MaxBucketSize)
+      val cands = probes
+        .repartition(s.sparkContext.defaultParallelism, $"vec_id").as("p")
+        .join(broadcast(capped.as("c")),
+          $"p.cid" === $"c.cid" && $"p.vec_id" =!= $"c.vec_id")
+        .select($"p.vec_id".as("vec_id"), $"c.vec_id".as("cand"))
+        .distinct()
+      val scored = Materialize(cands
+        .join(e.select($"vec_id", $"v", $"norm"), "vec_id")
+        .join(e.select($"vec_id".as("cand"), $"v".as("cv2"),
+          $"norm".as("cnorm2")), "cand")
+        .select($"vec_id", $"cand",
+          (VecDot($"v", $"cv2") / ($"norm" * $"cnorm2")).as("cos")))
+      val wq = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cand".asc)
+      val ivfTop = Materialize(graft.plans.TopK.perKey(scored,
+          keys = Seq($"vec_id"), order = Seq($"cos".desc, $"cand".asc), k = 5)
+        .withColumn("irn", row_number().over(wq).cast("long")))
+      val truth = graft.queries.LlmPipeline.cachedKnn(s, dir)
+        .select($"vec_id", $"nbr", $"rn")
+      val nq = broadcast(truth.select($"vec_id").distinct()
+        .agg(count(lit(1)).as("n_queries")))
+      Seq(1L, 3L, 5L).map { k =>
+        truth.filter($"rn" <= k)
+          .join(ivfTop.filter($"irn" <= k)
+            .select($"vec_id", $"cand".as("nbr")), Seq("vec_id", "nbr"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .crossJoin(nq)
+          .select(lit(k).as("k"), $"n_queries", $"n_overlap",
+            expr(s"n_overlap * 1000000 div (n_queries * $k)").as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy($"k")
+    }),
+
     // JOHNSON–LINDENSTRAUSS SIGNED RANDOM PROJECTION 64→8: the cheap
     // dimensionality reduction a pipeline runs before ANN indexing or
     // dedup when the full embedding width is too expensive to shuffle —
@@ -1250,6 +1314,108 @@ object Clustering {
         |  COUNT(*) AS n_cells,
         |  CAST(SUM(${graft.ops.Num.fquantSql("err * err")}) AS BIGINT) AS distortion_grid
         |FROM e GROUP BY bits ORDER BY bits""".stripMargin,
+
+    // d39's IVF replay (same 2-iter Lloyd from the same seeds) at fixed
+    // nprobe=2, ranked 5 deep against the bounded exact top-5
+    "e12_recall_at_k" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(range(len(e.v)),
+        |      i -> (e.v[i+1]-c.cv[i+1])*(e.v[i+1]-c.cv[i+1])), (x, y) -> x + y) AS dist
+        |  FROM e CROSS JOIN c0 c
+        |),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM s1) WHERE rn = 1
+        |),
+        |x1 AS (
+        |  SELECT a1.cid, e.v, unnest(range(len(e.v))) AS d
+        |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+        |),
+        |u1 AS (
+        |  SELECT cid, d,
+        |    CAST(SUM(CAST(v[d+1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM x1 GROUP BY cid, d
+        |),
+        |c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM u1 GROUP BY cid),
+        |cn AS (
+        |  SELECT cid, cv,
+        |    sqrt(list_reduce(list_transform(cv, x -> x*x), (x, y) -> x + y)) AS cnorm
+        |  FROM c1
+        |),
+        |sims AS (
+        |  SELECT n.vec_id, c.cid,
+        |    list_reduce(list_transform(range(len(n.v)), i -> n.v[i+1]*c.cv[i+1]), (x, y) -> x + y)
+        |      / (n.norm * c.cnorm) AS sim
+        |  FROM n CROSS JOIN cn c
+        |),
+        |ranked AS (
+        |  SELECT vec_id, cid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        |  FROM sims
+        |),
+        |probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 2),
+        |home AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+        |capped AS (
+        |  SELECT cid, vec_id FROM (
+        |    SELECT cid, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS brn
+        |    FROM home) WHERE brn <= ${graft.queries.LlmPipeline.MaxBucketSize}
+        |),
+        |cands AS (
+        |  SELECT DISTINCT p.vec_id, c.vec_id AS cand
+        |  FROM probes p JOIN capped c ON p.cid = c.cid AND p.vec_id <> c.vec_id
+        |),
+        |scored AS (
+        |  SELECT ca.vec_id, ca.cand,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM cands ca JOIN n a ON ca.vec_id = a.vec_id JOIN n b ON ca.cand = b.vec_id
+        |),
+        |ivf AS (
+        |  SELECT vec_id, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand ASC) AS irn
+        |  FROM scored
+        |),
+        |bf AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |truth AS (
+        |  SELECT vec_id, nbr, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |  FROM bf
+        |),
+        |nq AS (SELECT COUNT(DISTINCT vec_id) AS n_queries FROM truth),
+        |ks AS (SELECT k FROM (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)),
+        |                             (CAST(5 AS BIGINT))) t(k)),
+        |ov AS (
+        |  SELECT ks.k, COUNT(*) AS n_overlap
+        |  FROM truth t JOIN ks ON t.rn <= ks.k
+        |  JOIN ivf i ON i.vec_id = t.vec_id AND i.cand = t.nbr AND i.irn <= ks.k
+        |  GROUP BY ks.k
+        |)
+        |SELECT ks.k, CAST(MAX(nq.n_queries) AS BIGINT) AS n_queries,
+        |  CAST(COALESCE(MAX(ov.n_overlap), 0) AS BIGINT) AS n_overlap,
+        |  CAST(COALESCE(MAX(ov.n_overlap), 0) * 1000000
+        |    // (MAX(nq.n_queries) * ks.k) AS BIGINT) AS recall_ppm
+        |FROM ks CROSS JOIN nq LEFT JOIN ov ON ov.k = ks.k
+        |GROUP BY ks.k ORDER BY ks.k""".stripMargin,
 
     // the same baked sign literals, the same index-ordered fold
     // (list_reduce's first-element init == the Spark fold's 0.0 init,

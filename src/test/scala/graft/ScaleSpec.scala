@@ -1811,11 +1811,45 @@ class ScaleSpec extends SparkTestBase {
 
   test("r14 additions: no cartesian products in any plan") {
     for (q <- Seq("p11_token_budget_pack", "m21_image_dhash",
-        "m22_audio_silence_trim")) {
+        "m22_audio_silence_trim", "e12_recall_at_k", "b4_vocab_coverage")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
+  test("e12: recall@k curve is monotone-sane and anchored to the truth set") {
+    val rows = SparkEntry.queries("e12_recall_at_k")(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 3L, 5L))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(r.getAs[Long]("n_overlap") <= k * r.getAs[Long]("n_queries"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    // sanity anchor, not a quality gate (the DuckDB oracle pins the
+    // exact value): at sf0.001 nprobe=2/16 visits ~12% of a 200-vector
+    // corpus, which bills ~0.4 recall@1 honestly — the floor exists so
+    // a bucketing bug that routes queries to empty/wrong cells (recall
+    // ≈ 0) fails loudly
+    assert(rows.head.getAs[Long]("recall_ppm") >= 250000L,
+      s"recall@1 collapsed: ${rows.head.getAs[Long]("recall_ppm")} ppm")
+  }
+
+  test("b4: coverage curve is monotone and bounded by the corpus") {
+    val rows = SparkEntry.queries("b4_vocab_coverage")(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("vocab_size"))
+    assert(rows.map(_.getAs[Long]("vocab_size")).toSeq ==
+      Seq(1000L, 4000L, 16000L))
+    val cov = rows.map(_.getAs[Long]("coverage_ppm"))
+    assert(cov.sameElements(cov.sorted), "coverage must not shrink as vocab grows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types") <=
+        math.min(r.getAs[Long]("vocab_size"), r.getAs[Long]("total_types")))
+      assert(r.getAs[Long]("coverage_ppm") + r.getAs[Long]("oov_ppm")
+        <= 1000001L)
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens"))
     }
   }
 
