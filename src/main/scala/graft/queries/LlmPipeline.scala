@@ -2252,44 +2252,6 @@ object LlmPipeline {
         .limit(20)
     }),
 
-    // VOCABULARY COVERAGE CURVE — the word-level budget table a
-    // tokenizer-design decision reads BEFORE training merges (b1/t18's
-    // BPE exists to beat it): at vocabulary cutoffs 1k/4k/16k of the
-    // most frequent word types, what fraction of corpus TOKENS is
-    // covered and what hits OOV. Zipf (the t-family's spectrum) says
-    // the curve is concave; this measures where it flattens for THIS
-    // corpus — the point past which vocab slots stop paying. Shape:
-    // one token-count aggregate (map-side partials), then the top-16k
-    // types via the map-side-heap TopK (vocabulary-bounded, never a
-    // corpus or vocab-wide sort), ranked by the (freq DESC, word ASC)
-    // total order; each cutoff is an integer aggregate over the ≤16k
-    // frame joined to the 1-row corpus total. All-BIGINT cells.
-    "b4_vocab_coverage" -> ((s, dir) => {
-      import s.implicits._
-      val wf = materialize(graft.ops.Spread.fanout(Tables.documents(s, dir))
-        .select(explode(toks($"text")).as("w"))
-        .filter(length($"w") >= 1)
-        .groupBy($"w").agg(count(lit(1)).as("f")))
-      val tot = broadcast(wf.agg(sum($"f").as("total_tokens"),
-        count(lit(1)).as("total_types")))
-      // constant key = one global heap (the partial stage prunes every
-      // partition to ≤16k rows before the single-key exchange)
-      val top = materialize(graft.plans.TopK.perKey(wf, keys = Seq(lit(0)),
-          order = Seq($"f".desc, $"w".asc), k = 16000)
-        .withColumn("rk", row_number().over(
-          Window.orderBy($"f".desc, $"w".asc)).cast("long")))
-      Seq(1000L, 4000L, 16000L).map { c =>
-        top.filter($"rk" <= c)
-          .agg(count(lit(1)).as("n_types"), sum($"f").as("covered_tokens"))
-          .crossJoin(tot)
-          .select(lit(c).as("vocab_size"), $"n_types", $"covered_tokens",
-            $"total_tokens", $"total_types",
-            expr("covered_tokens * 1000000 div total_tokens").as("coverage_ppm"),
-            expr("(total_tokens - covered_tokens) * 1000000 div total_tokens")
-              .as("oov_ppm"))
-      }.reduce(_ unionByName _).orderBy($"vocab_size")
-    }),
-
     // first BPE training iteration: corpus-wide adjacent character-pair
     // frequencies inside word boundaries (the statistic whose argmax is
     // the first merge rule — t18 below iterates this into the full
@@ -5904,33 +5866,6 @@ object LlmPipeline {
         |)
         |SELECT pair, COUNT(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
-
-    "b4_vocab_coverage" ->
-      """WITH wf AS (
-        |  SELECT w, COUNT(*) AS f FROM (
-        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
-        |    FROM documents
-        |  ) WHERE length(w) >= 1 GROUP BY w
-        |),
-        |tot AS (SELECT SUM(f) AS total_tokens, COUNT(*) AS total_types FROM wf),
-        |ranked AS (
-        |  SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS rk
-        |  FROM wf
-        |),
-        |cuts AS (SELECT c FROM (VALUES (CAST(1000 AS BIGINT)),
-        |  (CAST(4000 AS BIGINT)), (CAST(16000 AS BIGINT))) t(c))
-        |SELECT cuts.c AS vocab_size,
-        |  CAST(COUNT(r.w) AS BIGINT) AS n_types,
-        |  CAST(SUM(r.f) AS BIGINT) AS covered_tokens,
-        |  CAST(MAX(tot.total_tokens) AS BIGINT) AS total_tokens,
-        |  CAST(MAX(tot.total_types) AS BIGINT) AS total_types,
-        |  CAST(SUM(r.f) * 1000000 // MAX(tot.total_tokens) AS BIGINT)
-        |    AS coverage_ppm,
-        |  CAST((MAX(tot.total_tokens) - SUM(r.f)) * 1000000
-        |    // MAX(tot.total_tokens) AS BIGINT) AS oov_ppm
-        |FROM cuts CROSS JOIN tot
-        |JOIN ranked r ON r.rk <= cuts.c
-        |GROUP BY cuts.c ORDER BY cuts.c""".stripMargin,
 
     "b1_bpe_pair_stats" ->
       """WITH t AS (

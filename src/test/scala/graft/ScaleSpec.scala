@@ -1811,7 +1811,7 @@ class ScaleSpec extends SparkTestBase {
 
   test("r14 additions: no cartesian products in any plan") {
     for (q <- Seq("p11_token_budget_pack", "m21_image_dhash",
-        "m22_audio_silence_trim", "e12_recall_at_k", "b4_vocab_coverage")) {
+        "m22_audio_silence_trim", "e12_recall_at_k")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -1835,22 +1835,6 @@ class ScaleSpec extends SparkTestBase {
     // ≈ 0) fails loudly
     assert(rows.head.getAs[Long]("recall_ppm") >= 250000L,
       s"recall@1 collapsed: ${rows.head.getAs[Long]("recall_ppm")} ppm")
-  }
-
-  test("b4: coverage curve is monotone and bounded by the corpus") {
-    val rows = SparkEntry.queries("b4_vocab_coverage")(spark, sf0001).collect()
-      .sortBy(_.getAs[Long]("vocab_size"))
-    assert(rows.map(_.getAs[Long]("vocab_size")).toSeq ==
-      Seq(1000L, 4000L, 16000L))
-    val cov = rows.map(_.getAs[Long]("coverage_ppm"))
-    assert(cov.sameElements(cov.sorted), "coverage must not shrink as vocab grows")
-    rows.foreach { r =>
-      assert(r.getAs[Long]("n_types") <=
-        math.min(r.getAs[Long]("vocab_size"), r.getAs[Long]("total_types")))
-      assert(r.getAs[Long]("coverage_ppm") + r.getAs[Long]("oov_ppm")
-        <= 1000001L)
-      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("total_tokens"))
-    }
   }
 
   test("m21: dHash groups recover brightness-shifted families") {
