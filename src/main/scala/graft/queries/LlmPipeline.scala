@@ -757,7 +757,15 @@ object LlmPipeline {
     val kc = keys.map(col)
     val hot = index.groupBy(kc: _*).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).drop("df")
+    // explicit numPartitions on the bucket exchange: its shuffle BYTES
+    // are small ((key, doc_id) rows), so AQE coalesces it — but the
+    // stage it feeds carries the collect_list heaps AND, fused directly
+    // behind them in every consumer, the PairCombos pair explosion. At
+    // sf1 that stage ran on 6 coalesced tasks for ~45% of d37's bill
+    // (r14 stage split); a user-specified partition count is exempt
+    // from AQE coalescing and the groupBy reuses it exchange-free.
     index.join(hot, keys, "left_anti")
+      .repartition(index.sparkSession.sparkContext.defaultParallelism, kc: _*)
       .groupBy(kc: _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= maxDf)
@@ -824,6 +832,9 @@ object LlmPipeline {
     val st = fl.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sum(col("is_hot")).as("h"))
     val bk = fl.filter(col("is_hot") === 0L)
+      // explicit partition count: AQE-coalescing exemption (see buckets())
+      .repartition(fl.sparkSession.sparkContext.defaultParallelism,
+        col("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= maxDf) // by construction; keeps PairCombos' bound explicit
@@ -935,7 +946,12 @@ object LlmPipeline {
     val stats = fl.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n"),
       collect_list(when(col("is_hot") === 1L, col("shingle"))).as("hs"))
+    // explicit partition count on the bucket exchange — same AQE
+    // coalescing exemption as buckets(): the fused stage behind this
+    // agg carries the collect_list heaps AND the PairCombos explosion
     val bk = fl.filter(col("is_hot") === 0L)
+      .repartition(fl.sparkSession.sparkContext.defaultParallelism,
+        col("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val ri = bucketPairs(bk).groupBy(col("d1"), col("d2"))
@@ -1227,7 +1243,13 @@ object LlmPipeline {
         .filter($"df" <= MaxShingleDf).select($"shingle")
       val fl = materialize(sh.join(ok, Seq("shingle"), "left_semi"))
       val st = fl.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val bk = fl.groupBy($"shingle")
+      // explicit numPartitions: AQE coalesces this exchange on its
+      // SHUFFLE bytes (small — (hash, doc_id) rows), but the stage it
+      // feeds carries the collect_list heap + the PairCombos explosion,
+      // which at sf1 ran on 6 coalesced tasks for 20 of the query's
+      // 45 s (r14 stage split). A user-specified partition count is
+      // exempt from AQE coalescing; groupBy on the same key reuses it.
+      val bk = fl.repartition(32, $"shingle").groupBy($"shingle")
         .agg(sort_array(collect_list($"doc_id")).as("ids"))
       val pairs = materialize(bucketPairs(bk)
         .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
@@ -1405,13 +1427,19 @@ object LlmPipeline {
         sig.select($"doc_id", explode(array(bandStructs: _*)).as("cb"))
           .select($"doc_id", $"cb.config".as("config"),
             $"cb.band".as("band"), $"cb.bkey".as("bkey")))
+      // NO coalesce(1) here, unlike d32's single-layout candidate frame:
+      // the sweep's 16x1 tier is a deliberate birthday cliff, and at sf1
+      // its pair set is millions of rows — a 1-partition checkpoint
+      // serialized 21.7 s of distinct + 3 × 11.3 s of single-task
+      // re-reads into one core (the r14 sf1 stage split). The frame
+      // keeps distinct's hash partitioning; consumers join on (d1,d2).
       val allCand = materialize(
         buckets(allBands, Seq("config", "band", "bkey"), MaxBucketSize)
           .filter(size($"ids") >= 2)
           .select($"config",
             explode(graft.functions.PairCombos($"ids")).as("p"))
           .select($"config", $"p.d1".as("d1"), $"p.d2".as("d2"))
-          .distinct().coalesce(1))
+          .distinct())
       // exact verify via the hot-only split (exactInterFor) — never a
       // full per-doc shingle-array gather
       val ex = exactInterFor(sh, allCand.select($"d1", $"d2"))
