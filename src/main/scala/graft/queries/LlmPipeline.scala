@@ -824,9 +824,15 @@ object LlmPipeline {
     // verify sizes) all collapse into the single `st` aggregate below.
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"), lit(1L).as("hot1"))
+    // repartition BEFORE the checkpoint: AQE coalesces the flag-join's
+    // exchanges on bytes (6 partitions at sf1) and materialize FREEZES
+    // that, so every consumer's map side would run 6-wide. An explicit
+    // partition count is exempt from coalescing.
     val fl = materialize(sh.join(hot, Seq("shingle"), "left")
       .select(col("doc_id"), col("shingle"),
-        coalesce(col("hot1"), lit(0L)).as("is_hot")))
+        coalesce(col("hot1"), lit(0L)).as("is_hot"))
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism,
+        col("shingle")))
     // per-doc stats: n = full distinct-shingle count (also the verify
     // denominator), h = hot-shingle count (the prune bound's slack term)
     val st = fl.groupBy(col("doc_id"))
@@ -872,6 +878,11 @@ object LlmPipeline {
       .union(pruned.select(col("d2").as("doc_id"))).distinct()
     val hotSets = fl.filter(col("is_hot") === 1L)
       .join(ids, Seq("doc_id"), "left_semi")
+      // explicit partition count: AQE-coalescing exemption (see
+      // buckets()) — the coalesced stage carries the collect_list
+      // heaps and the downstream pair-join probe
+      .repartition(fl.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("hs"))
     pruned
@@ -925,7 +936,10 @@ object LlmPipeline {
     val ids = uniq.select(col("d1").as("doc_id"))
       .union(uniq.select(col("d2").as("doc_id"))).distinct()
     val shc = sh.join(ids, Seq("doc_id"), "left_semi")
-    val fl = materialize(
+    // repartition before the checkpoint — see containmentParts: the
+    // frozen frame must scan at cluster parallelism, not at whatever
+    // AQE coalesced the flag-join's exchanges to
+    val fl = materialize((
       if (!localDf)
         shc.select(col("doc_id"), col("shingle"),
           (col("df") > hotDf).cast("long").as("is_hot"))
@@ -935,7 +949,8 @@ object LlmPipeline {
         shc.join(hot, Seq("shingle"), "left")
           .select(col("doc_id"), col("shingle"),
             coalesce(col("hot1"), lit(0L)).as("is_hot"))
-      })
+      }).repartition(sh.sparkSession.sparkContext.defaultParallelism,
+        col("shingle")))
     // ONE per-doc aggregation carries both the full size and the hot
     // shingle set (collect_list drops the nulls the when() leaves on
     // non-hot postings, so `hs` is exactly the old hotSets list — []
@@ -1008,12 +1023,21 @@ object LlmPipeline {
                                       tau: Double): (DataFrame, DataFrame) = {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"), lit(1L).as("hot1"))
+    // repartition BEFORE the checkpoint: AQE coalesces the flag-join's
+    // exchanges on bytes (6 partitions at sf1) and materialize FREEZES
+    // that, so every consumer's map side would run 6-wide. An explicit
+    // partition count is exempt from coalescing.
     val fl = materialize(sh.join(hot, Seq("shingle"), "left")
       .select(col("doc_id"), col("shingle"),
-        coalesce(col("hot1"), lit(0L)).as("is_hot")))
+        coalesce(col("hot1"), lit(0L)).as("is_hot"))
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism,
+        col("shingle")))
     val st = fl.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sum(col("is_hot")).as("h"))
     val bk = fl.filter(col("is_hot") === 0L)
+      // explicit partition count: AQE-coalescing exemption (see buckets())
+      .repartition(fl.sparkSession.sparkContext.defaultParallelism,
+        col("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= maxDf)
@@ -1241,7 +1265,9 @@ object LlmPipeline {
       val sh = hashedShingles(s, dir)
       val ok = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" <= MaxShingleDf).select($"shingle")
-      val fl = materialize(sh.join(ok, Seq("shingle"), "left_semi"))
+      val fl = materialize(sh.join(ok, Seq("shingle"), "left_semi")
+        // checkpoint at cluster parallelism (see containmentParts)
+        .repartition(s.sparkContext.defaultParallelism, $"shingle"))
       val st = fl.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       // explicit numPartitions: AQE coalesces this exchange on its
       // SHUFFLE bytes (small — (hash, doc_id) rows), but the stage it

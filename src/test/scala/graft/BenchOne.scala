@@ -119,6 +119,14 @@ object BenchOne {
           while (i < reps) { acc += decode(wav).length; i += 1 }; acc
         }
       }
+    } else if (name.startsWith("_aqe:")) {
+      // final ADAPTIVE plan: execute first (AQE re-plans at runtime,
+      // so the pre-execution plan hides coalesced exchanges), then
+      // print with per-exchange partition specs visible
+      val q = name.stripPrefix("_aqe:")
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.queryExecution.toRdd.count()
+      println(df.queryExecution.executedPlan.toString)
     } else if (name.startsWith("_rdd:")) {
       // the bench main's plan-preserving action, for apples-to-apples
       val q = name.stripPrefix("_rdd:")
