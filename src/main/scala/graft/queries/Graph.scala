@@ -749,6 +749,55 @@ object Graph {
         .orderBy(col("rn"))
     }),
 
+    // ROBUST-PRUNE (RNG) DIVERSIFICATION AUDIT — the neighbor-selection
+    // heuristic every graph-ANN index applies on top of a raw top-k
+    // list (HNSW's SELECT-NEIGHBORS-HEURISTIC, DiskANN's RobustPrune at
+    // α=1, both restating the relative-neighborhood-graph rule):
+    // candidate c at rank r is OCCLUDED when some higher-ranked
+    // neighbor s sits closer to c than the query does (cos(s,c) >
+    // cos(q,c)) — an edge to c would be redundant with the s→c hop.
+    // Per rank 1..5: how many rank-r edges survive the prune. Reading
+    // the curve: steep decay = clustered neighborhoods where
+    // diversification buys reach; flat = already-spread lists. Scale
+    // shape: the persisted kNN artifact's 5n edges self-join into at
+    // most C(5,2)=10 occlusion pairs per query; the two embedding
+    // lookups are id-keyed joins (never a pair scan of the vector
+    // table); the output is a 5-row rollup. Both engines compute both
+    // cosines of every comparison with the same fold, so the float
+    // comparison is engine-invariant; the output is all-BIGINT.
+    "gr18_rng_prune" -> ((s, dir) => {
+      import graft.functions.VecDot
+      val knn = Materialize(LlmPipeline.cachedKnn(s, dir))
+      val n = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nf", sqrt(VecDot(col("v"), col("v"))))
+      val cand = knn.as("c").join(knn.as("p"),
+          col("c.vec_id") === col("p.vec_id") && col("p.rn") < col("c.rn"))
+        .select(col("c.vec_id").as("qid"), col("c.rn").as("rn"),
+          col("c.nbr").as("cid"), col("c.cos").as("cos_qc"),
+          col("p.nbr").as("sid"))
+      val occ = cand
+        .join(n.select(col("vec_id").as("sid"), col("v").as("vs"),
+          col("nf").as("ns")), "sid")
+        .join(n.select(col("vec_id").as("cid"), col("v").as("vc"),
+          col("nf").as("nc")), "cid")
+        .withColumn("cos_sc",
+          VecDot(col("vs"), col("vc")) / (col("ns") * col("nc")))
+        .groupBy(col("qid"), col("rn"))
+        .agg(max(when(col("cos_sc") > col("cos_qc"), 1L).otherwise(0L))
+          .as("occ"))
+      knn.select(col("vec_id").as("qid"), col("rn"))
+        .join(occ, Seq("qid", "rn"), "left")
+        .groupBy(col("rn").cast("long").as("rn"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(coalesce(col("occ"), lit(0L)) === 0L, 1L).otherwise(0L))
+            .as("n_kept"))
+        .select(col("rn"), col("n_edges"), col("n_kept"),
+          expr("n_kept * 1000000 div n_edges").as("kept_ppm"))
+        .orderBy(col("rn"))
+    }),
+
     // PER-COMPONENT ECCENTRICITY — the shape diagnostic for cc1's
     // clusters: a component with ecc 1 from its representative is a
     // star/clique (one template family — safe to collapse); ecc ≥ 3
@@ -1755,6 +1804,52 @@ object Graph {
         |    SELECT 1 FROM knn b WHERE b.vec_id = a.nbr AND b.nbr = a.vec_id)
         |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS mutual_ppm
         |FROM knn a GROUP BY a.rn ORDER BY rn""".stripMargin,
+
+    // the same exact-kNN CTE with cos kept; occlusion replayed with the
+    // identical fold for both cosines of every comparison
+    "gr18_rng_prune" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |knn AS (
+        |  SELECT vec_id, nbr, cos, rn FROM (
+        |    SELECT vec_id, nbr, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |    FROM pairs) WHERE rn <= 5
+        |),
+        |cand AS (
+        |  SELECT c.vec_id AS qid, c.rn, c.nbr AS cid, c.cos AS cos_qc, p.nbr AS sid
+        |  FROM knn c JOIN knn p ON p.vec_id = c.vec_id AND p.rn < c.rn
+        |),
+        |sc AS (
+        |  SELECT cand.qid, cand.rn, cand.cos_qc,
+        |    list_reduce(list_transform(range(len(s.v)), i -> s.v[i+1]*c2.v[i+1]), (x, y) -> x + y)
+        |      / (s.norm * c2.norm) AS cos_sc
+        |  FROM cand JOIN n s ON s.vec_id = cand.sid JOIN n c2 ON c2.vec_id = cand.cid
+        |),
+        |occ AS (
+        |  SELECT qid, rn, MAX(CASE WHEN cos_sc > cos_qc THEN 1 ELSE 0 END) AS occ
+        |  FROM sc GROUP BY qid, rn
+        |)
+        |SELECT CAST(k.rn AS BIGINT) AS rn, COUNT(*) AS n_edges,
+        |  CAST(SUM(CASE WHEN COALESCE(o.occ, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN COALESCE(o.occ, 0) = 0 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS kept_ppm
+        |FROM knn k LEFT JOIN occ o ON o.qid = k.vec_id AND o.rn = k.rn
+        |GROUP BY k.rn ORDER BY rn""".stripMargin,
 
     // transitive-closure labels name the representatives; one recursive
     // BFS seeded with ALL of them, min hop per (src, node)

@@ -1667,6 +1667,68 @@ object LlmPipeline {
         .orderBy($"cap")
     }),
 
+    // SHINGLE-WIDTH SWEEP — the OTHER near-dup design knob (d42 prices
+    // the df cap; this prices w): small windows see high-df shingles
+    // everywhere (candidate volume explodes, dups over-merge), wide
+    // windows miss edited near-dups entirely. Per width w ∈ {2,3,5,8}
+    // on the SAME deterministic 1-in-4 doc sample as d42: distinct
+    // shingle count, candidate pairs (≥1 shared under-cap shingle),
+    // and exact-Jaccard ≥ 0.5 dups — the curve that says which w a
+    // corpus's dedup should run at. Semantics are d2's throughout:
+    // df-capped buckets (never all-pairs), d2's sound ubi prune
+    // (ri + min(hot) bound — drops only pairs that cannot reach 0.5),
+    // hot-only exact verify; the threshold compares as 3·it ≥ na+nb so
+    // no float ever forms. Each arm re-shingles at its own width — a
+    // width sweep has no shared artifact by construction; the sample
+    // bounds the 4× re-tokenize the way d42's sample bounds its
+    // uncapped top tier.
+    "d43_shingle_width_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val Cap = 128L
+      val docs = Tables.documents(s, dir).filter($"doc_id" % 4 === 0)
+      val arms = Seq(2, 3, 5, 8).map { w =>
+        val sh = materialize(graft.ops.Spread.fanout(docs)
+          .select($"doc_id", toks($"text").as("toks"))
+          .filter(size($"toks") >= w)
+          .select($"doc_id", explode(expr(
+            s"array_distinct(transform(sequence(0, size(toks)-$w), " +
+              s"i -> xxhash64(concat_ws(' ', slice(toks, i+1, $w)))))"))
+            .as("shingle")))
+        val dfr = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        val shf = sh.join(dfr, "shingle")
+        val st = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"),
+          sum(($"df" > Cap).cast("long")).as("h"))
+        val bk = shf.filter($"df" <= Cap)
+          .repartition(s.sparkContext.defaultParallelism, $"shingle")
+          .groupBy($"shingle")
+          .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        val pairs = materialize(bucketPairs(bk)
+          .groupBy($"d1", $"d2").agg(count(lit(1)).as("ri")))
+        val pruned = pairs
+          .join(st.select($"doc_id".as("d1"), $"n".as("na"), $"h".as("ha")), "d1")
+          .join(st.select($"doc_id".as("d2"), $"n".as("nb"), $"h".as("hb")), "d2")
+          .withColumn("ubi", $"ri" + least($"ha", $"hb"))
+          .filter($"ubi" * 3 >= $"na" + $"nb")
+        val ids = pruned.select($"d1".as("doc_id"))
+          .union(pruned.select($"d2".as("doc_id"))).distinct()
+        val hotSets = shf.filter($"df" > Cap)
+          .join(ids, Seq("doc_id"), "left_semi")
+          .groupBy($"doc_id").agg(collect_list($"shingle").as("hs"))
+        val dups = pruned
+          .join(hotSets.select($"doc_id".as("d1"), $"hs".as("sa")), Seq("d1"), "left")
+          .join(hotSets.select($"doc_id".as("d2"), $"hs".as("sb")), Seq("d2"), "left")
+          .withColumn("it", $"ri" +
+            coalesce(size(array_intersect($"sa", $"sb")).cast("long"), lit(0L)))
+          .filter($"it" * 3 >= $"na" + $"nb")
+        dfr.agg(count(lit(1)).as("n_shingles"))
+          .crossJoin(pairs.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(dups.agg(count(lit(1)).as("n_dups")))
+          .select(lit(w.toLong).as("w"), $"n_shingles", $"n_candidates",
+            $"n_dups")
+      }
+      arms.reduce(_ unionByName _).orderBy($"w")
+    }),
+
     // SimHash: 60-bit fingerprint from per-token md5 bit votes, folded
     // in a SINGLE typed Aggregator pass — the 60× bit expansion lives
     // inside the aggregation buffer (map-side), so the exchange carries
@@ -3742,6 +3804,77 @@ object LlmPipeline {
         .orderBy($"dhash_hi", $"dhash_lo")
     }),
 
+    // LETTERBOX DETECTION — the crop audit an image ingest runs before
+    // patchifying (m11) or hashing (m7/m21): black bars burned into a
+    // frame waste patch budget and shift every downstream perceptual
+    // hash, so the pipeline must FIND the content box from the pixels,
+    // not trust metadata. Each doc paints a 16×12 grayscale frame with
+    // doc_id%4 constant bar rows at top and bottom around an interior
+    // whose every row is non-constant by construction (x·7 mod 151 is
+    // injective over x<16), PNG round-trips it, and the detector scans
+    // the DECODED raster: a bar row is one whose min==max; top/bottom
+    // bar counts are the maximal constant runs, and the content sum is
+    // taken over the detected (not painted) interior. The oracle
+    // replays pixels AND the detection rule from the paint formula — a
+    // decoder that shifts one sample makes a bar row non-constant (or
+    // vice versa) and goes red. Scale: embarrassingly-parallel
+    // mapPartitions over the corpus spine, per-doc output, no joins.
+    "m23_image_letterbox" -> ((s, dir) => {
+      import s.implicits._
+      materialize(graft.ops.Spread.fanout(
+          Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { id =>
+            val b = (id % 4L).toInt
+            val fam = (id % 91L).toInt
+            val img = new java.awt.image.BufferedImage(
+              16, 12, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val wr = img.getRaster
+            var y = 0
+            while (y < 12) {
+              var x = 0
+              while (x < 16) {
+                wr.setSample(x, y, 0,
+                  if (y < b || y >= 12 - b) 12
+                  else 40 + ((x * 7 + y * 13 + fam) % 151))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val rr = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray)).getRaster
+            val const = Array.tabulate(12) { yy =>
+              var mn = 256; var mx = -1; var x = 0
+              while (x < 16) {
+                val v = rr.getSample(x, yy, 0)
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              mn == mx
+            }
+            var top = 0
+            while (top < 12 && const(top)) top += 1
+            var bot = 0
+            while (bot < 12 && const(11 - bot)) bot += 1
+            var sum = 0L
+            y = top
+            while (y <= 11 - bot) {
+              var x = 0
+              while (x < 16) { sum += rr.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            val barVal = if (top > 0) rr.getSample(0, 0, 0).toLong else -1L
+            (id, top.toLong, bot.toLong, barVal, sum)
+          })
+        }
+        .toDF("doc_id", "top_bars", "bottom_bars", "bar_val", "inner_px_sum"))
+        .orderBy($"doc_id")
+    }),
+
     // SILENCE TRIM — the lead/trail strip every audio ingest runs
     // before paying storage or model sequence length for dead air.
     // The stored track (its own cached artifact: painted silence is
@@ -4550,6 +4683,44 @@ object LlmPipeline {
         .orderBy($"source")
     }),
 
+    // SPAN-CORRUPTION PLAN (T5/UL2-style denoising objective prep): the
+    // data job that turns a clean corpus into masked training examples
+    // must DECIDE, deterministically and reproducibly across re-runs
+    // and engines, which token positions each document masks — the
+    // plan, not the tensors. Position i of doc d is selected iff the
+    // first two hex digits of md5("d:i") fall below 0x27 (39/256 ≈
+    // 15.2%, the T5 corruption-rate neighborhood); maximal runs of
+    // selected positions are the spans (islands via the pos −
+    // row_number() trick — one window pass, no recursion). Per doc:
+    // token count, masked count, span count, longest span, masked ppm.
+    // Seeded md5 selection = the same plan on every executor, every
+    // epoch, both engines — no RNG state to ship. Scale shape: one
+    // corpus scan fanned out, a per-doc-bounded position explode, one
+    // window partitioned by doc, one per-doc rollup; join back to the
+    // doc spine keeps zero-mask docs (a LEFT join, not a filter).
+    "p12_span_corruption_plan" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.ops.Spread.fanout(Tables.documents(s, dir))
+        .select($"doc_id", size(toks($"text")).cast("long").as("n_tokens"))
+      val sel = base
+        .select($"doc_id", explode(expr("sequence(0, n_tokens - 1)")).as("pos"))
+        .filter(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"pos".cast("string"))), 1, 2) < "27")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val spans = sel
+        .withColumn("grp", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("len"))
+        .groupBy($"doc_id").agg(sum($"len").as("n_masked"),
+          count(lit(1)).as("n_spans"), max($"len").as("max_span"))
+      base.join(spans, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"n_masked", lit(0L)).as("n_masked"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"max_span", lit(0L)).as("max_span"))
+        .withColumn("masked_ppm", expr("n_masked * 1000000 div n_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     "p6_dataset_card" -> ((s, dir) => {
       import s.implicits._
       val docs = materialize(graft.ops.Spread.fanout(Tables.documents(s, dir))
@@ -5254,6 +5425,55 @@ object LlmPipeline {
         |    ELSE (SELECT count(*) FROM dups WHERE mdf <= cap) * 1000000 // td
         |    END AS BIGINT) AS recall_ppm
         |FROM caps, tot ORDER BY cap""".stripMargin),
+
+    // each width arm re-shingled from the same 1-in-4 sample; candidates
+    // pair on exact shingle strings in under-cap buckets; exact inter
+    // counted over ALL shared shingles (= Spark's ri + hot∩hot); the
+    // 0.5 threshold compares as 3·it ≥ na+nb in both engines
+    "d43_shingle_width_sweep" -> {
+      def armCtes(w: Int) =
+        s"""sh$w AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(len(toks)-${w - 1}),
+           |      i -> array_to_string(toks[i+1:i+$w], ' '))) AS shingle
+           |  FROM dtoks WHERE len(toks) >= $w
+           |),
+           |df$w AS (SELECT shingle, COUNT(*) AS df FROM sh$w GROUP BY 1),
+           |st$w AS (SELECT doc_id, COUNT(*) AS n FROM sh$w GROUP BY 1),
+           |cand$w AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM sh$w a JOIN df$w f ON f.shingle = a.shingle AND f.df <= 128
+           |  JOIN sh$w b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |),
+           |it$w AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS it
+           |  FROM sh$w a JOIN sh$w b
+           |    ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |),
+           |dup$w AS (
+           |  SELECT c.d1, c.d2 FROM cand$w c
+           |  JOIN it$w i ON i.d1 = c.d1 AND i.d2 = c.d2
+           |  JOIN st$w x ON x.doc_id = c.d1
+           |  JOIN st$w y ON y.doc_id = c.d2
+           |  WHERE 3 * i.it >= x.n + y.n
+           |),
+           |arm$w AS (
+           |  SELECT CAST($w AS BIGINT) AS w,
+           |    CAST((SELECT COUNT(*) FROM df$w) AS BIGINT) AS n_shingles,
+           |    CAST((SELECT COUNT(*) FROM cand$w) AS BIGINT) AS n_candidates,
+           |    CAST((SELECT COUNT(*) FROM dup$w) AS BIGINT) AS n_dups
+           |)""".stripMargin
+      val ws = Seq(2, 3, 5, 8)
+      s"""WITH dtoks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+         |  FROM documents WHERE doc_id % 4 = 0
+         |),
+         |${ws.map(armCtes).mkString(",\n")}
+         |${ws.map(w => s"SELECT * FROM arm$w").mkString(" UNION ALL ")}
+         |ORDER BY w""".stripMargin
+    },
 
     "d4_simhash" ->
       """WITH tokens AS (
@@ -6465,6 +6685,36 @@ object LlmPipeline {
         |FROM hashes h JOIN sums s ON s.doc_id = h.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // pixels AND the min==max bar-detection rule replayed from the
+    // paint formula; content sum over the DETECTED interior rows
+    "m23_image_letterbox" ->
+      """WITH cells AS (
+        |  SELECT d.doc_id, d.doc_id % 4 AS b, y.y, x.x,
+        |    CASE WHEN y.y < d.doc_id % 4 OR y.y >= 12 - d.doc_id % 4 THEN 12
+        |         ELSE 40 + ((x.x * 7 + y.y * 13 + d.doc_id % 91) % 151)
+        |    END AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(12)) AS y) y
+        |  CROSS JOIN (SELECT unnest(range(16)) AS x) x
+        |),
+        |rows_ AS (
+        |  SELECT doc_id, y, MIN(v) = MAX(v) AS c FROM cells GROUP BY 1, 2
+        |),
+        |tb AS (
+        |  SELECT doc_id,
+        |    COALESCE(MIN(CASE WHEN NOT c THEN y END), 12) AS top,
+        |    COALESCE(MAX(CASE WHEN NOT c THEN y END), -1) AS lastc
+        |  FROM rows_ GROUP BY 1
+        |)
+        |SELECT c.doc_id,
+        |  CAST(MAX(t.top) AS BIGINT) AS top_bars,
+        |  CAST(11 - MAX(t.lastc) AS BIGINT) AS bottom_bars,
+        |  CAST(CASE WHEN MAX(t.top) > 0 THEN 12 ELSE -1 END AS BIGINT) AS bar_val,
+        |  CAST(SUM(CASE WHEN c.y >= t.top AND c.y <= t.lastc THEN c.v ELSE 0 END)
+        |    AS BIGINT) AS inner_px_sum
+        |FROM cells c JOIN tb t ON t.doc_id = c.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // run lengths and span energy replayed from the trim-synth formula
     "m22_audio_silence_trim" ->
       """WITH p AS (
@@ -7332,6 +7582,39 @@ object LlmPipeline {
         |  CAST(SUM(n_tok) AS BIGINT) * 1000000 //
         |    (CAST(SUM(n_seqs) AS BIGINT) * 2048) AS fill_ppm
         |FROM pershard GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same md5("d:i") position lottery and the same pos−row_number
+    // island grouping; every exported cell BIGINT
+    "p12_span_corruption_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |),
+        |sel AS (
+        |  SELECT d.doc_id, t.pos
+        |  FROM d CROSS JOIN LATERAL (SELECT unnest(range(d.n_tokens)) AS pos) t
+        |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |    CAST(t.pos AS VARCHAR)), 1, 2) < '27'
+        |),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM sel
+        |),
+        |spans AS (SELECT doc_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, SUM(len) AS n_masked, COUNT(*) AS n_spans,
+        |    MAX(len) AS max_span
+        |  FROM spans GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(p.n_masked, 0) AS BIGINT) AS n_masked,
+        |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(p.max_span, 0) AS BIGINT) AS max_span,
+        |  CAST(COALESCE(p.n_masked, 0) * 1000000 // d.n_tokens AS BIGINT)
+        |    AS masked_ppm
+        |FROM d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "p6_dataset_card" ->
       """WITH RECURSIVE dtok AS (

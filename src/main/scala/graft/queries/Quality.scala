@@ -609,6 +609,53 @@ object Quality {
         .orderBy($"event_type")
     }),
 
+    // CUSUM CHANGE-POINT MONITOR on the per-type daily event volume —
+    // the sequential drift detector (Page 1954) a streaming ingest runs
+    // where dq4's pointwise robust-z cannot see SLOW drift: a +8%/day
+    // leak never trips a 3σ day test but accumulates linearly in the
+    // CUSUM. S_d = max(0, S_{d-1} + (x_d − allowance)) has a closed
+    // prefix form — S_d = P_d − min(0, min_{j≤d} P_j) over the residual
+    // prefix sums P — so the recursive-looking statistic is TWO window
+    // passes, no recursion, no driver loop (the same sweep-line trade
+    // as q72). All arithmetic stays integer: residuals are scaled by
+    // the 14-day baseline window (y = 14·x − (ref14 + ref14/10), a 10%
+    // allowance), the alarm threshold is one average baseline-day of
+    // cumulative excess (ref14 in scaled units). The day spine is
+    // DENSE (type × every day in the table's range) — a silent day IS
+    // drift and a sparse groupBy would skip it. Scale shape: one
+    // map-side-combining count per (type, day), a broadcast 2-value
+    // bounds frame, windows partitioned by type over #days rows.
+    "dq17_cusum_drift" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select($"event_type", expr("unix_micros(ts) div 86400000000").as("day"))
+      val daily = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+      val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val spine = daily.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type", explode(expr("sequence(d0, d1)")).as("day"), $"d0")
+      val dense = spine.join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", $"d0", coalesce($"x", lit(0L)).as("x"))
+      val ref = dense.filter($"day" < $"d0" + 14)
+        .groupBy($"event_type").agg(sum($"x").as("ref14"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.filter($"day" >= $"d0" + 14)
+        .join(ref, "event_type")
+        .withColumn("y", lit(14L) * $"x" - ($"ref14" + expr("ref14 div 10")))
+        .withColumn("p", sum($"y").over(w))
+        .withColumn("cusum", $"p" - least(lit(0L), min($"p").over(w)))
+        .groupBy($"event_type")
+        .agg(max($"ref14").as("ref14"),
+          count(lit(1)).as("n_days"),
+          max($"cusum").as("max_cusum"),
+          sum(when($"cusum" > $"ref14", 1L).otherwise(0L)).as("n_alarm_days"),
+          coalesce(min(when($"cusum" > $"ref14", $"day")), lit(-1L))
+            .as("first_alarm_day"))
+        .orderBy($"event_type")
+    }),
+
     // CROSS-TABLE RECONCILIATION — the "do the books balance" audit
     // between a header table and its detail lines (the TPC-H invariant:
     // o_totalprice = Σ extendedprice·(1−discount)·(1+tax) over the
@@ -1007,6 +1054,57 @@ object Quality {
         |JOIN mad x ON x.event_type = h.event_type
         |JOIN tot t ON t.event_type = h.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the closed prefix form of the CUSUM recursion replayed with the
+    // same two window passes over the same dense day spine; residuals
+    // scaled by the 14-day baseline so every cell stays integer
+    "dq17_cusum_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+        |),
+        |daily AS (SELECT event_type, day, COUNT(*) AS x FROM ev GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |spine AS (
+        |  SELECT t.event_type, u.day, b.d0
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN b
+        |  CROSS JOIN LATERAL (SELECT unnest(range(b.d0, b.d1 + 1)) AS day) u
+        |),
+        |dense AS (
+        |  SELECT s.event_type, s.day, s.d0, COALESCE(d.x, 0) AS x
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.event_type = s.event_type AND d.day = s.day
+        |),
+        |ref AS (
+        |  SELECT event_type, SUM(x) AS ref14 FROM dense
+        |  WHERE day < d0 + 14 GROUP BY 1
+        |),
+        |mon AS (
+        |  SELECT de.event_type, de.day, r.ref14,
+        |    14 * de.x - (r.ref14 + r.ref14 // 10) AS y
+        |  FROM dense de JOIN ref r USING (event_type)
+        |  WHERE de.day >= de.d0 + 14
+        |),
+        |p1 AS (
+        |  SELECT event_type, day, ref14,
+        |    SUM(y) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM mon
+        |),
+        |c AS (
+        |  SELECT event_type, day, ref14,
+        |    p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING)) AS cusum
+        |  FROM p1
+        |)
+        |SELECT event_type, CAST(MAX(ref14) AS BIGINT) AS ref14,
+        |  COUNT(*) AS n_days,
+        |  CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+        |  CAST(SUM(CASE WHEN cusum > ref14 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarm_days,
+        |  CAST(COALESCE(MIN(CASE WHEN cusum > ref14 THEN day END), -1) AS BIGINT)
+        |    AS first_alarm_day
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same dsum stabilizer, the same FLOOR(|Δ|·100) decimation to
     // cents; every cell BIGINT

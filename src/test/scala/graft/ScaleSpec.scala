@@ -1896,6 +1896,123 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("r14 session-2 additions: no cartesian products in any plan") {
+    for (q <- Seq("gr18_rng_prune", "dq17_cusum_drift",
+        "p12_span_corruption_plan", "d43_shingle_width_sweep",
+        "m23_image_letterbox")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
+  test("gr18: rank-1 edges are never occluded; kept counts are sane") {
+    val rows = SparkEntry.queries("gr18_rng_prune")(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("rn"))
+    assert(rows.map(_.getAs[Long]("rn")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // rank 1 has no higher-ranked neighbor to occlude it
+    assert(rows.head.getAs[Long]("kept_ppm") == 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_edges"))
+      assert(r.getAs[Long]("kept_ppm") <= 1000000L)
+    }
+    // every query contributes one edge per rank (sf0.001 corpus >> 5)
+    assert(rows.map(_.getAs[Long]("n_edges")).distinct.length == 1)
+    // occlusion must actually fire somewhere or the audit is vacuous
+    assert(rows.exists(_.getAs[Long]("n_kept") < rows.head.getAs[Long]("n_edges")),
+      "no rank was ever pruned — occlusion rule inert")
+  }
+
+  test("p12: span plan replays from the md5 position lottery") {
+    val rows = SparkEntry.queries("p12_span_corruption_plan")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sel(id: Long, pos: Long): Boolean = {
+      val h = md.digest(s"$id:$pos".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      h < "27"
+    }
+    rows.take(150).foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val n = r.getAs[Long]("n_tokens")
+      val picks = (0L until n).map(sel(id, _))
+      val masked = picks.count(identity).toLong
+      val runs = picks.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true)  => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getAs[Long]("n_masked") == masked, s"doc $id masked")
+      assert(r.getAs[Long]("n_spans") == runs.length.toLong, s"doc $id spans")
+      assert(r.getAs[Long]("max_span") ==
+        (if (runs.isEmpty) 0L else runs.max.toLong), s"doc $id max span")
+    }
+    // corpus-level mask rate must sit near the 39/256 lottery odds
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+    val msk = rows.map(_.getAs[Long]("n_masked")).sum
+    assert(msk * 1000L / tot > 100L && msk * 1000L / tot < 210L,
+      s"mask rate off lottery odds: $msk/$tot")
+  }
+
+  test("dq17: closed prefix form equals the literal CUSUM recursion") {
+    val rows = SparkEntry.queries("dq17_cusum_drift")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // replay the textbook recursion S_d = max(0, S_{d-1} + y_d) from the
+    // raw events and compare against the window-closed-form output
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = daily.map(_._2).min; val d1 = daily.map(_._2).max
+    val byType = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cnt = byType(t).groupBy(_._2).map { case (d, g) => d -> g.size.toLong }
+      val xs = (d0 to d1).map(d => cnt.getOrElse(d, 0L))
+      val ref14 = xs.take(14).sum
+      var s = 0L; var mx = 0L; var alarms = 0L; var first = -1L
+      for ((x, i) <- xs.drop(14).zipWithIndex) {
+        s = math.max(0L, s + 14L * x - (ref14 + ref14 / 10))
+        if (s > mx) mx = s
+        if (s > ref14) { alarms += 1; if (first < 0) first = d0 + 14 + i }
+      }
+      assert(r.getAs[Long]("ref14") == ref14, s"$t ref14")
+      assert(r.getAs[Long]("max_cusum") == mx, s"$t max_cusum")
+      assert(r.getAs[Long]("n_alarm_days") == alarms, s"$t alarms")
+      assert(r.getAs[Long]("first_alarm_day") == first, s"$t first alarm")
+    }
+  }
+
+  test("d43: width arms are complete and dups never exceed candidates") {
+    val rows = SparkEntry.queries("d43_shingle_width_sweep")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("w"))
+    assert(rows.map(_.getAs[Long]("w")).toSeq == Seq(2L, 3L, 5L, 8L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dups") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("n_shingles") > 0L)
+    }
+    // the knob must move: candidate volume at w=2 strictly above w=8
+    // (short windows repeat across docs; 8-gram shingles rarely do)
+    assert(rows.head.getAs[Long]("n_candidates") >
+      rows.last.getAs[Long]("n_candidates"), "width knob inert")
+  }
+
+  test("m23: letterbox detection replays from the paint formula") {
+    val rows = SparkEntry.queries("m23_image_letterbox")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.take(200).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val b = id % 4; val fam = id % 91
+      assert(r.getAs[Long]("top_bars") == b, s"doc $id top")
+      assert(r.getAs[Long]("bottom_bars") == b, s"doc $id bottom")
+      assert(r.getAs[Long]("bar_val") == (if (b > 0) 12L else -1L), s"doc $id")
+      val inner = (for (y <- b until (12 - b); x <- 0 until 16)
+        yield 40L + ((x * 7 + y * 13 + fam) % 151)).sum
+      assert(r.getAs[Long]("inner_px_sum") == inner, s"doc $id inner sum")
+    }
+  }
+
   test("m19: palette replays from the painted-pixel formula") {
     val rows = SparkEntry.queries("m19_palette_quantization")(spark, sf0001)
       .collect()
