@@ -1685,48 +1685,71 @@ object LlmPipeline {
     "d43_shingle_width_sweep" -> ((s, dir) => {
       import s.implicits._
       val Cap = 128L
-      val docs = Tables.documents(s, dir).filter($"doc_id" % 4 === 0)
-      val arms = Seq(2, 3, 5, 8).map { w =>
-        val sh = materialize(graft.ops.Spread.fanout(docs)
-          .select($"doc_id", toks($"text").as("toks"))
-          .filter(size($"toks") >= w)
-          .select($"doc_id", explode(expr(
-            s"array_distinct(transform(sequence(0, size(toks)-$w), " +
-              s"i -> xxhash64(concat_ws(' ', slice(toks, i+1, $w)))))"))
-            .as("shingle")))
-        val dfr = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        val shf = sh.join(dfr, "shingle")
-        val st = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"),
-          sum(($"df" > Cap).cast("long")).as("h"))
-        val bk = shf.filter($"df" <= Cap)
-          .repartition(s.sparkContext.defaultParallelism, $"shingle")
-          .groupBy($"shingle")
-          .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        val pairs = materialize(bucketPairs(bk)
-          .groupBy($"d1", $"d2").agg(count(lit(1)).as("ri")))
-        val pruned = pairs
-          .join(st.select($"doc_id".as("d1"), $"n".as("na"), $"h".as("ha")), "d1")
-          .join(st.select($"doc_id".as("d2"), $"n".as("nb"), $"h".as("hb")), "d2")
-          .withColumn("ubi", $"ri" + least($"ha", $"hb"))
-          .filter($"ubi" * 3 >= $"na" + $"nb")
-        val ids = pruned.select($"d1".as("doc_id"))
-          .union(pruned.select($"d2".as("doc_id"))).distinct()
-        val hotSets = shf.filter($"df" > Cap)
-          .join(ids, Seq("doc_id"), "left_semi")
-          .groupBy($"doc_id").agg(collect_list($"shingle").as("hs"))
-        val dups = pruned
-          .join(hotSets.select($"doc_id".as("d1"), $"hs".as("sa")), Seq("d1"), "left")
-          .join(hotSets.select($"doc_id".as("d2"), $"hs".as("sb")), Seq("d2"), "left")
-          .withColumn("it", $"ri" +
-            coalesce(size(array_intersect($"sa", $"sb")).cast("long"), lit(0L)))
-          .filter($"it" * 3 >= $"na" + $"nb")
-        dfr.agg(count(lit(1)).as("n_shingles"))
-          .crossJoin(pairs.agg(count(lit(1)).as("n_candidates")))
-          .crossJoin(dups.agg(count(lit(1)).as("n_dups")))
-          .select(lit(w.toLong).as("w"), $"n_shingles", $"n_candidates",
-            $"n_dups")
-      }
-      arms.reduce(_ unionByName _).orderBy($"w")
+      // ONE tokenize pass serves all four widths: the width-tagged
+      // (w, shingle) index rides every downstream stage as a composite
+      // key, so the sweep costs one pipeline, not four (the per-arm
+      // form billed 4× the stage count and re-tokenized the sample per
+      // width — r14s2 BenchOne 8–11 s warm; this form ~2 s)
+      val sh = materialize(graft.ops.Spread.fanout(
+          Tables.documents(s, dir).filter($"doc_id" % 4 === 0))
+        .select($"doc_id", toks($"text").as("toks"))
+        .select($"doc_id", explode(expr(
+          """flatten(transform(array(2, 3, 5, 8), w ->
+            |  CASE WHEN size(toks) >= w THEN
+            |    transform(
+            |      array_distinct(transform(sequence(0, size(toks) - w),
+            |        i -> xxhash64(concat_ws(' ', slice(toks, i + 1, w))))),
+            |      h -> named_struct('w', w, 'shingle', h))
+            |  ELSE CAST(array() AS ARRAY<STRUCT<w: INT, shingle: BIGINT>>)
+            |  END))""".stripMargin)).as("e"))
+        .select($"doc_id", $"e.w".as("w"), $"e.shingle".as("shingle")))
+      // df via ONE window over the (w, shingle)-partitioned index — the
+      // shingles()-artifact trick: a groupBy+join-back would exchange
+      // the 4-width index twice more; the bucket groupBy below reuses
+      // this explicit partitioning exchange-free
+      val shf = materialize(sh
+        .repartition(s.sparkContext.defaultParallelism, $"w", $"shingle")
+        .withColumn("df", count(lit(1)).over(
+          Window.partitionBy($"w", $"shingle"))))
+      val st = shf.groupBy($"w", $"doc_id").agg(count(lit(1)).as("n"),
+        sum(($"df" > Cap).cast("long")).as("h"))
+      // distinct reuses the (w, shingle) partitioning exchange-free
+      val dfr = shf.select($"w", $"shingle").distinct()
+      val bk = shf.filter($"df" <= Cap)
+        .groupBy($"w", $"shingle")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      val pairs = materialize(bk.filter(size($"ids") >= 2)
+        .select($"w", explode(graft.functions.PairCombos($"ids")).as("p"))
+        .groupBy($"w", $"p.d1".as("d1"), $"p.d2".as("d2"))
+        .agg(count(lit(1)).as("ri")))
+      val pruned = pairs
+        .join(st.select($"w", $"doc_id".as("d1"), $"n".as("na"),
+          $"h".as("ha")), Seq("w", "d1"))
+        .join(st.select($"w", $"doc_id".as("d2"), $"n".as("nb"),
+          $"h".as("hb")), Seq("w", "d2"))
+        .withColumn("ubi", $"ri" + least($"ha", $"hb"))
+        .filter($"ubi" * 3 >= $"na" + $"nb")
+      val ids = pruned.select($"w", $"d1".as("doc_id"))
+        .union(pruned.select($"w", $"d2".as("doc_id"))).distinct()
+      val hotSets = shf.filter($"df" > Cap)
+        .join(ids, Seq("w", "doc_id"), "left_semi")
+        .groupBy($"w", $"doc_id").agg(collect_list($"shingle").as("hs"))
+      val dups = pruned
+        .join(hotSets.select($"w", $"doc_id".as("d1"), $"hs".as("sa")),
+          Seq("w", "d1"), "left")
+        .join(hotSets.select($"w", $"doc_id".as("d2"), $"hs".as("sb")),
+          Seq("w", "d2"), "left")
+        .withColumn("it", $"ri" +
+          coalesce(size(array_intersect($"sa", $"sb")).cast("long"), lit(0L)))
+        .filter($"it" * 3 >= $"na" + $"nb")
+      dfr.groupBy($"w").agg(count(lit(1)).as("n_shingles"))
+        .join(pairs.groupBy($"w").agg(count(lit(1)).as("nc")), Seq("w"), "left")
+        .join(dups.groupBy($"w").agg(count(lit(1)).as("nd")), Seq("w"), "left")
+        .select($"w".cast("long").as("w"),
+          $"n_shingles",
+          coalesce($"nc", lit(0L)).as("n_candidates"),
+          coalesce($"nd", lit(0L)).as("n_dups"))
+        .orderBy($"w")
     }),
 
     // SimHash: 60-bit fingerprint from per-token md5 bit votes, folded
