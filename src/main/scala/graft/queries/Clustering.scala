@@ -660,6 +660,40 @@ object Clustering {
       }.reduce(_ unionByName _).orderBy($"k")
     }),
 
+    // BINARY (1-BIT) QUANTIZATION AUDIT — the missing extreme of the
+    // quantization family (e3 int8, e9 PQ, e11 2/4/8-bit scalar): sign
+    // bits are the cheapest embedding compression there is (64 dims →
+    // 8 bytes) and the first thing a retrieval stack tries for a
+    // coarse pre-filter, IF Hamming distance on signs still orders
+    // neighbors. The audit measures exactly that: per kNN rank 1..5
+    // (the persisted truth set), the total and mean sign-Hamming
+    // distance of rank-r edges — a curve that rises with rank means
+    // sign bits preserve the neighborhood order (usable pre-filter); a
+    // flat curve near 32/64 means they don't. All integers: Hamming
+    // sums fold over zip_with sign comparisons, the same sequential
+    // index-order fold as DuckDB's list_reduce. Scale: the artifact's
+    // 5n edges with two id-keyed embedding joins, a 5-row rollup —
+    // gr18's exact shape.
+    "e13_binary_sign_hamming" -> ((s, dir) => {
+      val knn = Materialize(graft.queries.LlmPipeline.cachedKnn(s, dir)
+        .select(col("vec_id"), col("rn"), col("nbr")))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val ham = "aggregate(zip_with(vq, vn, (a, b) -> " +
+        "CASE WHEN (a >= CAST(0 AS DOUBLE)) = (b >= CAST(0 AS DOUBLE)) " +
+        "THEN 0L ELSE 1L END), 0L, (acc, x) -> acc + x)"
+      knn
+        .join(e.select(col("vec_id"), col("v").as("vq")), Seq("vec_id"))
+        .join(e.select(col("vec_id").as("nbr"), col("v").as("vn")), Seq("nbr"))
+        .withColumn("ham", expr(ham))
+        .groupBy(col("rn").cast("long").as("rn"))
+        .agg(count(lit(1)).as("n_edges"), sum(col("ham")).as("ham_sum"))
+        .select(col("rn"), col("n_edges"), col("ham_sum"),
+          expr("ham_sum * 1000000 div (n_edges * 64)").as("ham_ppm"))
+        .orderBy(col("rn"))
+    }),
+
     // JOHNSON–LINDENSTRAUSS SIGNED RANDOM PROJECTION 64→8: the cheap
     // dimensionality reduction a pipeline runs before ANN indexing or
     // dedup when the full embedding width is too expensive to shuffle —
@@ -1314,6 +1348,43 @@ object Clustering {
         |  COUNT(*) AS n_cells,
         |  CAST(SUM(${graft.ops.Num.fquantSql("err * err")}) AS BIGINT) AS distortion_grid
         |FROM e GROUP BY bits ORDER BY bits""".stripMargin,
+
+    // the exact-kNN CTE at k=5 with rank kept; sign-Hamming folded in
+    // the same index order as Spark's zip_with aggregate
+    "e13_binary_sign_hamming" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS norm
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+        |    list_reduce(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1]), (x, y) -> x + y)
+        |      / (a.norm * b.norm) AS cos
+        |  FROM (SELECT * FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048) a
+        |  JOIN n b ON a.vec_id <> b.vec_id
+        |),
+        |knn AS (
+        |  SELECT vec_id, nbr, rn FROM (
+        |    SELECT vec_id, nbr,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr ASC) AS rn
+        |    FROM pairs) WHERE rn <= 5
+        |),
+        |h AS (
+        |  SELECT k.rn,
+        |    list_reduce(list_transform(range(len(q.v)),
+        |      i -> CASE WHEN (q.v[i+1] >= 0) = (m.v[i+1] >= 0) THEN 0 ELSE 1 END),
+        |      (x, y) -> x + y) AS ham
+        |  FROM knn k JOIN e q ON q.vec_id = k.vec_id JOIN e m ON m.vec_id = k.nbr
+        |)
+        |SELECT CAST(rn AS BIGINT) AS rn, COUNT(*) AS n_edges,
+        |  CAST(SUM(ham) AS BIGINT) AS ham_sum,
+        |  CAST(SUM(ham) * 1000000 // (COUNT(*) * 64) AS BIGINT) AS ham_ppm
+        |FROM h GROUP BY rn ORDER BY rn""".stripMargin,
 
     // d39's IVF replay (same 2-iter Lloyd from the same seeds) at fixed
     // nprobe=2, ranked 5 deep against the bounded exact top-5

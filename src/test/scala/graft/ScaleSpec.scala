@@ -1899,7 +1899,7 @@ class ScaleSpec extends SparkTestBase {
   test("r14 session-2 additions: no cartesian products in any plan") {
     for (q <- Seq("gr18_rng_prune", "dq17_cusum_drift",
         "p12_span_corruption_plan", "d43_shingle_width_sweep",
-        "m23_image_letterbox")) {
+        "m23_image_letterbox", "e13_binary_sign_hamming")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
@@ -1995,6 +1995,20 @@ class ScaleSpec extends SparkTestBase {
     // (short windows repeat across docs; 8-gram shingles rarely do)
     assert(rows.head.getAs[Long]("n_candidates") >
       rows.last.getAs[Long]("n_candidates"), "width knob inert")
+  }
+
+  test("e13: sign-Hamming stays inside [0, 64] and the curve is anchored") {
+    val rows = SparkEntry.queries("e13_binary_sign_hamming")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("rn"))
+    assert(rows.map(_.getAs[Long]("rn")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ham_sum") <= 64L * r.getAs[Long]("n_edges"))
+      assert(r.getAs[Long]("ham_ppm") <= 1000000L)
+    }
+    // neighbors must beat random sign agreement (~32/64 = 500000 ppm)
+    // or the 1-bit pre-filter premise is dead and the audit is noise
+    assert(rows.head.getAs[Long]("ham_ppm") < 500000L,
+      s"rank-1 Hamming at chance: ${rows.head.getAs[Long]("ham_ppm")} ppm")
   }
 
   test("m23: letterbox detection replays from the paint formula") {
