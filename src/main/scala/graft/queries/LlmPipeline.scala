@@ -1671,7 +1671,7 @@ object LlmPipeline {
     // the df cap; this prices w): small windows see high-df shingles
     // everywhere (candidate volume explodes, dups over-merge), wide
     // windows miss edited near-dups entirely. Per width w ∈ {2,3,5,8}
-    // on the SAME deterministic 1-in-4 doc sample as d42: distinct
+    // on a deterministic 1-in-8 md5 doc sample (d42 runs 1-in-4): distinct
     // shingle count, candidate pairs (≥1 shared under-cap shingle),
     // and exact-Jaccard ≥ 0.5 dups — the curve that says which w a
     // corpus's dedup should run at. Semantics are d2's throughout:
@@ -1754,11 +1754,16 @@ object LlmPipeline {
         .withColumn("it", $"ri" +
           coalesce(size(array_intersect($"sa", $"sb")).cast("long"), lit(0L)))
         .filter($"it" * 3 >= $"na" + $"nb")
-      dfr.groupBy($"w").agg(count(lit(1)).as("n_shingles"))
+      // anchor on a literal width frame: the oracle's arm CTEs emit one
+      // row per width UNCONDITIONALLY (scalar-subquery counts), so a
+      // width with zero observed shingles must still produce a 0-row
+      // here rather than vanish from the derived (w, shingle) data
+      Seq(2, 3, 5, 8).toDF("w")
+        .join(dfr.groupBy($"w").agg(count(lit(1)).as("ns")), Seq("w"), "left")
         .join(pairs.groupBy($"w").agg(count(lit(1)).as("nc")), Seq("w"), "left")
         .join(dups.groupBy($"w").agg(count(lit(1)).as("nd")), Seq("w"), "left")
         .select($"w".cast("long").as("w"),
-          $"n_shingles",
+          coalesce($"ns", lit(0L)).as("n_shingles"),
           coalesce($"nc", lit(0L)).as("n_candidates"),
           coalesce($"nd", lit(0L)).as("n_dups"))
         .orderBy($"w")
@@ -5461,7 +5466,7 @@ object LlmPipeline {
         |    END AS BIGINT) AS recall_ppm
         |FROM caps, tot ORDER BY cap""".stripMargin),
 
-    // each width arm re-shingled from the same 1-in-4 sample; candidates
+    // each width arm re-shingled from the same 1-in-8 sample; candidates
     // pair on exact shingle strings in under-cap buckets; exact inter
     // counted over ALL shared shingles (= Spark's ri + hot∩hot); the
     // 0.5 threshold compares as 3·it ≥ na+nb in both engines
