@@ -179,6 +179,55 @@ object Battery {
         .orderBy($"l_returnflag")
     }),
 
+    // DRIVER-VISIBLE ERROR ENVELOPE for q11 (r14 verdict item 4): the
+    // sketch estimate itself is engine-specific, so the oracle can
+    // never hash it — but the VERDICT "estimate within 5% of exact"
+    // is exact and hashable. Spark emits the measured verdict next to
+    // the exact distinct count; the oracle emits the same exact count
+    // and the contract as a literal (TRUE) — an estimate drifting past
+    // its envelope turns this row red in the driver's CORRECTNESS
+    // artifact, not just in ScalaTest. Integer comparison (×20), no
+    // float forms.
+    "q11b_approx_distinct_bound" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx"),
+             countDistinct($"l_partkey").as("exact_parts"))
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx" - $"exact_parts") * 20 <= $"exact_parts")
+            .as("within_5pct"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // q33's envelope, same posture: percentile_approx(accuracy=1000)
+    // guarantees rank error ≤ n/1000, so the estimate must land
+    // between the exact rank-⌈0.45n⌉ and rank-⌈0.55n⌉ values — a 50×
+    // slack bracket whose endpoints are raw parquet doubles (value at
+    // a rank is tie-order-invariant), bit-identical in both engines.
+    "q33b_percentile_bracket" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val bracket = li.select($"l_returnflag", $"l_extendedprice")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy($"l_returnflag")))
+        .filter($"rn" === expr("(45 * n + 99) div 100") ||
+                $"rn" === expr("(55 * n + 99) div 100"))
+        .groupBy($"l_returnflag")
+        .agg(max($"n").as("n"),
+             min($"l_extendedprice").as("p45"),
+             max($"l_extendedprice").as("p55"))
+      val am = li.groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("am"))
+      bracket.join(am, Seq("l_returnflag"))
+        .select($"l_returnflag", $"n", $"p45", $"p55",
+          ($"am" >= $"p45" && $"am" <= $"p55").as("within_bracket"))
+        .orderBy($"l_returnflag")
+    }),
+
     // scalar string function library
     "q12_scalar_string" -> ((s, dir) => {
       import s.implicits._
@@ -1037,6 +1086,29 @@ object Battery {
       daily.groupBy($"event_type")
         .agg(count(lit(1)).as("n_days"),
           hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+        .orderBy($"event_type")
+    }),
+
+    // q57's error envelope, q11b's posture: the UNIONED estimate must
+    // sit within 5% of the exact distinct count — the oracle hashes
+    // the exact counts plus the literal contract, so a drifting sketch
+    // union goes red in the driver artifact.
+    "q57b_sketch_union_bound" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy($"event_type",
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      val est = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg($"sk")).as("approx"))
+      val exact = Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      est.join(exact, Seq("event_type"))
+        .select($"event_type", $"n_days", $"exact_users",
+          (abs($"approx" - $"exact_users") * 20 <= $"exact_users")
+            .as("within_5pct"))
         .orderBy($"event_type")
     }),
 
@@ -1979,6 +2051,39 @@ object Battery {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the envelope companions (q11b/q33b/q57b): the oracle emits the
+    // EXACT aggregates plus the contract verdict as a literal TRUE —
+    // the Spark side emits the measured verdict, so an out-of-envelope
+    // sketch estimate is a hash mismatch in the driver artifact
+    "q11b_approx_distinct_bound" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33b_percentile_bracket" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(l_extendedprice) AS p45, MAX(l_extendedprice) AS p55,
+        |  TRUE AS within_bracket
+        |FROM r
+        |WHERE rn = (45 * n + 99) // 100 OR rn = (55 * n + 99) // 100
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q57b_sketch_union_bound" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+        |    AS n_days,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q12_scalar_string" ->
       """SELECT p_partkey,

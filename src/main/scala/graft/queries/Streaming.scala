@@ -214,6 +214,21 @@ object Streaming {
         .orderBy($"event_type")
     }),
 
+    // s13's error envelope (q11b's posture): the one-shot sketch
+    // estimate must sit within 5% of exact — oracle hashes the exact
+    // count plus the literal contract, so sketch drift is driver-red.
+    "s13b_streaming_distinct_bound" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("approx"),
+             countDistinct($"user_id").as("exact_users"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx" - $"exact_users") * 20 <= $"exact_users")
+            .as("within_5pct"))
+        .orderBy($"event_type")
+    }),
+
     // STREAM-SIDE FIELD QUALITY — dq12's ingest contract as the live
     // monitor it would actually run as: per event family, event /
     // empty-payload / non-positive-value counters with ppm verdicts.
@@ -449,6 +464,14 @@ object Streaming {
         |  CAST(COUNT(*) * 1000000 // tot.tot AS BIGINT) AS share_ppm
         |FROM a2 CROSS JOIN tot
         |GROUP BY cid, tot.tot ORDER BY cluster_id""".stripMargin),
+
+    // s13's envelope companion: exact count + literal contract verdict
+    // (q11b's posture — sketch drift becomes a driver hash mismatch)
+    "s13b_streaming_distinct_bound" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // one grouped pass; every cell BIGINT (the r12 portability contract)
     "s19_stream_field_quality" ->
