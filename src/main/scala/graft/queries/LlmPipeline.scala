@@ -3021,9 +3021,11 @@ object LlmPipeline {
       docs.join(emb, "doc_id").orderBy($"doc_id")
     }),
 
-    // multimodal frame sampling: deterministic evenly-spaced frame
-    // offsets per (pretend-video) payload — the DecodeStub sampler runs
-    // distributed via a typed flatMap, one output row per sampled frame
+    // multimodal RANGE-SPLIT sampling: evenly-spaced byte-range starts
+    // per payload via a typed flatMap, one output row per sampled
+    // range — the split plan a ranged reader (HTTP Range fetch,
+    // object-store seek) executes before any decode; CONTAINER-aware
+    // frame offsets are m10/m24's walked-chunk tables
     "m2_frame_sample" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -3033,10 +3035,9 @@ object LlmPipeline {
         .filter($"payload".isNotNull)
         .as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) =>
-          graft.functions.DecodeStub.frameOffsets(bytes.length.toLong, 4)
-            .zipWithIndex.map { case (off, i) =>
-              (id, i.toLong, off, bytes.length.toLong)
-            }
+          val len = bytes.length.toLong
+          if (len <= 0) Iterator.empty
+          else (0 until 4).iterator.map(i => (id, i.toLong, i * len / 4, len))
         }
         .toDF("doc_id", "frame_idx", "offset", "n_bytes")
         .orderBy($"doc_id", $"frame_idx")
@@ -3046,11 +3047,11 @@ object LlmPipeline {
     // synthesized in the executors (pure-JDK BufferedImage + ImageIO —
     // dimensions and fill color are arithmetic functions of doc_id),
     // then REALLY decoded back through the batch-shaped mapPartitions
-    // kernel (same access pattern as m1's stub). The oracle recomputes
-    // the painted width/height/center-pixel arithmetically, so a fake
-    // or broken decoder cannot stay green — this is the decode m1's
-    // DecodeStub stands in for with exotic codecs. Encoded byte length
-    // is encoder-dependent and deliberately NOT in the output.
+    // kernel (same access pattern as m1's header sniffer). The oracle
+    // recomputes the painted width/height/center-pixel arithmetically,
+    // so a fake or broken decoder cannot stay green — this is the
+    // full-decode path behind m1's header-only probe. Encoded byte
+    // length is encoder-dependent and deliberately NOT in the output.
     "m4_png_decode" -> ((s, dir) => {
       import s.implicits._
       // fanout: the single-file scan would otherwise run every PNG
@@ -3634,7 +3635,7 @@ object LlmPipeline {
     // recomputes count/sum/max-abs arithmetically over the same sample
     // function, so a decoder that drops a frame, flips endianness, or
     // mis-parses the fmt chunk cannot stay green. Closes AUDIO the way
-    // m4 closed images; DecodeStub remains only for video.
+    // m4 closed images and m24 closes video.
     "m6_wav_decode" -> ((s, dir) => {
       import s.implicits._
       // the stored-bytes artifact (audioLcg, track A) plays the corpus;
@@ -4036,7 +4037,8 @@ object LlmPipeline {
     // is the point: at 100 TB you decode the sampled frame, never the
     // whole payload. Only true external codecs (H.264 et al.) remain
     // env-constrained; the container/seek/selective-decode plumbing is
-    // proven here, and DecodeStub shrinks to m1's exotic-codec demo.
+    // proven here, and m24 runs the same posture through a REAL
+    // RIFF-AVI/MJPEG container ([[graft.functions.Riff]]).
     "m10_video_container" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Spread.fanout(Tables.documents(s, dir).select($"doc_id")).as[Long]
@@ -4102,6 +4104,73 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
+    // REAL video decode (closes the last stub): per document a genuine
+    // MJPEG AVI is synthesized in the executors ([[graft.functions.Riff]]
+    // — RIFF/hdrl/movi/idx1 per the public AVI spec, JPEG frames via
+    // ImageIO at explicit quality 1.0), then the SAMPLED frame is
+    // recovered by walking the real container and REALLY JPEG-decoded.
+    // Frames are constant-gray — the one JPEG input class that
+    // round-trips bit-exactly (DC-only luma, constant chroma; verified
+    // for all 256 levels × odd/even dims before the oracle was
+    // written) — so the oracle recomputes the decoded pixels
+    // arithmetically (m4's pattern) and any container-walk or codec
+    // fault (wrong chunk, off-by-one offset, channel swap, frame
+    // misselection) goes red. hdr_ok cross-checks the avih/strf/idx1
+    // header claims against the walked movi chunks AND the decoded
+    // dimensions. Scale: embarrassingly parallel batch-shaped
+    // mapPartitions over a fanned-out scan; reductions stay integer.
+    "m24_avi_mjpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Spread.fanout(Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = 11 + (id % 14).toInt
+            val h = 9 + (id % 12).toInt
+            val n = 3 + (id % 4).toInt
+            val frames = (0 until n).map { f =>
+              val v = ((id * 31 + f * 57) % 239).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = img.createGraphics()
+              try { g2.setColor(new java.awt.Color(v, v, v)); g2.fillRect(0, 0, w, h) }
+              finally g2.dispose()
+              graft.functions.Riff.jpegEncode(img)
+            }
+            (id, graft.functions.Riff.aviMjpeg(frames, w, h))
+          }
+        }
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.grouped(64).flatMap(_.iterator.map { case (id, avi) =>
+            graft.functions.Riff.walk(avi) match {
+              case Some(info) if info.frames.nonEmpty =>
+                val k = (id % info.frames.length).toInt
+                val (off, len) = info.frames(k)
+                val im = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(avi, off, len))
+                val c0 = (im.getRGB(0, 0) & 0xff).toLong
+                val want = ((c0 << 16) | (c0 << 8) | c0).toInt
+                var bad = 0L
+                for (x <- 0 until im.getWidth; y <- 0 until im.getHeight)
+                  if ((im.getRGB(x, y) & 0xffffff) != want) bad += 1
+                val hdrOk = info.totalFrames == info.frames.length &&
+                  info.idx1Entries == info.frames.length &&
+                  info.width == im.getWidth && info.height == im.getHeight
+                (id, info.frames.length.toLong, k.toLong,
+                  im.getWidth.toLong, im.getHeight.toLong, c0, bad, hdrOk)
+              case _ =>
+                // unparseable container: per-record sentinel, not a
+                // stage failure (m10's defensive posture)
+                (id, 0L, -1L, 0L, 0L, -1L, -1L, false)
+            }
+          })
+        }
+        .toDF("doc_id", "n_frames", "frame_idx", "width", "height",
+          "gray", "n_bad_px", "hdr_ok")
+        .orderBy($"doc_id")
+    }),
+
     "m9_audio_fingerprint_dedup" -> ((s, dir) => {
       import s.implicits._
       // stored-bytes artifact in; the timed path is REAL decode →
@@ -4133,28 +4202,49 @@ object LlmPipeline {
         .orderBy($"doc_id")
     }),
 
-    // multimodal plumbing: opaque binary payload + typed metadata with a
-    // deterministic decode STUB (no image libs in env) over mapPartitions
+    // multimodal METADATA SNIFF — the header-only probe a corpus
+    // catalog runs before committing to a full decode (dimension and
+    // format filters shouldn't pay codec cost): per document a REAL
+    // PNG is synthesized in the executors (m4's painter), then the
+    // probe parses the PNG signature + IHDR chunk DIRECTLY from the
+    // bytes (big-endian width/height at the spec's fixed offsets) —
+    // no ImageIO on the probe side, batch-shaped like a vectorized
+    // sniffer kernel. The oracle recomputes dims/depth/type from the
+    // paint formula, so the probe agreeing with it witnesses the
+    // header parse; m4 is the full-decode sibling of this scan path.
     "m1_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
-      val payloads = Tables.documents(s, dir)
-        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
-      val decoded = payloads
-        .select($"doc_id", $"payload")
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.grouped(128).flatMap { batch =>
-          // batch shape: the decoder sees chunks of payloads, not rows —
-          // the same access pattern a vectorized (Arrow/mapInPandas-style)
-          // decode kernel needs
-          val dims = graft.functions.DecodeStub.imageDimsBatch(batch.map(_._2))
-          batch.iterator.zip(dims.iterator).map { case ((id, bytes), (w, h)) =>
-            (id, bytes.length.toLong, w, h)
+      graft.ops.Spread.fanout(Tables.documents(s, dir).select($"doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val w = 8 + (id % 16).toInt
+            val h = 8 + (id % 11).toInt
+            val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+            finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
           }
-        })
-        .toDF("doc_id", "n_bytes", "width", "height")
-      decoded
-        .join(payloads.select($"doc_id", md5($"payload").as("digest")), "doc_id")
-        .select($"doc_id", $"n_bytes", $"digest", $"width", $"height")
+        }
+        .mapPartitions(_.grouped(128).flatMap(_.iterator.map { case (id, b) =>
+          // PNG signature (8 bytes), then IHDR: length(4) + 'IHDR'(4) +
+          // width/height as big-endian u32 + bit depth + color type
+          val sigOk = b.length >= 33 &&
+            (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+            b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+          def be32(p: Int): Long =
+            ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+              ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+          if (sigOk) (id, be32(16), be32(20), (b(24) & 0xff).toLong,
+            (b(25) & 0xff).toLong, true)
+          else (id, -1L, -1L, -1L, -1L, false)
+        }))
+        .toDF("doc_id", "width", "height", "bit_depth", "color_type", "sig_ok")
         .orderBy($"doc_id")
     }),
 
@@ -6583,12 +6673,17 @@ object LlmPipeline {
         |WHERE octet_length(encode(text)) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // the IHDR fields replayed from the paint formula: 8-bit truecolor
+    // (bit depth 8, color type 2) at the painted dimensions — encoded
+    // byte LENGTH is encoder-dependent and deliberately absent (m4's
+    // rule)
     "m1_multimodal_meta" ->
       """SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  md5(text) AS digest,
-        |  64 + (ascii(substr(text, 1, 1)) % 64) AS width,
-        |  64 + (octet_length(encode(text)) % 64) AS height
+        |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 11 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(2 AS BIGINT) AS color_type,
+        |  TRUE AS sig_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the decoded dims/pixel must equal what the painter put in — pure
@@ -7100,6 +7195,22 @@ object LlmPipeline {
         |  ANY_VALUE(w) AS width, ANY_VALUE(h) AS height,
         |  CAST(SUM(v) AS BIGINT) AS gray_sum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the decoded frame replayed arithmetically: constant-gray JPEG at
+    // quality 1.0 is bit-exact, so gray is the paint formula, every
+    // pixel matches it (n_bad_px = 0), and the container headers must
+    // agree with the walked movi chunks (hdr_ok literal contract)
+    "m24_avi_mjpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % (3 + doc_id % 4) AS BIGINT) AS frame_idx,
+        |  CAST(11 + doc_id % 14 AS BIGINT) AS width,
+        |  CAST(9 + doc_id % 12 AS BIGINT) AS height,
+        |  CAST((doc_id * 31 + (doc_id % (3 + doc_id % 4)) * 57) % 239
+        |    AS BIGINT) AS gray,
+        |  CAST(0 AS BIGINT) AS n_bad_px,
+        |  TRUE AS hdr_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m9_audio_fingerprint_dedup" ->
       """WITH g AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 
-import graft.functions.{DecodeStub, GoFormat}
+import graft.functions.GoFormat
 import graft.sinks.Format
 
 /** ScalaCheck property suites over the pure kernels (no SparkSession —
@@ -95,9 +95,27 @@ object FormatProps extends Properties("graft.format") {
       !Format.csvNeedsQuotes(sep.toString + rest, ',')
     }
 
-  property("frame offsets are sorted, in range, and n-sized") =
-    Prop.forAll(Gen.chooseNum(1L, 1000000L), Gen.chooseNum(1, 64)) { (len, n) =>
-      val offs = DecodeStub.frameOffsets(len, n)
-      offs.length == n && offs == offs.sorted && offs.forall(o => o >= 0 && o < len)
+  property("AVI container round-trip: walk recovers every written frame") =
+    Prop.forAll(
+      Gen.chooseNum(0, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 300).flatMap(sz =>
+          Gen.listOfN(sz, Gen.chooseNum(-128, 127).map(_.toByte))
+            .map(_.toArray)))),
+      Gen.chooseNum(1, 640), Gen.chooseNum(1, 480)) { (frames, w, h) =>
+      // the container is codec-agnostic: arbitrary (non-JPEG) frame
+      // bytes must survive write→walk byte-identically, with idx1 and
+      // the avih frame count agreeing with the walked movi chunks
+      val avi = graft.functions.Riff.aviMjpeg(frames, w, h)
+      graft.functions.Riff.walk(avi).exists { info =>
+        info.totalFrames == frames.length &&
+        info.idx1Entries == frames.length &&
+        info.width == w && info.height == h &&
+        info.frames.length == frames.length &&
+        info.frames.zip(frames).forall { case ((off, len), orig) =>
+          len == orig.length &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(avi, off, off + len), orig)
+        }
+      }
     }
 }
