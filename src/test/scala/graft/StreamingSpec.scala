@@ -822,4 +822,64 @@ class StreamingSpec extends SparkTestBase {
       .select(expr("xxhash64(seg)")).distinct().count()
     assert(idxN == segN, s"index $idxN vs distinct segments $segN")
   }
+
+  test("trigger cadence: rate-source micro-batch latency for s1/s9/s11 shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+    // every other streaming proof here rides file-source micro-batches
+    // (processAllAvailable — a THROUGHPUT posture); this one measures
+    // the LATENCY dimension: a live rate source under a 1 s
+    // ProcessingTime trigger, per-micro-batch triggerExecution wall
+    // read back from the query's own progress telemetry. 500 rows/s →
+    // ~500-row micro-batches, the monitoring-grade cadence these
+    // operators would serve in production.
+    def rateEvents(): org.apache.spark.sql.DataFrame =
+      spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .select(($"value" % 97).as("user_id"), $"timestamp".as("ts"),
+          $"value".as("event_id"),
+          concat(lit("t"), ($"value" % 5).cast("string")).as("event_type"),
+          (($"value" % 1000).cast("double") / 10.0).as("value"))
+
+    def measure(name: String)
+               (start: org.apache.spark.sql.DataFrame => StreamingQuery)
+        : (Int, Long, Long, Long) = {
+      val q = start(rateEvents())
+      try Thread.sleep(12000) finally q.stop()
+      val durs = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong).sorted
+      assert(durs.size >= 4,
+        s"$name: want >=4 non-empty micro-batches, got ${durs.size}")
+      def p(f: Double) = durs(((durs.size - 1) * f).round.toInt)
+      info(s"$name: n=${durs.size} p50=${p(0.5)}ms p90=${p(0.9)}ms " +
+        s"max=${durs.last}ms")
+      // steady state must fit the 1 s trigger with room; the cap is
+      // generous so box contention cannot flake the suite — the real
+      // numbers land in PLANS.md from a quiet run
+      assert(p(0.5) < 5000, s"$name p50 ${p(0.5)}ms exceeds cadence budget")
+      (durs.size, p(0.5), p(0.9), durs.last)
+    }
+
+    val trig = Trigger.ProcessingTime("1 second")
+    measure("s1-tumbling") { ev =>
+      Streams.tumblingHourlyStream(ev)
+        .writeStream.trigger(trig).format("memory")
+        .queryName("lat_s1").outputMode("update").start()
+    }
+    measure("s9-sessionize") { ev =>
+      // sessions never close at rate-source spacing (30 min gap), so
+      // output stays empty — the cost measured is exactly the state
+      // round-trip every micro-batch pays
+      Streams.sessionizeEvents(ev, 1800000000L, emitOpen = false)
+        .writeStream.trigger(trig).format("memory")
+        .queryName("lat_s9").outputMode("append").start()
+    }
+    val servingDir =
+      java.nio.file.Files.createTempDirectory("graft_lat_serving").toString
+    measure("s11-upsert") { ev =>
+      ev.writeStream.trigger(trig)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Streams.upsertServing(b, servingDir, id)
+        }.start()
+    }
+  }
 }

@@ -47,7 +47,65 @@ def canon(rows, colnames):
     return sorted(out)
 
 
+def times_only(sf_dir, oracle_json, out_json):
+    """Run every oracle SQL against <sf_dir> views and record wall times
+    (no Spark dump needed): the same-scale DuckDB denominator for the
+    2x budget at scales where a full Verify dump is not on hand.
+
+    Usage: check_oracle.py --times-only <sfDir> <oracle_sql.json> <out.json>
+    """
+    print(f"oracle timing DuckDB version: {duckdb.__version__}")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads(Path(oracle_json).read_text())
+    # per-query interrupt cap: an iterative-SQL outlier (gr4_kcore is
+    # 431 s at sf0.1 alone) could otherwise run for hours at sf1 —
+    # capped queries are recorded at the cap as an explicit LOWER
+    # bound, so the total stays an honest >= denominator
+    cap = float(__import__("os").environ.get("ORACLE_QUERY_CAP_SEC", "0"))
+    import threading
+    secs, capped = {}, []
+    for name in sorted(oracle):
+        t0 = time.monotonic()
+        timer = None
+        if cap > 0:
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
+        try:
+            n = len(con.sql(oracle[name]).fetchall())
+            secs[name] = round(time.monotonic() - t0, 3)
+            print(f"[timed] {name}: {secs[name]} s ({n} rows)")
+        except Exception as e:
+            el = time.monotonic() - t0
+            if cap > 0 and el >= cap - 1:
+                secs[name] = round(el, 3)
+                capped.append(name)
+                print(f"[capped] {name}: >= {secs[name]} s")
+            else:
+                secs[name] = None
+                print(f"[ERR] {name}: {e}")
+        finally:
+            if timer is not None:
+                timer.cancel()
+        # flush per query so a long run is observable from outside
+        sys.stdout.flush()
+    total = sum(v for v in secs.values() if v is not None)
+    out = {"sf_dir": sf_dir, "total_sec": round(total, 1),
+           "n_queries": len([v for v in secs.values() if v is not None]),
+           "cap_sec": cap, "capped": capped,
+           "queries": secs}
+    Path(out_json).write_text(json.dumps(out, indent=1, sort_keys=True))
+    print(f"\ntotal {round(total, 1)} s over {out['n_queries']} oracles"
+          f" ({len(capped)} capped) -> {out_json}")
+
+
 def main():
+    if sys.argv[1] == "--times-only":
+        times_only(sys.argv[2], sys.argv[3], sys.argv[4])
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     print(f"local gate DuckDB version: {duckdb.__version__} "
           f"(the driver's engine may differ — keep oracle outputs portable)")
