@@ -44,7 +44,51 @@ object Bench {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "--worker" :: spec :: out :: Nil => workerMain(spec, out)
+    case "--profile" :: names :: Nil => profileMain(names.split(",").toSeq)
     case _ => coordinatorMain()
+  }
+
+  /** Dev diagnostic (not a driver mode): split a query's billed wall
+    * into build (DataFrame construction incl. any eager artifact work),
+    * plan (analysis → physical), and execute (toRdd drain) — the
+    * attribution tool for the sub-second queries' fixed-cost floor. */
+  private def profileMain(names: Seq[String]): Unit = {
+    val spark = newSession()
+    val dir = sfDir
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    names.foreach { name =>
+      // `scan:<table>[:c1,c2]` probes the raw fixture decode floor —
+      // the single-row-group fixture caps every scan at one task, so
+      // this isolates how much of a cheap query's bill is that decode
+      val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name.startsWith("scan:")) {
+          val parts = name.drop(5).split(":")
+          (s, d) => {
+            val df = s.read.parquet(s"$d/${parts(0)}.parquet")
+            if (parts.length > 1) df.selectExpr(parts(1).split(",").toSeq: _*)
+            else df
+          }
+        } else SparkEntry.queries(name)
+      try fn(spark, dir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sqlContext.clearCache(); System.gc()
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        val t3 = System.nanoTime()
+        println(f"[profile] $name run$i build=${(t1 - t0) / 1e3}%.0fus " +
+          f"plan=${(t2 - t1) / 1e3}%.0fus exec=${(t3 - t2) / 1e3}%.0fus " +
+          f"total=${(t3 - t0) / 1e6}%.0fms")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        spark.sqlContext.clearCache(); System.gc()
+      }
+    }
+    spark.stop()
   }
 
   // ---------------------------------------------------------------------
