@@ -1466,16 +1466,37 @@ object LlmPipeline {
             explode(graft.functions.PairCombos($"ids")).as("p"))
           .select($"config", $"p.d1".as("d1"), $"p.d2".as("d2"))
           .distinct())
-      // exact verify via the hot-only split (exactInterFor) — never a
-      // full per-doc shingle-array gather
-      val ex = exactInterFor(sh, allCand.select($"d1", $"d2"))
+      // exact verify on a DETERMINISTIC 1-in-16 PAIR LOTTERY
+      // (md5("d1:d2") first hex = '0'; same-keyed in the oracle): the
+      // 16x1 tier is a deliberate birthday cliff — 14.9M DISTINCT
+      // pairs at sf1 (measured r15; the volume swings 2-3× across
+      // fixture regenerations because bucket occupancy sits AT the
+      // cap) — and no 100 TB calibration exact-verifies a degenerate
+      // tier; it verifies a sample and reports sampled precision next
+      // to EXACT candidate volume (d42/d43's doc-sample posture at
+      // pair grain). The r15 stage split that forced this: bands +
+      // expansion + distinct = 65 s, exact verify = 260 s at sf1 —
+      // 80% of the bill priced pairs a sample prices equally well.
+      // Verify still rides the hot-only split (exactInterFor) — never
+      // a full per-doc shingle-array gather.
+      val sampled = allCand.filter(
+        substring(md5(concat($"d1".cast("string"), lit(":"),
+          $"d2".cast("string"))), 1, 1) === "0")
+      val ex = exactInterFor(sh, sampled.select($"d1", $"d2"))
         .select($"d1", $"d2",
           (expr("inter * 2") >= expr("na + nb - inter")).as("good"))
-      allCand.join(ex, Seq("d1", "d2"))
-        .groupBy($"config")
-        .agg(count(lit(1)).as("n_cand"),
-          sum(when($"good", 1L).otherwise(0L)).as("n_good"))
-        .withColumn("precision_ppm", expr("n_good * 1000000 div n_cand"))
+      allCand.groupBy($"config").agg(count(lit(1)).as("n_cand"))
+        .join(sampled.join(ex, Seq("d1", "d2"))
+            .groupBy($"config")
+            .agg(count(lit(1)).as("n_verified"),
+              sum(when($"good", 1L).otherwise(0L)).as("n_good")),
+          Seq("config"), "left")
+        .select($"config", $"n_cand",
+          coalesce($"n_verified", lit(0L)).as("n_verified"),
+          coalesce($"n_good", lit(0L)).as("n_good"),
+          when(coalesce($"n_verified", lit(0L)) === 0L, 0L)
+            .otherwise(expr("n_good * 1000000 div n_verified"))
+            .as("precision_ppm"))
         .orderBy($"config")
     }),
 
@@ -5395,11 +5416,17 @@ object LlmPipeline {
         |  JOIN sizes s1 ON c.d1 = s1.doc_id
         |  JOIN sizes s2 ON c.d2 = s2.doc_id
         |  LEFT JOIN iv ON c.d1 = iv.d1 AND c.d2 = iv.d2
-        |)
-        |SELECT config, COUNT(*) AS n_cand,
-        |  CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
-        |  CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS precision_ppm
-        |FROM scored GROUP BY config ORDER BY config""".stripMargin)
+        |  WHERE substr(md5(CAST(c.d1 AS VARCHAR) || ':' || CAST(c.d2 AS VARCHAR)), 1, 1) = '0'
+        |),
+        |vols AS (SELECT config, COUNT(*) AS n_cand FROM allcand GROUP BY config)
+        |SELECT v.config, v.n_cand,
+        |  CAST(COALESCE(COUNT(s.good), 0) AS BIGINT) AS n_verified,
+        |  CAST(COALESCE(SUM(CASE WHEN s.good THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_good,
+        |  CAST(CASE WHEN COUNT(s.good) = 0 THEN 0
+        |    ELSE COALESCE(SUM(CASE WHEN s.good THEN 1 ELSE 0 END), 0) * 1000000 // COUNT(s.good)
+        |    END AS BIGINT) AS precision_ppm
+        |FROM vols v LEFT JOIN scored s ON s.config = v.config
+        |GROUP BY v.config, v.n_cand ORDER BY v.config""".stripMargin)
     },
 
     // d3's generated signature/band CTE, extended with the per-pair

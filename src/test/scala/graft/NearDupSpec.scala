@@ -318,12 +318,18 @@ class NearDupSpec extends SparkTestBase {
     val rows = SparkEntry.queries("d33_lsh_param_sweep")(
         spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getString(0) ->
-        (r.getAs[Long]("n_cand"), r.getAs[Long]("n_good"), r.getAs[Long]("precision_ppm")))
+        (r.getAs[Long]("n_cand"), r.getAs[Long]("n_verified"),
+          r.getAs[Long]("n_good"), r.getAs[Long]("precision_ppm")))
       .toMap
     assert(rows.keySet == Set("2x8", "4x4", "8x2", "16x1"))
-    rows.foreach { case (cfg, (cand, good, ppm)) =>
-      assert(good <= cand, s"$cfg: $good > $cand")
-      assert(ppm == good * 1000000L / cand, s"$cfg precision inconsistent")
+    rows.foreach { case (cfg, (cand, verified, good, ppm)) =>
+      // the verify is a deterministic 1-in-16 pair lottery: verified
+      // pairs are a subset of candidates, goods a subset of verified,
+      // and the reported precision is over the verified sample
+      assert(verified <= cand, s"$cfg: $verified > $cand")
+      assert(good <= verified, s"$cfg: $good > $verified")
+      assert(ppm == (if (verified == 0) 0L else good * 1000000L / verified),
+        s"$cfg precision inconsistent")
     }
     // absent cap effects, more bands can only add candidate pairs; on
     // this fixture the cap never binds (buckets are tiny), so the
