@@ -68,7 +68,19 @@ def times_only(sf_dir, oracle_json, out_json):
     cap = float(__import__("os").environ.get("ORACLE_QUERY_CAP_SEC", "0"))
     import threading
     secs, capped = {}, []
+    # resume: a prior partial run's per-query values can be seeded via
+    # ORACLE_TIMES_SEED (a json of {name: sec}); seeded names are kept
+    # as-is (capped seeds stay lower bounds) and not re-run
+    seed_path = __import__("os").environ.get("ORACLE_TIMES_SEED")
+    if seed_path and Path(seed_path).exists():
+        seeded = json.loads(Path(seed_path).read_text())
+        secs.update({k: v for k, v in seeded.get("queries", seeded).items()
+                     if v is not None})
+        capped.extend(seeded.get("capped", []))
+        print(f"[seeded] {len(secs)} prior timings from {seed_path}")
     for name in sorted(oracle):
+        if name in secs:
+            continue
         t0 = time.monotonic()
         timer = None
         if cap > 0:
