@@ -20,6 +20,7 @@ object SparkEntry {
       (q.Graph.queries, q.Graph.oracleSql),
       (q.Clustering.queries, q.Clustering.oracleSql),
       (q.Quality.queries, q.Quality.oracleSql),
+      (q.Linkage.queries, q.Linkage.oracleSql),
       (q.Selection.queries, q.Selection.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql),
     )

@@ -1944,15 +1944,37 @@ object LlmPipeline {
     "d6_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.{LshSignature, VecDot}
-      val nTables = 16; val bitsPerTable = 5
+      val nTables = 16
       val e = graft.ops.Spread.fanout(Tables.embeddings(s, dir))
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // INDEX SIZING: bits per table grows with log2(n/25) (floor 5) —
+      // the production LSH rule that keeps EXPECTED bucket occupancy
+      // (~25) and therefore candidates-per-vector CONSTANT as the
+      // corpus grows. The r15 sf3 probe showed why a fixed width
+      // can't ship: at 5 bits the 32 buckets/table saturate, bucket
+      // occupancy grows ∝ n, and the uncapped self-join expanded
+      // ~1 B candidate rows at 60 k vectors (quadratic). The count()
+      // here is index-sizing metadata — one columnar count at plan
+      // time, the same class of scalar AQE reads, not a data collect.
+      // Both the bit rule and the hot cap below replay in the oracle.
+      val nVec = e.count()
+      val bitsPerTable = math.max(5,
+        math.ceil(math.log(nVec / 25.0) / math.log(2.0)).toInt)
       val sig = e.select($"vec_id",
           posexplode(LshSignature($"v", nTables, bitsPerTable)))
         .select($"vec_id", $"pos".as("t"), $"col".as("bucket"))
-      val cand = sig.as("a")
-        .join(sig.as("b"),
+      // HOT-BUCKET BACKSTOP: even with log-scaled bits, a degenerate
+      // projection (mass on one side of a hyperplane set) can pile a
+      // constant FRACTION of the corpus into one bucket; buckets over
+      // MaxBucketSize are dropped whole — the d2/d3/d24 df-cap
+      // posture at the (table, bucket) grain.
+      val hot = sig.groupBy($"t", $"bucket")
+        .agg(count(lit(1)).as("df")).filter($"df" > MaxBucketSize)
+        .select($"t", $"bucket")
+      val kept = sig.join(hot, Seq("t", "bucket"), "left_anti")
+      val cand = kept.as("a")
+        .join(kept.as("b"),
           $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
             $"a.vec_id" =!= $"b.vec_id")
         .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"))
@@ -2137,12 +2159,21 @@ object LlmPipeline {
         .select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val n = e.select($"vec_id", $"v", sqrt(VecDot($"v", $"v")).as("norm"))
+      // NO global orderBy on the output: the pair set itself grows
+      // quadratically on copy-heavy corpora (every near-copy pair
+      // passes the 0.45 gate), and the r15 sf3 probe showed a single
+      // total-order sort of that stream spilling 80 GB / allocating
+      // 4 GB sort pages before dying. The driver's comparator sorts
+      // rows before hashing, and the downstream consumer (cc1's
+      // resolver) keys by d1 — nothing needs a total order. Compute
+      // stays brute-force O(n²) BY DESIGN: this is the oracle-grade
+      // exact baseline the capped/bucketed paths (d20 SemDeDup, d6
+      // LSH, d7 IVF) are audited against.
       n.as("a").crossJoin(n.as("b"))
         .filter($"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("d1"), $"b.vec_id".as("d2"),
           (VecDot($"a.v", $"b.v") / ($"a.norm" * $"b.norm")).as("cos"))
         .filter($"cos" >= 0.45)
-        .orderBy($"d1", $"d2")
     }),
 
     // token counting: whitespace tokens + a BPE-ish regex segmentation
@@ -5838,6 +5869,12 @@ object LlmPipeline {
         |  FROM embeddings
         |),
         |dims AS (SELECT max(len(v)) AS dim FROM e),
+        |-- index sizing replay: bits = max(5, ceil(log2(n/25))), the
+        |-- same constant-occupancy rule the Spark side derives
+        |nbits AS (
+        |  SELECT GREATEST(5, CAST(CEIL(LOG2(COUNT(*) / 25.0)) AS INTEGER)) AS b
+        |  FROM e
+        |),
         |planes AS (
         |  SELECT t, p, list(w ORDER BY j) AS w
         |  FROM (
@@ -5846,7 +5883,7 @@ object LlmPipeline {
         |        substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(p.p AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)), 1, 1))
         |        - 1 - 7.5 AS w
         |    FROM (SELECT unnest(range(16)) AS t) t,
-        |         (SELECT unnest(range(5)) AS p) p,
+        |         (SELECT unnest(range((SELECT b FROM nbits))) AS p) p,
         |         (SELECT unnest(range((SELECT dim FROM dims))) AS j) j
         |  )
         |  GROUP BY t, p
@@ -5862,9 +5899,18 @@ object LlmPipeline {
         |    list_reduce(list(bit ORDER BY p), (a, b) -> a*2 + b) AS bucket
         |  FROM bits GROUP BY vec_id, t
         |),
+        |-- hot-bucket backstop replay: buckets over 100 members drop whole
+        |hot AS (
+        |  SELECT t, bucket FROM sig GROUP BY t, bucket HAVING COUNT(*) > 100
+        |),
+        |kept AS (
+        |  SELECT s.* FROM sig s
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |                    WHERE h.t = s.t AND h.bucket = s.bucket)
+        |),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr
-        |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |  FROM kept a JOIN kept b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
         |),
         |n AS (
         |  SELECT vec_id, v,
