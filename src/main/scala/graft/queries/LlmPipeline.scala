@@ -3655,27 +3655,55 @@ object LlmPipeline {
           })
         }.toDF("doc_id", "dhash_hi", "dhash_lo")
         .transform(graft.ops.Materialize(_))
-      val bands = hashes.select($"doc_id", $"dhash_hi", $"dhash_lo",
+      // DICTIONARY-GRAIN banding (r15 sf3 finding): on a copy-heavy
+      // corpus whole classes of docs share one dhash, so doc-grain
+      // band pairs grow quadratically — the sf1→sf3 exponent measured
+      // 2.45 and the pair distinct dominated the bill. Every pair
+      // decision (share a band, Hamming ≤ 2) is a function of the TWO
+      // HASHES alone, so the self-join runs on the DISTINCT-hash
+      // dictionary (bounded by image-content diversity, not corpus
+      // size — er1's weighted-dictionary posture) and per-doc
+      // neighbor stats recompute arithmetically from class sizes:
+      // results are bit-identical, the oracle is untouched.
+      val dict = graft.ops.Materialize(
+        hashes.groupBy($"dhash_hi", $"dhash_lo")
+          .agg(count(lit(1)).as("cnt"), min($"doc_id").as("min1")))
+      // second-smallest member per class: the min_nbr of the class's
+      // own minimum (its nearest within-class neighbor by id)
+      val min2 = hashes.join(dict, Seq("dhash_hi", "dhash_lo"))
+        .filter($"doc_id" =!= $"min1")
+        .groupBy($"dhash_hi", $"dhash_lo").agg(min($"doc_id").as("min2"))
+      val classes = dict.join(min2, Seq("dhash_hi", "dhash_lo"), "left")
+      val bands = classes.select($"dhash_hi", $"dhash_lo", $"cnt", $"min1",
         posexplode(array(
           $"dhash_lo".bitwiseAND(lit(65535L)),
           shiftright($"dhash_lo", 16).bitwiseAND(lit(65535L)),
           $"dhash_hi".bitwiseAND(lit(65535L)),
           shiftright($"dhash_hi", 16).bitwiseAND(lit(65535L))))
           .as(Seq("bidx", "bval")))
-      val pairs = bands.as("a")
+      // DIRECTED class pairs (each matched class sees the other):
+      // dedup at class grain, Hamming once per class pair
+      val cpairs = bands.as("a")
         .join(bands.as("b"),
           $"a.bidx" === $"b.bidx" && $"a.bval" === $"b.bval" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-          (bit_count(expr("a.dhash_hi ^ b.dhash_hi")) +
-            bit_count(expr("a.dhash_lo ^ b.dhash_lo"))).as("hamming"))
+            ($"a.dhash_hi" =!= $"b.dhash_hi" ||
+              $"a.dhash_lo" =!= $"b.dhash_lo"))
+        .select($"a.dhash_hi".as("dhash_hi"), $"a.dhash_lo".as("dhash_lo"),
+          $"b.dhash_hi".as("ohi"), $"b.dhash_lo".as("olo"),
+          $"b.cnt".as("ocnt"), $"b.min1".as("omin"))
         .distinct()
-        .filter($"hamming" <= 2)
-      // per-doc neighbor accounting over the undirected pair set
-      val nbrs = pairs.select($"d1".as("doc_id"), $"d2".as("nbr"))
-        .unionByName(pairs.select($"d2".as("doc_id"), $"d1".as("nbr")))
-      nbrs.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_nbrs"), min($"nbr").as("min_nbr"))
+        .filter((bit_count(expr("dhash_hi ^ ohi")) +
+          bit_count(expr("dhash_lo ^ olo"))) <= 2)
+      val matched = cpairs.groupBy($"dhash_hi", $"dhash_lo")
+        .agg(sum($"ocnt").as("xcnt"), min($"omin").as("xmin"))
+      hashes.join(classes, Seq("dhash_hi", "dhash_lo"))
+        .join(matched, Seq("dhash_hi", "dhash_lo"), "left")
+        .withColumn("own_min", when($"cnt" > 1,
+          when($"doc_id" === $"min1", $"min2").otherwise($"min1")))
+        .withColumn("n_nbrs", $"cnt" - 1 + coalesce($"xcnt", lit(0L)))
+        .filter($"n_nbrs" >= 1)
+        // least() skips NULLs: singleton classes contribute no own_min
+        .select($"doc_id", $"n_nbrs", least($"own_min", $"xmin").as("min_nbr"))
         .orderBy($"doc_id")
     }),
 
