@@ -248,11 +248,12 @@ object Clustering {
   // the code table — codes never shuffle, and per-query top-3 comes
   // from the map-side-heap TopKPerKey, not a global sort.
   //
-  // Unlike d6/d7 (rows-only: bucket recall is the point), EVERYTHING
-  // here is deterministic — seeds are the first-k subvectors, argmins
+  // Like d6/d7 (both hash-gated since r11), EVERYTHING here is
+  // deterministic — seeds are the first-k subvectors, argmins
   // tie-break on centroid id, ADC sums are DECIMAL(38,6)-stabilized —
   // so the whole index + search pipeline is hash-gated by the oracle.
-  // AnnRecallSpec asserts the approximation quality floor separately.
+  // AnnRecallSpec asserts the approximation quality floor, and d26b
+  // driver-gates it (the d6b/d7b recall-envelope posture).
   // ---------------------------------------------------------------------
 
   private val PqM = 8       // subspaces
@@ -878,6 +879,39 @@ object Clustering {
       pqSearch(s, dir, kNbrs = 3, dbTag = "all",
           dbPred = lit(true), qPred = col("vec_id") % 10 === 0)
         .orderBy(col("vec_id"), col("rn"))),
+
+    // d26's recall envelope, DRIVER-GATED (r15 verdict item 4, the
+    // d6b/d7b posture): recall@1 of the PQ-ADC + exact-re-rank top-1
+    // against the exact-L2 truth over the same query set, with the
+    // AnnRecallSpec floor (0.75) as a literal. The truth queries are
+    // additionally bounded by the knnQuerySide md5-sample (identity at
+    // every oracle-gated scale — 200 queries vs a 2048 cap — and a
+    // corpus-size-independent bound past it), so truth derivation is
+    // #queries · corpus, never corpus². Integer ppm, no float forms.
+    "d26b_ann_pq_recall" -> ((s, dir) => {
+      import graft.functions.VecSqDist
+      val e = prep(Tables.embeddings(s, dir))
+      val q = LlmPipeline.knnQuerySide(
+        e.filter(col("vec_id") % 10 === 0), LlmPipeline.KnnQueryCap)
+      val bf = broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv")))
+        .crossJoin(e.select(col("vec_id").as("nbr"), col("v").as("nv")))
+        .filter(col("qid") =!= col("nbr"))
+        .select(col("qid"), col("nbr"), VecSqDist(col("qv"), col("nv")).as("d2"))
+      val truth = graft.plans.TopK.perKey(bf, keys = Seq(col("qid")),
+          order = Seq(col("d2").asc, col("nbr").asc), k = 1)
+        .select(col("qid").as("vec_id"), col("nbr").as("true_nbr"))
+      val found = pqSearch(s, dir, kNbrs = 3, dbTag = "all",
+          dbPred = lit(true), qPred = col("vec_id") % 10 === 0)
+        .filter(col("rn") === 1).select(col("vec_id"), col("nbr"))
+      truth.join(found, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("nbr") === col("true_nbr"), 1L).otherwise(0L))
+            .as("n_hits"))
+        .select(col("n_queries"), col("n_hits"),
+          expr("n_hits * 1000000 div n_queries").as("recall_ppm"),
+          lit(750000L).as("floor_ppm"),
+          expr("n_hits * 1000000 div n_queries >= 750000").as("above_floor"))
+    }),
 
     // INDEX MAINTENANCE posture: an arriving embedding increment (every
     // 5th vector) searches the pre-existing corpus for near-duplicates
@@ -1513,6 +1547,40 @@ object Clustering {
     },
 
     "d26_ann_pq" -> pqOracleFor(_ => "TRUE", a => s"${a}vec_id % 10 = 0"),
+
+    // d26's recall envelope: the full PQ replay as a subquery, scored
+    // against an exact-L2 truth over the md5-bounded query sample —
+    // the recall number itself is hash-gated (the d6b/d7b posture)
+    "d26b_ann_pq_recall" -> {
+      val d26sql = pqOracleFor(_ => "TRUE", a => s"${a}vec_id % 10 = 0")
+      s"""WITH found AS (SELECT vec_id, nbr FROM ($d26sql) t WHERE rn = 1),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |q AS (SELECT * FROM e WHERE vec_id % 10 = 0
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2048),
+         |bf AS (
+         |  SELECT q.vec_id, e.vec_id AS nbr,
+         |    list_reduce(list_transform(range(len(q.v)),
+         |      i -> (q.v[i+1]-e.v[i+1])*(q.v[i+1]-e.v[i+1])), (x, y) -> x + y) AS d2
+         |  FROM q JOIN e ON q.vec_id <> e.vec_id
+         |),
+         |truth AS (
+         |  SELECT vec_id, nbr AS true_nbr FROM (
+         |    SELECT vec_id, nbr,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, nbr ASC) AS rn
+         |    FROM bf) WHERE rn = 1
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(CASE WHEN f.nbr = tr.true_nbr THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN f.nbr = tr.true_nbr THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS recall_ppm,
+         |  CAST(750000 AS BIGINT) AS floor_ppm,
+         |  SUM(CASE WHEN f.nbr = tr.true_nbr THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) >= 750000 AS above_floor
+         |FROM truth tr LEFT JOIN found f ON f.vec_id = tr.vec_id""".stripMargin
+    },
     "d27_incremental_ann_ingest" ->
       pqOracleFor(a => s"${a}vec_id % 5 <> 0", a => s"${a}vec_id % 5 = 0"),
 

@@ -95,14 +95,14 @@ class LinkageSpec extends SparkTestBase {
   }
 
   test("er3 blocking lemma: lev<=1 strings (len>=2) share first or last char") {
-    // property over a generated corpus of short strings — the lemma the
-    // blocking's 100% recall rests on
-    val alpha = "abcd"
-    val strs = for {
-      n <- 2 to 4
-      s <- Iterator.fill(1)(alpha.combinations(n)).flatten.flatMap(_.permutations)
-    } yield s.mkString
-    val all = strs.distinct
+    // property over the FULL cross product of 'abcd'-alphabet strings of
+    // length 2..4 (4^2+4^3+4^4 = 336) — not just distinct-character
+    // permutations, so repeated-letter cases ('aa'/'ab', 'aba'/'ba')
+    // exercise the lemma's whole claimed domain
+    val alpha = "abcd".toSeq.map(_.toString)
+    def words(n: Int): Seq[String] =
+      if (n == 0) Seq("") else for (w <- words(n - 1); c <- alpha) yield w + c
+    val all = (2 to 4).flatMap(words)
     for (a <- all; b <- all if a != b && lev(a, b) <= 1)
       assert(a.head == b.head || a.last == b.last, s"counterexample: $a / $b")
   }
