@@ -2802,34 +2802,47 @@ object LlmPipeline {
     // distinct word-8-grams appear for the FIRST time there. A flat
     // novelty_ppm tail is the "the next crawl batch buys almost no new
     // content" signal data teams read before paying for more ingest;
-    // cum_gram_types is the saturation curve itself. Scale shape: one
-    // gram explode (per-doc distinct), one (slice, gram) dedup and one
-    // gram-keyed min-slice aggregate — all map-side combining, no
-    // corpus reshuffle beyond the gram aggregation; the output frame
-    // is a fixed 10-row spine (empty slices read 0, the q73 dense-
-    // spine posture). Grams ride as strings to match the oracle
-    // cell-for-cell; production would xxhash64 them through the
-    // shuffle (d10's documented 8-byte-key trade). All-integer cells.
+    // cum_gram_types is the saturation curve itself. Scale shape: ONE
+    // corpus-volume shuffle — grams ride as xxhash64 keys (d10's
+    // 8-byte-key trade; the string-keyed oracle still matches at these
+    // densities) into a single bit_or aggregate that folds each gram's
+    // slice set into a 10-bit presence mask. The mask's lowest set bit
+    // IS min(slice), so novelty needs no second gram-keyed shuffle and
+    // no self-join: everything after the mask agg runs on the <=1024
+    // distinct mask values. n_docs is doc-grain (every kept doc
+    // contributes >=1 gram), so it never touches the explode. The
+    // output frame is a fixed 10-row spine (empty slices read 0, the
+    // q73 dense-spine posture). All-integer cells.
     "t38_ngram_novelty" -> ((s, dir) => {
       import s.implicits._
       val d0 = Tables.documents(s, dir)
         .select($"doc_id", toks($"text").as("toks"))
         .filter(size($"toks") >= 8)
       val mx = d0.agg(max($"doc_id").as("mxid"))
-      val grams = d0.crossJoin(broadcast(mx))
+      val docs = d0.crossJoin(broadcast(mx))
         .select($"doc_id",
           least(lit(9L), expr("doc_id * 10 div (mxid + 1)")).as("slice"),
+          $"toks")
+      val docsPerSlice = docs.groupBy($"slice")
+        .agg(count(lit(1)).as("n_docs"))
+      val maskCounts = docs
+        .select($"slice",
           explode(expr(
             "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
             .as("g"))
-      val docsPerSlice = grams.groupBy($"slice")
-        .agg(countDistinct($"doc_id").as("n_docs"))
-      val sliceGram = grams.select($"slice", $"g").distinct()
-      val firstSlice = sliceGram.groupBy($"g").agg(min($"slice").as("fs"))
-      val per = sliceGram.join(firstSlice, Seq("g"))
+        .select(xxhash64($"g").as("g"),
+          expr("shiftleft(1L, cast(slice as int))").as("m"))
+        .groupBy($"g").agg(expr("bit_or(m)").as("mask"))
+        .groupBy($"mask").agg(count(lit(1)).as("n"))
+      val per = s.range(10).select($"id".cast("int").as("slice"))
+        .crossJoin(broadcast(maskCounts))
+        .filter(expr("shiftright(mask, slice) % 2 = 1"))
         .groupBy($"slice")
-        .agg(count(lit(1)).as("n_gram_types"),
-          sum(when($"fs" === $"slice", 1L).otherwise(0L)).as("n_novel"))
+        .agg(sum($"n").as("n_gram_types"),
+          sum(when(
+            expr("(mask & (shiftleft(2L, slice) - 1)) = shiftleft(1L, slice)"),
+            $"n").otherwise(0L)).as("n_novel"))
+        .select($"slice".cast("long").as("slice"), $"n_gram_types", $"n_novel")
       val spine = s.range(10).select($"id".as("slice"))
       val joined = spine
         .join(per.join(docsPerSlice, Seq("slice")), Seq("slice"), "left")
