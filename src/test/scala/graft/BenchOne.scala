@@ -119,6 +119,14 @@ object BenchOne {
           while (i < reps) { acc += decode(wav).length; i += 1 }; acc
         }
       }
+    } else if (name.startsWith("_explain:")) {
+      // the deliverable plan artifact: .explain("formatted") exactly as
+      // the optimization guide §7.2 prescribes (initial plan, pushed
+      // filters, read schema, join strategies, exchange placement)
+      val q = name.stripPrefix("_explain:")
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      println(s"== $q @ $sfDir ==")
+      df.explain("formatted")
     } else if (name.startsWith("_aqe:")) {
       // final ADAPTIVE plan: execute first (AQE re-plans at runtime,
       // so the pre-execution plan hides coalesced exchanges), then

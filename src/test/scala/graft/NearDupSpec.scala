@@ -42,7 +42,8 @@ class NearDupSpec extends SparkTestBase {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(docs.map { case (id, t) => Row(id, t) }),
       schema)
-    LlmPipeline.nearDupJaccard(LlmPipeline.shingleIndex(df), maxDf, threshold)
+    LlmPipeline.nearDupJaccard(
+        LlmPipeline.withCorpusDf(LlmPipeline.shingleIndex(df)), maxDf, threshold)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
   }
 
@@ -237,7 +238,8 @@ class NearDupSpec extends SparkTestBase {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(docs.map { case (id, t) => Row(id, t) }),
       schema)
-    LlmPipeline.containmentPairs(LlmPipeline.shingleIndex(df), maxDf, tau)
+    LlmPipeline.containmentPairs(
+        LlmPipeline.withCorpusDf(LlmPipeline.shingleIndex(df)), maxDf, tau)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
   }
 

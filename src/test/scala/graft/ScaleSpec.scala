@@ -1451,8 +1451,9 @@ class ScaleSpec extends SparkTestBase {
     // fraction of the all-pairs space and (b) within a small multiple
     // of the pairs actually emitted — i.e. the prune does its job
     val docs = Tables.documents(spark, sf0001)
-    val sh = graft.queries.LlmPipeline.shingleIndex(docs)
-      .select($"doc_id", xxhash64($"shingle").as("shingle"))
+    val sh = graft.queries.LlmPipeline.withCorpusDf(
+      graft.queries.LlmPipeline.shingleIndex(docs)
+        .select($"doc_id", xxhash64($"shingle").as("shingle")))
     val (_, pruned) =
       graft.queries.LlmPipeline.containmentParts(sh, maxDf = 100, tau = 0.5)
     val survivors = pruned.count()
