@@ -1721,35 +1721,42 @@ object Battery {
     // interpolation DYADIC: at quarter percentiles the fractional
     // position is rem/4 with rem ∈ {0..3}, so the interpolated value
     // is (v_lo·(4−rem) + v_hi·rem)/4 — exact int64 numerator, ONE
-    // double division, no float lerp to drift cross-engine. Shape:
-    // one per-flag rank window (the sort a percentile inherently
-    // needs), the 12-row mark table broadcasts, and BOTH order
-    // statistics come from a single scan of the ranked frame
-    // (conditional agg on rn = idx_lo/idx_hi).
+    // double division, no float lerp to drift cross-engine.
+    // EXACT RANK VIA VALUE HISTOGRAM (opt r16; the q33b/q74/s15
+    // nearest-rank idiom): the old shape row_number()-sorted the
+    // ENTIRE fact table through a 3-value partition key — 3 tasks, the
+    // exact scale-killer the r15 verdict flagged on q33b (6.3 s at
+    // sf1, 13× for 10× data). The value at a rank is tie-order-
+    // invariant, so both order statistics come off the (flag, cents)
+    // dictionary: one map-side-combinable groupBy collapses the table
+    // to dictionary cells bounded by the VALUE DOMAIN, the cumsum
+    // window sorts only those cells, and the rank-k value lives in the
+    // unique cell with cum−cnt < k ≤ cum.
     "q76_percentile_cont" -> ((s, dir) => {
       import s.implicits._
-      val base = Tables.lineitem(s, dir)
-        .select($"l_returnflag".as("flag"),
-          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
-          $"l_orderkey", $"l_linenumber")
-      val w = Window.partitionBy($"flag")
-        .orderBy($"cents".asc, $"l_orderkey".asc, $"l_linenumber".asc)
-      val ranked = graft.ops.Materialize(
-        base.withColumn("rn", row_number().over(w).cast("long"))
-          .select($"flag", $"rn", $"cents"))
-      val n = ranked.groupBy($"flag").agg(max($"rn").as("n"))
-      val marks = n.crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("k")))
+      val h = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag".as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy($"flag").orderBy($"cents".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum($"cnt").over(wc))
+      // n per flag via a broadcast join of a map-side-combinable
+      // aggregate, not a second whole-partition window (q33b's note)
+      val marks = h.groupBy($"flag").agg(sum($"cnt").as("n"))
+        .crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("k")))
         .withColumn("pos4", ($"n" - 1) * $"k")
         .withColumn("idx_lo", expr("pos4 div 4"))
         .withColumn("rem", expr("pos4 % 4"))
         .withColumn("idx_hi", when($"rem" > 0, $"idx_lo" + 1).otherwise($"idx_lo"))
       val m = broadcast(marks.select($"flag".as("mflag"), $"k", $"n",
-        $"rem", $"idx_lo", $"idx_hi"))
-      ranked.join(m, $"flag" === $"mflag" &&
-          ($"rn" === $"idx_lo" + 1 || $"rn" === $"idx_hi" + 1))
+        $"rem", ($"idx_lo" + 1).as("rlo"), ($"idx_hi" + 1).as("rhi")))
+      val atLo = $"cum" >= $"rlo" && $"cum" - $"cnt" < $"rlo"
+      val atHi = $"cum" >= $"rhi" && $"cum" - $"cnt" < $"rhi"
+      cum.join(m, $"flag" === $"mflag" && (atLo || atHi))
         .groupBy($"flag", $"k", $"n", $"rem")
-        .agg(max(when($"rn" === $"idx_lo" + 1, $"cents")).as("v_lo"),
-          max(when($"rn" === $"idx_hi" + 1, $"cents")).as("v_hi"))
+        .agg(max(when(atLo, $"cents")).as("v_lo"),
+          max(when(atHi, $"cents")).as("v_hi"))
         .withColumn("num4", $"v_lo" * (lit(4L) - $"rem") + $"v_hi" * $"rem")
         .select($"flag", ($"k" * 25).as("pct"), $"n", $"v_lo", $"v_hi",
           ($"num4".cast("double") / 4.0).as("pctl_cents"))

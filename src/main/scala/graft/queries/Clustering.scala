@@ -472,6 +472,13 @@ object Clustering {
       // COUNT(*) — excluded explicitly in BOTH the query and the oracle
       .filter(expr(s"embedding IS NOT NULL AND size(embedding) = $D"))
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // (opt r16 note: an upper-triangle melt — D(D+1)/2+D elements via
+    // sequence-indexed lambdas, mirrored after aggregation — measured a
+    // WASH at sf0.1 AND is volume-halving only in element count: the
+    // indexed form pays two GetArrayItem accesses per element where
+    // this direct-iteration form binds lambda vars with zero indexing,
+    // so per-element cost doubles exactly as volume halves. Reverted;
+    // kept as the documented negative result.)
     val melted = e.select(posexplode(expr(
       "concat(flatten(transform(v, xi -> transform(v, xj -> xi * xj))), v)"))
       .as(Seq("k", "p")))

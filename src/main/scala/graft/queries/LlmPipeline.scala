@@ -189,9 +189,22 @@ object LlmPipeline {
     s.read.parquet(tmp)
   }
 
-  /** [[shingles]] with 8-byte hashed keys — the d2 shuffle trade. */
+  /** [[shingles]] with 8-byte hashed keys — the d2 shuffle trade. Keeps
+    * the artifact's corpus `df` column (STRING-grain, exactly the
+    * oracle's HAVING COUNT(*) basis) so consumers split hot/cold with a
+    * pure projection of the parquet scan instead of re-aggregating
+    * document frequency per run (opt r16). */
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    shingles(s, dir).select(col("doc_id"),
+      xxhash64(col("shingle")).as("shingle"), col("df"))
+
+  /** Attach corpus document frequency to a bare (doc_id, shingle) index
+    * the way the [[shingles]] artifact derives it — for test/ad-hoc
+    * callers of [[nearDupJaccard]]/[[containmentPairs]], whose contract
+    * (opt r16) is an index that already carries `df`. */
+  def withCorpusDf(index: DataFrame): DataFrame =
+    index.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
 
   /** Number of BPE merge iterations t18 trains (and its oracle unrolls). */
   val BpeSteps = 5
@@ -960,26 +973,19 @@ object LlmPipeline {
     * and it is what makes the exact verify affordable: of ~1.1M raw
     * candidates at sf0.1, a few thousand survive to the verify joins. */
   def nearDupJaccard(sh: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
-    // The posting list is checkpointed ONCE (the tokenize+explode pass
-    // is the expensive part; every downstream consumer re-reads cheap
-    // blocks), then a flagged view `fl` marks hot postings: the
-    // hot-count aggregate shuffles only map-side-combined partials (one
-    // row per distinct shingle per task) and its exchange is reused
-    // across fl's consumers, the flag join back onto the postings is
-    // AQE-broadcastable at any realistic hot-set size, and the old
-    // shape's three per-doc aggregations (full sizes, rare counts,
-    // verify sizes) all collapse into the single `st` aggregate below.
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("shingle"), lit(1L).as("hot1"))
-    // repartition BEFORE the checkpoint: AQE coalesces the flag-join's
-    // exchanges on bytes (6 partitions at sf1) and materialize FREEZES
-    // that, so every consumer's map side would run 6-wide. An explicit
-    // partition count is exempt from coalescing.
-    val fl = materialize(sh.join(hot, Seq("shingle"), "left")
-      .select(col("doc_id"), col("shingle"),
-        coalesce(col("hot1"), lit(0L)).as("is_hot"))
-      .repartition(sh.sparkSession.sparkContext.defaultParallelism,
-        col("shingle")))
+    // CONTRACT (opt r16): `sh` carries corpus `df` — first-class
+    // metadata of the [[shingles]] artifact (tests attach it via
+    // [[withCorpusDf]]). The hot/cold split is then a pure projection
+    // of the scan: the old per-run df aggregation (a corpus-keyed
+    // shuffle), the flag join back onto the postings, and the
+    // corpus-volume localCheckpoint of the flagged list are all gone
+    // (guide §2.4 — remove shuffles outright; §6 — the artifact IS the
+    // materialization, each consumer re-scans parquet with column
+    // pruning instead of re-reading checkpoint blocks). df is
+    // STRING-grain like the oracle's HAVING COUNT(*) (the old hashed-
+    // grain recount was equal modulo 2⁻⁶⁴ collisions).
+    val fl = sh.select(col("doc_id"), col("shingle"),
+      (col("df") > maxDf).cast("long").as("is_hot"))
     // per-doc stats: n = full distinct-shingle count (also the verify
     // denominator), h = hot-shingle count (the prune bound's slack term)
     val st = fl.groupBy(col("doc_id"))
@@ -1168,17 +1174,11 @@ object LlmPipeline {
     * survivor count (pruned candidates vs emitted pairs) directly. */
   private[graft] def containmentParts(sh: DataFrame, maxDf: Int,
                                       tau: Double): (DataFrame, DataFrame) = {
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("shingle"), lit(1L).as("hot1"))
-    // repartition BEFORE the checkpoint: AQE coalesces the flag-join's
-    // exchanges on bytes (6 partitions at sf1) and materialize FREEZES
-    // that, so every consumer's map side would run 6-wide. An explicit
-    // partition count is exempt from coalescing.
-    val fl = materialize(sh.join(hot, Seq("shingle"), "left")
-      .select(col("doc_id"), col("shingle"),
-        coalesce(col("hot1"), lit(0L)).as("is_hot"))
-      .repartition(sh.sparkSession.sparkContext.defaultParallelism,
-        col("shingle")))
+    // CONTRACT (opt r16): `sh` carries corpus `df` — see
+    // [[nearDupJaccard]] for the rationale (projection-only hot split;
+    // no df re-aggregation, no flag join, no corpus checkpoint).
+    val fl = sh.select(col("doc_id"), col("shingle"),
+      (col("df") > maxDf).cast("long").as("is_hot"))
     val st = fl.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), sum(col("is_hot")).as("h"))
     val bk = fl.filter(col("is_hot") === 0L)
@@ -1340,14 +1340,13 @@ object LlmPipeline {
     "d2_dedup_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       // 64-bit-hash the shingle strings before everything downstream:
-      // every shuffle (window df, bucket agg, verify join) then carries
-      // 8-byte longs instead of ~25-byte strings and every equality is
-      // a long compare. A collision would merely merge two shingles'
-      // postings (2M shingles in 2^64: P ~ 1e-7); the reported
-      // pairs/jaccard are unchanged, so the string-based oracle holds.
-      // Materialized: nearDupJaccard reads the posting list twice (the
-      // hot-count aggregate and the flag join), so the tokenize+explode
-      // pass would otherwise run twice before fl's own checkpoint.
+      // every shuffle (bucket agg, verify join) then carries 8-byte
+      // longs instead of ~25-byte strings and every equality is a long
+      // compare. A collision would merely merge two shingles' postings
+      // (2M shingles in 2^64: P ~ 1e-7); the reported pairs/jaccard
+      // are unchanged, so the string-based oracle holds. df rides off
+      // the artifact (opt r16) — consumers re-scan parquet, nothing is
+      // re-aggregated or checkpointed at corpus volume per run.
       val sh = hashedShingles(s, dir)
       nearDupJaccard(sh, MaxShingleDf, 0.5).orderBy($"d1", $"d2")
     }),
@@ -1409,12 +1408,12 @@ object LlmPipeline {
     // frame; per-threshold work is a re-filter, never a re-join.
     "d37_jaccard_threshold_sweep" -> ((s, dir) => {
       import s.implicits._
+      // df straight off the artifact (opt r16 — the d42 posture): the
+      // under-cap restriction is a pure scan filter, so the old df
+      // aggregation + left-semi join + corpus-volume checkpoint are
+      // gone; both consumers (st, bk) re-scan pruned parquet columns
       val sh = hashedShingles(s, dir)
-      val ok = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        .filter($"df" <= MaxShingleDf).select($"shingle")
-      val fl = materialize(sh.join(ok, Seq("shingle"), "left_semi")
-        // checkpoint at cluster parallelism (see containmentParts)
-        .repartition(s.sparkContext.defaultParallelism, $"shingle"))
+      val fl = sh.filter($"df" <= MaxShingleDf).select($"doc_id", $"shingle")
       val st = fl.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       // explicit numPartitions: AQE coalesces this exchange on its
       // SHUFFLE bytes (small — (hash, doc_id) rows), but the stage it
@@ -2193,12 +2192,20 @@ object LlmPipeline {
       val top8 = materialize(graft.plans.TopK.perKey(sims,
         keys = Seq($"vec_id"), order = Seq($"sim".desc, $"cid".asc), k = 8))
       val wp = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid".asc)
-      val probes = top8.withColumn("prn", row_number().over(wp).cast("long"))
+      // repartition BEFORE the window, not between window and join (opt
+      // r16): the window's own hash(vec_id) exchange is AQE-coalescible
+      // on the checkpoint's small bytes, and the 1-task stage it left
+      // behind carried the window AND the fused candidate expansion
+      // (measured 1.3 s single-task at sf0.1). The explicit count is
+      // exempt from coalescing, the window reuses it exchange-free, and
+      // the broadcast join + partial agg fuse behind it at full width.
+      val probes = top8
+        .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+        .withColumn("prn", row_number().over(wp).cast("long"))
       val home = probes.filter($"prn" === 1).select($"vec_id", $"cid")
       val capped = graft.plans.TopK.perKey(home,
         keys = Seq($"cid"), order = Seq($"vec_id".asc), k = MaxBucketSize)
-      val cands = probes
-        .repartition(s.sparkContext.defaultParallelism, $"vec_id").as("p")
+      val cands = probes.as("p")
         .join(broadcast(capped.as("c")),
           $"p.cid" === $"c.cid" && $"p.vec_id" =!= $"c.vec_id")
         .groupBy($"p.vec_id".as("vec_id"), $"c.vec_id".as("cand"))
@@ -2213,20 +2220,47 @@ object LlmPipeline {
       // — same (cos DESC, nbr ASC) total order)
       val truth = cachedKnn(s, dir).filter($"rn" === 1)
         .select($"vec_id", $"nbr".as("true_nbr"))
-      Seq(1L, 2L, 4L, 8L).map { p =>
-        val found = graft.plans.TopK.perKey(scored.filter($"prn" <= p),
-            keys = Seq($"vec_id"), order = Seq($"cos".desc, $"cand".asc), k = 1)
-          .select($"vec_id", $"cand".as("ivf_nbr"))
-        val cost = scored.filter($"prn" <= p)
-          .agg(count(lit(1)).as("total_candidates"))
-        truth.join(found, Seq("vec_id"), "left")
-          .agg(count(lit(1)).as("n_queries"),
-            sum(when($"ivf_nbr" === $"true_nbr", 1L).otherwise(0L)).as("n_hits"))
-          .crossJoin(broadcast(cost))
-          .select(lit(p).as("nprobe"), $"n_queries", $"n_hits",
-            expr("n_hits * 1000000 div n_queries").as("recall_ppm"),
-            $"total_candidates")
-      }.reduce(_ unionByName _).orderBy($"nprobe")
+      // ALL FOUR nprobe levels from ONE pass over the scored frame (opt
+      // r16): the per-level form ran 4 × (TopK + truth join + two aggs)
+      // over the same materialized frame — ~20 stages for a 4-row
+      // answer. Shape matters here: a direct max(struct) groupBy over
+      // `scored` compiles to a SortAggregate (struct buffers are not
+      // hash-aggregable — measured 0.7 s single-task), so the argmax
+      // runs in two strictly cheaper steps: (1) TopKPerKey keyed
+      // (vec_id, prn) — the per-partition-heap operator, one pass, ≤ 8
+      // rows out per query; (2) max(struct(cos, −cand)) per level over
+      // that 8-rows-per-query sliver (lexicographic struct max ≡ the
+      // TopK (cos DESC, cand ASC) order, er2's argmax idiom — the
+      // level-p winner among per-prn winners is the level-p winner over
+      // all candidates). Candidate volume per level folds in one global
+      // hash agg over `scored` (pure long sums). Results identical
+      // row-for-row.
+      val lvls = Seq(1L, 2L, 4L, 8L)
+      val perPrn = graft.plans.TopK.perKey(scored,
+        keys = Seq($"vec_id", $"prn"),
+        order = Seq($"cos".desc, $"cand".asc), k = 1)
+      val bestCols = lvls.map(p => max(when($"prn" <= p,
+        struct($"cos", (-$"cand").as("nc")))).as(s"b$p"))
+      val best = perPrn.groupBy($"vec_id")
+        .agg(bestCols.head, bestCols.tail: _*)
+      val costCols = lvls.map(p =>
+        sum(when($"prn" <= p, 1L).otherwise(0L)).as(s"tc$p"))
+      val cost = scored.agg(costCols.head, costCols.tail: _*)
+      val j = truth.join(best, Seq("vec_id"), "left")
+      val aggCols =
+        count(lit(1)).as("n_queries") +:
+          lvls.map(p => sum(when((-col(s"b$p.nc")) === $"true_nbr", 1L)
+            .otherwise(0L)).as(s"h$p"))
+      val agg = j.agg(aggCols.head, aggCols.tail: _*)
+        .crossJoin(broadcast(cost))
+      agg.select(explode(array(lvls.map(p => struct(
+          lit(p).as("nprobe"), $"n_queries",
+          col(s"h$p").as("n_hits"),
+          expr(s"h$p * 1000000 div n_queries").as("recall_ppm"),
+          col(s"tc$p").as("total_candidates"))): _*)).as("r"))
+        .select($"r.nprobe", $"r.n_queries", $"r.n_hits", $"r.recall_ppm",
+          $"r.total_candidates")
+        .orderBy($"nprobe")
     }),
 
     // embedding-cosine near-dup: exact all-pairs baseline at θ=0.45 (the
@@ -2929,13 +2963,16 @@ object LlmPipeline {
       // keys instead of ~50-byte strings through the shuffle; a 2^-64
       // collision would add one phantom hit — negligible, and the
       // string-keyed oracle still matches at these densities)
+      // hash INSIDE the transform lambda (opt r16, d43's form): the old
+      // shape materialized ~50-byte gram strings, array_distinct'd and
+      // exploded them, then hashed — dedup/explode now run on 8-byte
+      // longs (same distinct set modulo the documented 2⁻⁶⁴ trade)
       val grams = Tables.documents(s, dir)
         .select($"doc_id", $"source", toks($"text").as("toks"))
         .filter(size($"toks") >= 8)
         .select($"doc_id", $"source", explode(expr(
-          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> xxhash64(concat_ws(' ', slice(toks, i+1, 8)))))"))
           .as("g"))
-        .select($"doc_id", $"source", xxhash64($"g").as("g"))
       val bench = grams.filter($"source" === "src0").select($"g").distinct()
       grams.filter($"source" =!= "src0")
         .join(bench, "g")
@@ -2953,13 +2990,13 @@ object LlmPipeline {
     // integer-derived division, bit-portable.
     "d23_contamination_score" -> ((s, dir) => {
       import s.implicits._
+      // hash inside the transform lambda — see d10 (opt r16)
       val grams = Tables.documents(s, dir)
         .select($"doc_id", $"source", toks($"text").as("toks"))
         .filter(size($"toks") >= 8)
         .select($"doc_id", $"source", explode(expr(
-          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> xxhash64(concat_ws(' ', slice(toks, i+1, 8)))))"))
           .as("g"))
-        .select($"doc_id", $"source", xxhash64($"g").as("g"))
       val bench = grams.filter($"source" === "src0").select($"g").distinct()
         .withColumn("hit", lit(1))
       grams.filter($"source" =!= "src0")
@@ -4711,20 +4748,31 @@ object LlmPipeline {
           min($"nt").as("nt"), min($"text").as("text"))
       // benchmark grams from the RAW src0 docs (p2's convention: the
       // benchmark is external ground truth, not subject to the gate)
+      // gram hashing inside the transform lambda — d10's opt-r16 form
+      // (dedup/explode on 8-byte longs, identical set modulo the
+      // documented 2⁻⁶⁴ trade)
       val bench = Tables.documents(s, dir)
         .filter($"source" === "src0")
         .select(toks($"text").as("toks")).filter(size($"toks") >= 8)
         .select(explode(expr(
-          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
-          .as("g"))
-        .select(xxhash64($"g").as("g")).distinct()
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> xxhash64(concat_ws(' ', slice(toks, i+1, 8)))))"))
+          .as("g")).distinct()
       val corpus = dedup.filter($"source" =!= "src0")
       val contaminated = corpus
+        // spread before the CPU-dense gram explode (opt r16): the dedup
+        // aggregation's exchange AQE-coalesces on BYTES (the corpus is
+        // byte-small exactly when it is CPU-dense per byte — t27's
+        // note), and the explode ran single-task behind it (measured
+        // 0.86 s of the sf0.1 bill in the _jobs split). An explicit
+        // doc_id repartition is coalescing-exempt; at 100 TB the
+        // deduped corpus has thousands of partitions and this exchange
+        // is byte-proportional, not a hot spot.
+        .select($"doc_id", $"text")
+        .repartition(s.sparkContext.defaultParallelism, $"doc_id")
         .select($"doc_id", toks($"text").as("toks")).filter(size($"toks") >= 8)
         .select($"doc_id", explode(expr(
-          "array_distinct(transform(sequence(0, size(toks)-8), i -> concat_ws(' ', slice(toks, i+1, 8))))"))
+          "array_distinct(transform(sequence(0, size(toks)-8), i -> xxhash64(concat_ws(' ', slice(toks, i+1, 8)))))"))
           .as("g"))
-        .select($"doc_id", xxhash64($"g").as("g"))
         .join(bench, "g").select($"doc_id").distinct()
       val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
       val docs = graft.ops.Materialize(clean
@@ -5042,11 +5090,19 @@ object LlmPipeline {
           countDistinct($"lang").as("n_langs"))
       val dup = docs.join(losers, Seq("doc_id"), "left_semi")
         .groupBy($"source").agg(count(lit(1)).as("dup_docs"))
-      val med = docs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"source").orderBy($"ttr_ppm", $"doc_id")))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"source")))
-        .filter($"rn" === expr("(cnt + 1) div 2"))
+      // median via the (source, ttr_ppm) VALUE HISTOGRAM (opt r16 —
+      // q33b/q76's nearest-rank idiom): the old row_number + count
+      // windows re-sorted the whole doc frame through |sources| tasks;
+      // the value at the median rank is tie-invariant, so the
+      // dictionary cumsum picks the identical cell
+      val hist = docs.groupBy($"source", $"ttr_ppm").agg(count(lit(1)).as("hc"))
+      val wmed = Window.partitionBy($"source").orderBy($"ttr_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = hist.withColumn("cum", sum($"hc").over(wmed))
+        .join(broadcast(hist.groupBy($"source").agg(sum($"hc").as("cnt"))),
+          "source")
+        .withColumn("k", expr("(cnt + 1) div 2"))
+        .filter($"cum" >= $"k" && $"cum" - $"hc" < $"k")
         .select($"source", $"ttr_ppm".as("median_ttr_ppm"))
       base.join(dup, Seq("source"), "left").join(med, Seq("source"))
         .select($"source", $"n_docs", $"total_tokens", $"n_langs",

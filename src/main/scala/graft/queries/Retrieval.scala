@@ -360,9 +360,15 @@ object Retrieval {
         .select($"doc_id", $"nc", $"x.n".as("n"), $"x.g".as("g"))
       val tf = grams.groupBy($"doc_id", $"nc", $"n", $"g")
         .agg(count(lit(1)).as("tf"))
-      val w = Window.partitionBy($"doc_id", $"n").orderBy($"tf".desc, $"g".asc)
-      val fr = tf.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .withColumn("rep_chars", $"tf" * length($"g").cast("long"))
+      // top gram per (doc, n) as an ARGMAX AGGREGATE (opt r16, er2's
+      // min(struct) idiom): lexicographic min over (−tf, g) ≡ the old
+      // row_number window's (tf DESC, g ASC) winner — the whole sort
+      // the window paid vanishes, and the agg map-side-combines
+      val top = tf.groupBy($"doc_id", $"nc", $"n")
+        .agg(min(struct((-$"tf").as("ntf"), $"g".as("g"))).as("m"))
+        .select($"doc_id", $"nc", $"n",
+          (-$"m.ntf" * length($"m.g").cast("long")).as("rep_chars"))
+      val fr = top
         .groupBy($"doc_id")
         .agg(max($"nc").as("nc"),
           max(when($"n" === 2, $"rep_chars")).as("rc2"),
@@ -455,31 +461,31 @@ object Retrieval {
       val words = docs.select($"doc_id", explode($"toks").as("w"))
       val vocab = words.agg(
         count_distinct($"w").cast("double").as("v")).scalar()
-      // unigram counts as CONTEXT counts: c1(w1) over positions that
-      // HAVE a successor (all but the last token) so probabilities per
-      // context sum to 1 under add-k smoothing
-      val ctx = docs.filter(size($"toks") >= 2)
-        .select(explode(expr("slice(toks, 1, size(toks)-1)")).as("w1"))
-        .groupBy(xxhash64($"w1").as("k1"))
-        .agg(count(lit(1)).cast("double").as("c1"))
-      val bigrams = docs.filter(size($"toks") >= 2)
+      // ONE (k1, k2) bigram-dictionary aggregation carries BOTH count
+      // tables (opt r16): c2 = the bigram's occurrence count; the
+      // context count c1(w1) — occurrences of w1 at positions that
+      // HAVE a successor — is exactly Σ over that context's bigrams of
+      // c2, a dictionary-sized regroup. The old shape exploded the
+      // corpus twice more (ctx pass + bigram-count pass) and shuffled
+      // the full scoring stream through TWO count joins (k2 then k1);
+      // now the per-position stream joins ONE probability table keyed
+      // k2 alone, and the dictionary exchange is map-side-combined to
+      // vocabulary size (guide §2.3 — aggregate before you shuffle).
+      val pairs = docs.filter(size($"toks") >= 2)
         .select($"doc_id", explode(expr(
-          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', slice(toks, i+1, 2)))"))
-          .as("bg"),
-          lit(1).as("one"))
-      val c2 = bigrams.groupBy(xxhash64($"bg").as("k2"))
-        .agg(count(lit(1)).cast("double").as("c2"))
-      val stream = docs.filter(size($"toks") >= 2)
-        .select($"doc_id", posexplode(expr(
           "transform(sequence(0, size(toks)-2), i -> slice(toks, i+1, 2))"))
-          .as(Seq("pos", "pair")))
+          .as("pair"))
         .select($"doc_id",
           xxhash64(element_at($"pair", 1)).as("k1"),
           xxhash64(concat_ws(" ", $"pair")).as("k2"))
-      stream
-        .join(c2, "k2").join(ctx, "k1")
-        .select($"doc_id",
-          (($"c2" + lit(0.5)) / ($"c1" + lit(0.5) * vocab)).as("p"))
+      val dict = pairs.groupBy($"k1", $"k2")
+        .agg(count(lit(1)).cast("double").as("c2"))
+      val ctx = dict.groupBy($"k1").agg(sum($"c2").as("c1"))
+      val prob = dict.join(ctx, "k1")
+        .select($"k2", (($"c2" + lit(0.5)) / ($"c1" + lit(0.5) * vocab)).as("p"))
+      pairs
+        .join(prob, "k2")
+        .select($"doc_id", $"p")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           (dsum($"p") / count(lit(1))).as("lm_score"))

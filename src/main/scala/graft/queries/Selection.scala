@@ -304,14 +304,23 @@ object Selection {
         .withColumn("b", conv(substring(md5(col("t")), 1, 3), 16, 10).cast("long"))
       val tgt = stream(docs.filter($"source" === "src0"))
         .groupBy($"b").agg(count(lit(1)).as("cnt_t"))
-      val rawStream = stream(docs.filter($"source" =!= "src0"))
-      val rawCnt = rawStream.groupBy($"b").agg(count(lit(1)).as("cnt_r"))
+      // ONE pass over the raw token stream (opt r16): the old shape
+      // re-ran the explode+md5 stream twice — once for the global
+      // bucket counts, once for the per-doc scores. The (doc, bucket)
+      // count frame is ≤ |docs|·4096 rows and serves both exactly:
+      // cnt_r = Σ_doc c, n_tokens = Σ_b c, score = Σ_b c·s_b (the same
+      // per-occurrence integer sum, grouped). Checkpointed because the
+      // score table derives from it AND joins back onto it.
+      val pb = graft.ops.Materialize(
+        stream(docs.filter($"source" =!= "src0"))
+          .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c")))
+      val rawCnt = pb.groupBy($"b").agg(sum($"c").as("cnt_r"))
       val scoreTbl = rawCnt.join(tgt, Seq("b"), "left")
         .select($"b",
           expr("((coalesce(cnt_t, 0L) + 1L) * 1000000L) div (cnt_r + 1L)").as("s_b"))
-      val perDoc = rawStream.join(broadcast(scoreTbl), "b")
+      val perDoc = pb.join(broadcast(scoreTbl), "b")
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum($"s_b").as("score"))
+        .agg(sum($"c").as("n_tokens"), sum($"c" * $"s_b").as("score"))
         .withColumn("w", $"score".cast("double") / $"n_tokens")
       val top = perDoc.orderBy($"w".desc, $"doc_id".asc).limit(100)
       top.withColumn("rnk",
