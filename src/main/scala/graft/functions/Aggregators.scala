@@ -166,3 +166,126 @@ object CountMin {
     ColumnBridge.column(
       CountMinAgg(ColumnBridge.expression(buckets), d, w).toAggregateExpression())
 }
+
+/** Bounded single-pass posting-list collector for [[graft.queries.LlmPipeline.buckets]]
+  * (opt r17, guide §2.4 — remove shuffles outright): one aggregate
+  * yields BOTH the exact group count `n` AND the complete sorted member
+  * list for under-cap groups, so the bucket machinery's old two-pass
+  * shape (a df count pass + left-anti hot-drop + a second full shuffle
+  * into collect_list) collapses to ONE exchange of capped partial
+  * buffers.
+  *
+  * Memory contract — the reason the two-pass shape existed: a
+  * degenerate key ("all rights reserved" at corpus scale) must not grow
+  * an unbounded collect_list buffer on its reducer. Here the buffer
+  * stops accumulating the moment its count exceeds `cap` (the list is
+  * dropped, only the exact count keeps counting), so per-group state is
+  * bounded by cap longs at every stage — map-side partials included —
+  * which is strictly tighter than the old shape's post-filter
+  * collect_list. Callers drop over-cap groups on `n > cap` exactly like
+  * the old `df > maxDf` pre-filter + `size(ids) <= maxDf` post-filter
+  * pair, and under-cap groups were never trimmed, so their `ids` is the
+  * complete set — output is bit-identical to the two-pass form. Eval
+  * sorts the surviving ≤cap list (the old sort_array). */
+case class CappedCollectAgg(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[CappedCollectAgg.Buf] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("ids", ArrayType(LongType, containsNull = false), nullable = true)))
+
+  override def createAggregationBuffer(): CappedCollectAgg.Buf =
+    new CappedCollectAgg.Buf(0L, new Array[Long](math.min(cap, 16)), 0)
+
+  override def update(buf: CappedCollectAgg.Buf, input: InternalRow): CappedCollectAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.n += 1L
+      if (buf.n <= cap) {
+        if (buf.len == buf.ids.length) {
+          val grown = new Array[Long](math.min(cap, buf.ids.length * 2))
+          System.arraycopy(buf.ids, 0, grown, 0, buf.len)
+          buf.ids = grown
+        }
+        buf.ids(buf.len) = v.asInstanceOf[Long]
+        buf.len += 1
+      } else buf.len = 0 // over cap: the list is dead weight, drop it
+    }
+    buf
+  }
+
+  override def merge(a: CappedCollectAgg.Buf, b: CappedCollectAgg.Buf): CappedCollectAgg.Buf = {
+    a.n += b.n
+    if (a.n <= cap) {
+      // both sides under cap by construction (n = len for each)
+      if (a.len + b.len > a.ids.length) {
+        val grown = new Array[Long](math.min(cap, math.max(a.len + b.len, a.ids.length * 2)))
+        System.arraycopy(a.ids, 0, grown, 0, a.len)
+        a.ids = grown
+      }
+      System.arraycopy(b.ids, 0, a.ids, a.len, b.len)
+      a.len += b.len
+    } else a.len = 0
+    a
+  }
+
+  override def eval(buf: CappedCollectAgg.Buf): Any = {
+    val out = java.util.Arrays.copyOf(buf.ids, buf.len)
+    java.util.Arrays.sort(out)
+    InternalRow(buf.n, new GenericArrayData(out))
+  }
+
+  override def serialize(buf: CappedCollectAgg.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + buf.len * 8)
+    bb.putLong(buf.n).putInt(buf.len)
+    var i = 0
+    while (i < buf.len) { bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedCollectAgg.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong()
+    val len = bb.getInt()
+    val ids = new Array[Long](math.max(len, 1))
+    var i = 0
+    while (i < len) { ids(i) = bb.getLong(); i += 1 }
+    new CappedCollectAgg.Buf(n, ids, len)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CappedCollectAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CappedCollectAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]): CappedCollectAgg =
+    copy(child = c.head)
+}
+
+object CappedCollectAgg {
+  /** Mutable aggregation state: exact group count + the first ≤cap
+    * members (complete whenever n ≤ cap; abandoned once n exceeds it). */
+  final class Buf(var n: Long, var ids: Array[Long], var len: Int)
+}
+
+object CappedCollect {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** `capped_collect(id, cap) -> STRUCT<n: BIGINT, ids: ARRAY<BIGINT>>`:
+    * exact count + complete sorted member list iff n ≤ cap. */
+  def apply(id: Column, cap: Int): Column =
+    ColumnBridge.column(
+      CappedCollectAgg(ColumnBridge.expression(id), cap).toAggregateExpression())
+}

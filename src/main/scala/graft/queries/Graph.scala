@@ -39,9 +39,10 @@ object Graph {
       .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
     // posting-list buckets + codegen'd pair expansion (see
     // LlmPipeline.buckets/bucketPairs) instead of an index self-join;
-    // buckets() reads the index twice, so materialize the explode chain
+    // buckets() is single-pass since opt r17, so the explode chain is
+    // consumed once and needs no checkpoint
     LlmPipeline.bucketPairs(
-        LlmPipeline.buckets(Materialize(sh), Seq("shingle"), maxDf))
+        LlmPipeline.buckets(sh, Seq("shingle"), maxDf))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -902,33 +902,34 @@ object LlmPipeline {
     * distinct keys over the cap) is unbounded at 100 TB — common
     * trigrams alone could blow a forced broadcast. AQE broadcasts it at
     * runtime when it is actually small. */
-  /** Under-cap posting-list buckets of an inverted index. Hot keys
-    * (df > maxDf) are dropped BEFORE the list aggregation by a cheap
-    * count pass — partial counts map-side-combine to one row per
-    * distinct key per task, so that shuffle is tiny — because a
-    * `collect_list` buffer on a degenerate key ("all rights reserved"
-    * at corpus scale) would otherwise grow unbounded on its reducer
-    * before any size filter could drop it. The surviving buffers are
-    * bounded by the cap. The final size filter is the same predicate
-    * (kept as the single source of truth for the cap semantics).
-    * NOTE: `index` is consumed twice (count pass + list pass) —
-    * materialize expensive upstream chains at the call site. */
+  /** Under-cap posting-list buckets of an inverted index, in ONE pass
+    * (opt r17, guide §2.4): [[graft.functions.CappedCollect]] yields the
+    * exact group count and the complete sorted member list for under-cap
+    * groups from a single exchange, replacing the old two-pass shape
+    * (df count pass + left-anti hot-drop + a second full shuffle into
+    * collect_list). The memory contract the two-pass shape existed for
+    * is preserved more tightly: a degenerate key ("all rights reserved"
+    * at corpus scale) stops accumulating list state the moment its
+    * count exceeds the cap — per-group buffers are bounded by cap longs
+    * at every stage, map-side partials included. `n > maxDf` is the
+    * same predicate as the old `df > maxDf` pre-filter, so output is
+    * bit-identical, and `index` is now consumed ONCE (callers no longer
+    * need to materialize upstream chains for double consumption). */
   def buckets(index: DataFrame, keys: Seq[String], maxDf: Int): DataFrame = {
     val kc = keys.map(col)
-    val hot = index.groupBy(kc: _*).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).drop("df")
     // explicit numPartitions on the bucket exchange: its shuffle BYTES
-    // are small ((key, doc_id) rows), so AQE coalesces it — but the
-    // stage it feeds carries the collect_list heaps AND, fused directly
+    // are small (capped partial buffers), so AQE would coalesce it — but
+    // the stage it feeds carries the bucket buffers AND, fused directly
     // behind them in every consumer, the PairCombos pair explosion. At
     // sf1 that stage ran on 6 coalesced tasks for ~45% of d37's bill
     // (r14 stage split); a user-specified partition count is exempt
     // from AQE coalescing and the groupBy reuses it exchange-free.
-    index.join(hot, keys, "left_anti")
+    index
       .repartition(index.sparkSession.sparkContext.defaultParallelism, kc: _*)
       .groupBy(kc: _*)
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
+      .agg(graft.functions.CappedCollect(col("doc_id"), maxDf).as("cl"))
+      .filter(col("cl.n") <= maxDf)
+      .select((kc :+ col("cl.ids").as("ids")): _*)
   }
 
   /** Candidate pairs (d1 < d2) expanded per bucket by the codegen'd
@@ -1460,8 +1461,8 @@ object LlmPipeline {
       import s.implicits._
       val sh = shingles(s, dir)
       // signature comes from the persisted corpus artifact (cachedSig);
-      // the band explode is a cheap projection of it, so buckets()'
-      // double consumption just re-reads parquet — no checkpoint needed
+      // the band explode is a cheap projection of it, consumed once by
+      // the single-pass buckets() — no checkpoint needed
       val bands = minhashBands(cachedSig(s, dir), nb = 4, rw = 4)
       // candidates meet only inside a (size-capped) band bucket; exact
       // verification restricted to the CANDIDATES — the point of LSH:
@@ -1595,10 +1596,14 @@ object LlmPipeline {
               md5(expr(s"concat_ws(',', ${parts.mkString(", ")})")).as("bkey"))
           }
       }
-      val allBands = materialize(
+      // no checkpoint (opt r17): the single-pass buckets() consumes the
+      // band explode exactly once, and it is a cheap projection of the
+      // cachedSig parquet artifact — the old materialize existed only
+      // for buckets()' double consumption
+      val allBands =
         sig.select($"doc_id", explode(array(bandStructs: _*)).as("cb"))
           .select($"doc_id", $"cb.config".as("config"),
-            $"cb.band".as("band"), $"cb.bkey".as("bkey")))
+            $"cb.band".as("band"), $"cb.bkey".as("bkey"))
       // NO coalesce(1) here, unlike d32's single-layout candidate frame:
       // the sweep's 16x1 tier is a deliberate birthday cliff, and at sf1
       // its pair set is millions of rows — a 1-partition checkpoint
@@ -1671,9 +1676,8 @@ object LlmPipeline {
       val sig = cachedSig(s, dir)
       val bands = minhashBands(sig, nb = 4, rw = 4)
       // cand is consumed FIVE times (two signature joins, and uniq/ids
-      // inside exactInterFor) and buckets() itself reads its input
-      // twice — without the checkpoint the whole band/bucket pipeline
-      // re-executes per consumer
+      // inside exactInterFor) — without the checkpoint the whole
+      // band/bucket pipeline re-executes per consumer
       // coalesce(1): the candidate frame is bucket-capped tiny by
       // construction, and a 1-partition checkpoint makes every
       // downstream consumer stage single-task (the bill here is ~25

@@ -378,4 +378,28 @@ class NearDupSpec extends SparkTestBase {
       }
     }
   }
+
+  test("single-pass buckets() matches the two-pass reference (incl. over-cap groups)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // synthetic index: key k appears in (k % 7 + 1) * 3 docs -> groups
+    // both under and over a cap of 9; doc ids deliberately unsorted
+    val rows = for {
+      k <- 0L until 40L
+      i <- 0L until (k % 7 + 1) * 3
+    } yield (37L * i % 1000 + 1000 * i, k)
+    val index = rows.toDF("doc_id", "key")
+    val cap = 9
+    val got = graft.queries.LlmPipeline.buckets(index, Seq("key"), cap)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference: the pre-r17 two-pass semantics, computed locally
+    val ref = rows.groupBy(_._2).collect {
+      case (k, g) if g.size <= cap => k -> g.map(_._1).sorted
+    }
+    assert(got.keySet == ref.keySet)
+    for ((k, ids) <- ref) assert(got(k) == ids, s"key $k")
+    // over-cap keys must be gone
+    assert(!got.contains(6L)) // k=6 -> 21 docs > 9
+  }
 }
